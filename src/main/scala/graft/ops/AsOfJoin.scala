@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable as-of (point-in-time) join.
+  *
+  * Spark has no native ASOF JOIN (DuckDB does; the reference's
+  * tx->outcome matching across blocks — borealis-indexer/src/main.rs:121-124
+  * — is exactly this shape). The naive formulation
+  * `left JOIN right ON key AND r.ts <= l.ts` + "keep max r.ts" explodes to
+  * O(|left| x |matching right|) before the dedup, which is fatal at 100 TB.
+  *
+  * This implementation is the single-shuffle union+window formulation:
+  * tag both sides, union, and for every left row take the last non-null
+  * right payload at-or-before it within its key partition. Cost: one
+  * shuffle on the key + one sort — the same cost as a sort-merge join,
+  * with no row explosion, no skew amplification, and it streams within
+  * each key partition (rowsBetween running frame).
+  */
+object AsOfJoin {
+
+  /** Left as-of join: every row of `left` joined to the latest row of
+    * `right` with `right.ts <= left.ts` for the same `key`.
+    * `rightPayload` columns must exist in `right` and not collide with
+    * `left` columns. Right rows ordered before left rows on ts ties
+    * (i.e. a right row at exactly left.ts matches).
+    */
+  def asofLeft(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__side", lit(1))
+    var r = right
+      .select((Seq(col(key), col(ts)) ++ rightPayload.map(col)): _*)
+      .withColumn("__side", lit(0))
+    // align schemas for unionByName
+    for (c <- leftCols if !Seq(key, ts).contains(c))
+      r = r.withColumn(c, lit(null))
+    var lAligned = l
+    for (c <- rightPayload) lAligned = lAligned.withColumn(c, lit(null))
+
+    val unioned = lAligned.unionByName(r.select(lAligned.columns.map(col): _*))
+    // right rows sort before left rows at equal ts => <= semantics
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .select((leftCols ++ rightPayload).map(col): _*)
+  }
+}

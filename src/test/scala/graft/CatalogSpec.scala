@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Smoke + semantic checks for every catalog entry. Exact value parity
+  * vs DuckDB is the driver's t2 gate (tools/check.py locally); these
+  * tests assert structural/semantic invariants that don't need DuckDB.
+  */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every catalog entry runs and yields a non-degenerate schema") {
+    for (q <- Catalog.all) {
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty, s"${q.name}: no columns")
+      assert(df.columns.distinct.length == df.columns.length, s"${q.name}: duplicate column names")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle names are a subset of query names") {
+    val qn = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+  }
+
+  test("q01 aggregates are consistent") {
+    val rows = Catalog.byName("q01_pricing_summary").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("count_order")
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      assert(n > 0)
+      assert(math.abs(sumQty / n - avgQty) < 1e-9)
+    }
+  }
+
+  test("q22 as-of join: every matched view precedes its purchase") {
+    val df = Catalog.byName("q22_asof_join").run(spark, sf)
+    val ev = Tables.events(spark, sf).select("event_id", "ts_ns")
+    val joined = df
+      .join(ev.withColumnRenamed("event_id", "view_event_id").withColumnRenamed("ts_ns", "view_ts"), "view_event_id")
+      .join(ev, "event_id")
+    import org.apache.spark.sql.functions.col
+    assert(joined.filter(col("view_ts") > col("ts_ns")).count() == 0)
+  }
+
+  test("q24b approx distinct within 5% of exact") {
+    val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
+    val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
+    val e = exact.getAs[Long]("n_parts").toDouble
+    val a = approx.getAs[Long]("approx_parts").toDouble
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+}
