@@ -1,10 +1,116 @@
 package graft.blocks
 
 import graft.Q
+import graft.functions.ColumnFns._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Block-document (reference-shaped) ingest/flatten queries — populated
-  * in later milestones.
+/** Block-document (reference-shaped) queries. These run on the embedded
+  * golden fixture (borealis-indexer/src/main.rs:118-349) re-keyed over a
+  * height range, independent of the star-schema sf dir — the driver's
+  * rows-only check applies (no DuckDB oracle; the inputs aren't its
+  * tables). Exact-value coverage lives in the ScalaTest specs.
   */
 object BlockQueries {
-  def queries: Seq[Q] = Seq.empty
+
+  private val N = 64 // fixture blocks per query run
+
+  // S15/S16: the canonical flatten — one row per transaction.
+  private val b01 = Q(
+    "b01_flatten_transactions",
+    (s, _) => Flatten.transactions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N)))
+
+  // SURVEY §7 phase-2 flagship: gas/tokens burnt per executor per day
+  // (nested access + explode + Decimal38 agg + nano->timestamp).
+  private val b02 = Q(
+    "b02_gas_by_executor",
+    (s, _) =>
+      Flatten
+        .executionOutcomes(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
+        .groupBy(col("executor_id"), col("block_date"))
+        .agg(
+          sum(col("gas_burnt")).as("total_gas"),
+          sum(col("tokens_burnt")).as("total_tokens"),
+          count(lit(1)).as("n_outcomes")))
+
+  // S18: null-chunk branch — per-shard counts with has_chunk flag.
+  private val b03 = Q(
+    "b03_shard_counts",
+    (s, _) => Flatten.shards(Flatten.fixtureDocs(s, Fixtures.baseHeight, N)))
+
+  // S5/S6/S7: envelope wrap + dual wire format (JSON bytes and CBOR
+  // bytes) with sizes.
+  private val b04 = Q(
+    "b04_envelope_wire",
+    (s, _) => {
+      import s.implicits._
+      val raw = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
+      raw
+        .select(
+          get_json_object(col("value"), "$.block.header.height").cast(LongType).as("seq_id"),
+          col("value"))
+        .select(
+          col("seq_id"),
+          to_cbor(col("value")).as("payload_cbor"),
+          encode(col("value"), "UTF-8").as("payload_json"))
+        .select(
+          col("seq_id"),
+          length(col("payload_cbor")).cast(LongType).as("cbor_bytes"),
+          length(col("payload_json")).cast(LongType).as("json_bytes"),
+          (length(col("payload_json")) - length(col("payload_cbor"))).cast(LongType)
+            .as("cbor_savings"))
+    })
+
+  // S14: decode roundtrip — CBOR bytes back to documents, re-flattened.
+  private val b05 = Q(
+    "b05_cbor_roundtrip",
+    (s, _) => {
+      import s.implicits._
+      val cbor = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
+        .select(to_cbor(col("value")).as("bin"))
+      val decoded = Flatten.parse(s, cbor.select(from_cbor(col("bin")).as("value")))
+      Flatten.blocks(decoded).select("block_height", "block_hash", "total_supply", "n_shards")
+    })
+
+  // base58 codec over block hashes: decode to 32 bytes, re-encode.
+  private val b06 = Q(
+    "b06_base58",
+    (s, _) =>
+      Flatten
+        .blocks(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
+        .select(
+          col("block_height"),
+          col("epoch_id"),
+          base58_decode(col("epoch_id")).as("decoded"),
+          base58_encode(base58_decode(col("epoch_id"))).as("reencoded"))
+        .withColumn("bytes_len", length(col("decoded")).cast(LongType))
+        .withColumn("roundtrip_ok", col("reencoded") === col("epoch_id"))
+        .drop("decoded"))
+
+  // tx -> final execution outcome across blocks (main.rs:121-124): the
+  // receipt_id produced by the tx joins the outcome that lands in a
+  // LATER block; equi-join on receipt id + range guard, aggregated gas.
+  private val b07 = Q(
+    "b07_tx_outcome_join",
+    (s, _) => {
+      val docs = Flatten.fixtureDocs(s, Fixtures.baseHeight, N)
+      val tx = Flatten
+        .transactions(docs)
+        .select(
+          col("block_height").as("tx_height"),
+          col("tx_hash"),
+          explode(col("receipt_ids")).as("receipt_id"))
+      val outcomes = Flatten
+        .executionOutcomes(docs)
+        .select(
+          col("block_height").as("outcome_height"),
+          col("outcome_id"),
+          col("gas_burnt"),
+          col("status_type"))
+      tx.join(outcomes, tx("receipt_id") === outcomes("outcome_id") &&
+          col("outcome_height") >= col("tx_height"))
+        .select("tx_hash", "tx_height", "outcome_height", "gas_burnt", "status_type")
+    })
+
+  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07)
 }

@@ -1,0 +1,146 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+
+/** Minimal, dependency-free CBOR (RFC 8949) codec for JSON-shaped data.
+  *
+  * The reference publishes every envelope as CBOR or JSON
+  * (borealis-indexer/src/main.rs:377 `.to_cbor()`, :424
+  * `.to_json_bytes()`; decode at borealis-consumer/src/main.rs:260-286).
+  * Spark has `to_json`/`from_json` built in but no CBOR, and the Spark
+  * classpath ships no CBOR library — so this implements the subset the
+  * block documents need: major types 0/1 (ints), 2 (byte strings,
+  * decoded to base64 text on the JSON side), 3 (text), 4 (arrays),
+  * 5 (maps), 7 (false/true/null + float64). Encoding uses
+  * shortest-form lengths (canonical-leaning); map key order is
+  * preserved as parsed, matching serde_cbor's behavior for struct
+  * serialization.
+  */
+object Cbor {
+  private val mapper = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+
+  def jsonToCbor(json: String): Array[Byte] = encode(mapper.readTree(json))
+
+  def cborToJson(bytes: Array[Byte]): String =
+    mapper.writeValueAsString(decode(ByteBuffer.wrap(bytes)))
+
+  // ---- encode ----
+
+  def encode(n: JsonNode): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeNode(out, n)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def writeTypeAndLen(out: DataOutputStream, major: Int, v: Long): Unit = {
+    val mt = major << 5
+    if (v < 24) out.writeByte(mt | v.toInt)
+    else if (v < (1L << 8)) { out.writeByte(mt | 24); out.writeByte(v.toInt) }
+    else if (v < (1L << 16)) { out.writeByte(mt | 25); out.writeShort(v.toInt) }
+    else if (v < (1L << 32)) { out.writeByte(mt | 26); out.writeInt(v.toInt) }
+    else { out.writeByte(mt | 27); out.writeLong(v) }
+  }
+
+  private def writeNode(out: DataOutputStream, n: JsonNode): Unit = {
+    if (n == null || n.isNull) out.writeByte(0xf6)
+    else if (n.isBoolean) out.writeByte(if (n.asBoolean()) 0xf5 else 0xf4)
+    else if (n.isIntegralNumber && n.canConvertToLong) {
+      val v = n.asLong()
+      if (v >= 0) writeTypeAndLen(out, 0, v)
+      else writeTypeAndLen(out, 1, -(v + 1))
+    } else if (n.isBigInteger || n.isBigDecimal || n.isFloatingPointNumber) {
+      if (n.isIntegralNumber) {
+        // big integer beyond long: CBOR bignum would be tag 2; documents
+        // carry u128 as strings, so this path only serves exotic inputs —
+        // encode as text to stay lossless.
+        writeText(out, n.asText())
+      } else {
+        out.writeByte(0xfb); out.writeLong(java.lang.Double.doubleToLongBits(n.asDouble()))
+      }
+    } else if (n.isTextual) writeText(out, n.asText())
+    else if (n.isArray) {
+      writeTypeAndLen(out, 4, n.size().toLong)
+      val it = n.elements()
+      while (it.hasNext) writeNode(out, it.next())
+    } else if (n.isObject) {
+      writeTypeAndLen(out, 5, n.size().toLong)
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        writeText(out, e.getKey)
+        writeNode(out, e.getValue)
+      }
+    } else writeText(out, n.asText())
+  }
+
+  private def writeText(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    writeTypeAndLen(out, 3, b.length.toLong)
+    out.write(b)
+  }
+
+  // ---- decode ----
+
+  def decode(buf: ByteBuffer): JsonNode = {
+    val ib = buf.get() & 0xff
+    val major = ib >> 5
+    val info = ib & 0x1f
+    major match {
+      case 0 => longNode(readLen(buf, info))
+      case 1 => longNode(-(readLen(buf, info) + 1))
+      case 2 =>
+        val b = new Array[Byte](readLen(buf, info).toInt); buf.get(b)
+        nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
+      case 3 =>
+        val b = new Array[Byte](readLen(buf, info).toInt); buf.get(b)
+        nf.textNode(new String(b, StandardCharsets.UTF_8))
+      case 4 =>
+        val len = readLen(buf, info).toInt
+        val arr: ArrayNode = nf.arrayNode(len)
+        var i = 0
+        while (i < len) { arr.add(decode(buf)); i += 1 }
+        arr
+      case 5 =>
+        val len = readLen(buf, info).toInt
+        val obj: ObjectNode = nf.objectNode()
+        var i = 0
+        while (i < len) {
+          val k = decode(buf)
+          obj.set[JsonNode](k.asText(), decode(buf))
+          i += 1
+        }
+        obj
+      case 7 =>
+        info match {
+          case 20 => nf.booleanNode(false)
+          case 21 => nf.booleanNode(true)
+          case 22 | 23 => nf.nullNode()
+          case 26 => nf.numberNode(java.lang.Float.intBitsToFloat(buf.getInt).toDouble)
+          case 27 => nf.numberNode(java.lang.Double.longBitsToDouble(buf.getLong))
+          case _ => throw new IllegalArgumentException(s"unsupported simple value $info")
+        }
+      case 6 => // tag: skip the tag number, decode the content
+        readLen(buf, info); decode(buf)
+      case _ => throw new IllegalArgumentException(s"unsupported major type $major")
+    }
+  }
+
+  private def longNode(v: Long): JsonNode = nf.numberNode(v)
+
+  private def readLen(buf: ByteBuffer, info: Int): Long = info match {
+    case x if x < 24 => x.toLong
+    case 24 => (buf.get() & 0xff).toLong
+    case 25 => (buf.getShort & 0xffff).toLong
+    case 26 => buf.getInt & 0xffffffffL
+    case 27 => buf.getLong
+    case _ => throw new IllegalArgumentException(s"unsupported length info $info")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the codecs Spark lacks (SURVEY §4.2
+  * "custom work actually needed"): CBOR envelope encode/decode (S6/S14)
+  * and base58 for the hash columns. Each is a null-intolerant unary
+  * expression evaluated per-row on executors; CodegenFallback keeps them
+  * inside the generated pipeline (one virtual call per row) without
+  * hand-written codegen.
+  */
+
+/** json string -> CBOR bytes (the reference's `.to_cbor()`, main.rs:377) */
+case class JsonToCbor(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = Cbor.jsonToCbor(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): JsonToCbor = copy(c)
+  override def prettyName: String = "to_cbor"
+}
+
+/** CBOR bytes -> json string (consumer decode path, consumer
+  * main.rs:263-266)
+  */
+case class CborToJson(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Cbor.cborToJson(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): CborToJson = copy(c)
+  override def prettyName: String = "from_cbor"
+}
+
+/** base58 string -> decoded bytes */
+case class Base58Decode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = Base58.decode(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Base58Decode = copy(c)
+  override def prettyName: String = "base58_decode"
+}
+
+/** bytes -> base58 string */
+case class Base58Encode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Base58.encode(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Base58Encode = copy(c)
+  override def prettyName: String = "base58_encode"
+}
+
+/** Column-level entry points (the user-facing function surface). */
+object ColumnFns {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def to_cbor(col: Column): Column = c(JsonToCbor(e(col)))
+  def from_cbor(col: Column): Column = c(CborToJson(e(col)))
+  def base58_decode(col: Column): Column = c(Base58Decode(e(col)))
+  def base58_encode(col: Column): Column = c(Base58Encode(e(col)))
+}
