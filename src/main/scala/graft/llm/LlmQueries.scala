@@ -1,10 +1,306 @@
 package graft.llm
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** LLM-training-data pipeline operators (dedup, similarity, text
-  * analysis, multimodal) — populated in later milestones.
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables: dedup family, similarity search, text analysis, multimodal
+  * plumbing. Signature hashing is md5-based everywhere so the DuckDB
+  * oracle reproduces byte-identical signatures (engine-internal hashes
+  * would be unverifiable).
   */
 object LlmQueries {
-  def queries: Seq[Q] = Seq.empty
+
+  private val MaxDf = 1000
+  private val K = 8 // minhash permutations
+  private val R = 2 // rows per LSH band
+
+  /** shared DuckDB CTE: distinct 3-gram shingles + stop-shingle cap */
+  private val shingleCte = s"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS shingle
+            FROM toks, (SELECT unnest(range(1000)) AS i) i
+            WHERE len(t) >= 3 AND i.i <= len(t) - 3),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxDf),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""
+
+  // -- d01: exact dedup — keeper (min doc_id) per distinct text.
+  private val d01 = Q(
+    "d01_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies"),
+    Some("""
+      SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text
+    """.trim),
+    bench = true)
+
+  // -- d02: fingerprint dedup — md5 of normalized text.
+  private val d02 = Q(
+    "d02_dedup_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp", TextAnalysis.contentFingerprint)
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+    Some("""
+      SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    """.trim))
+
+  // -- d03: MinHash-LSH near-dup pairs, exact-Jaccard verified >= 0.8.
+  private val d03 = Q(
+    "d03_minhash_lsh",
+    (s, d) => {
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf)
+      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, R)
+      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8).select("d1", "d2", "jac")
+    },
+    Some(s"""
+      WITH $shingleCte,
+      sigs AS (SELECT doc_id,
+        ${(0 until K).map(p => s"min(md5('$p|' || shingle)) AS mh$p").mkString(", ")}
+        FROM sh GROUP BY doc_id),
+      bands AS (${(0 until K / R)
+        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || mh${b * R + 1} AS bv FROM sigs")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, count(*) AS i
+                FROM cand c
+                JOIN sh s1 ON s1.doc_id = c.d1
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+                GROUP BY c.d1, c.d2)
+      SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
+      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+      WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.8
+    """.trim),
+    bench = true)
+
+  // -- d04: 48-bit SimHash signature per doc (shuffle-free HOFs).
+  private val d04 = Q(
+    "d04_simhash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(Tables.documents(s, d)).as("simhash")),
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv FROM w),
+      bits AS (SELECT doc_id, b.b AS b,
+                 CASE WHEN SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                      THEN 1 ELSE 0 END AS bit
+               FROM h, (SELECT unnest(range(48)) AS b) b GROUP BY doc_id, b.b)
+      SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    """.trim))
+
+  // -- d05: exact n-gram Jaccard pairs >= 0.5 via shingle inverted
+  //    index (stop-shingle capped).
+  private val d05 = Q(
+    "d05_ngram_jaccard",
+    (s, d) => {
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf)
+      val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+      val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
+      val cand = s1.join(s2, Seq("shingle")).filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.5).select("d1", "d2", "jac")
+    },
+    Some(s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
+                FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
+      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+      WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.5
+    """.trim))
+
+  // -- s01: brute-force cosine top-10 against vec 0 (the ANN baseline).
+  private val s01 = Q(
+    "s01_cosine_topk",
+    (s, d) => Similarity.topK(Tables.embeddings(s, d), 0L, 10),
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e, q, (SELECT unnest(range(64)) AS d) d
+            WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim),
+    bench = true)
+
+  /** shared DuckDB CTE: md5-derived random-hyperplane buckets */
+  private val bucketCte = s"""
+    w AS (SELECT p.p AS p, d.d AS d,
+            CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS wt
+          FROM (SELECT unnest(range(${Similarity.Planes})) AS p) p,
+               (SELECT unnest(range(${Similarity.Dims})) AS d) d),
+    proj AS (SELECT vec_id, w.p AS p, SUM(CAST(embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
+             FROM embeddings, w GROUP BY vec_id, w.p),
+    bkt AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id)"""
+
+  // -- s02: LSH signature per vector (the scale path: buckets bound the
+  //    join).
+  private val s02 = Q(
+    "s02_lsh_buckets",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.bucket(col("embedding")).as("bucket")),
+    Some(s"WITH $bucketCte SELECT vec_id, bucket FROM bkt".trim))
+
+  // -- s03: ANN join — best same-bucket neighbor per vector.
+  private val s03 = Q(
+    "s03_ann_join",
+    (s, d) => Similarity.annJoin(Tables.embeddings(s, d)),
+    Some(s"""
+      WITH $bucketCte,
+      pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+                FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      cs AS (SELECT p.vec_id, p.neighbor_id,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(e2.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS nb
+             FROM pairs p
+             JOIN embeddings e1 ON e1.vec_id = p.vec_id
+             JOIN embeddings e2 ON e2.vec_id = p.neighbor_id,
+             (SELECT unnest(range(64)) AS d) d
+             GROUP BY p.vec_id, p.neighbor_id),
+      ranked AS (SELECT vec_id, neighbor_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                               neighbor_id ASC) AS rk
+                 FROM cs)
+      SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk = 1
+    """.trim),
+    bench = true)
+
+  // -- t01: language ID via marker-word density.
+  private val t01 = Q(
+    "t01_lang_id",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.nTokens.as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(), 6).as("stop_ratio"),
+        TextAnalysis.langId().as("predicted")),
+    Some("""
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        round(CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t)))
+              AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+        CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t)))
+              AS DOUBLE) / len(string_split(text, ' ')) >= 0.05
+             THEN 'en' ELSE 'other' END AS predicted
+      FROM documents
+    """.trim))
+
+  // -- t02: quality scoring.
+  private val t02 = Q(
+    "t02_quality_score",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.nTokens.as("n_tokens"),
+        round(TextAnalysis.typeTokenRatio, 6).as("ttr"),
+        round(TextAnalysis.punctRatio, 6).as("punct_ratio"),
+        round(TextAnalysis.meanWordLen, 6).as("mean_word_len"),
+        TextAnalysis.qualityScore.as("quality")),
+    Some("""
+      WITH b AS (SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS ttr,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+            / length(text) AS punct,
+          CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t)))
+            AS DOUBLE) / len(string_split(text, ' ')) AS stop,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl
+        FROM documents)
+      SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, round(punct, 6) AS punct_ratio,
+        round(mwl, 6) AS mean_word_len,
+        round(ttr * 0.4 + stop * 0.3 + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+              - punct * 0.2, 6) AS quality
+      FROM b
+    """.trim))
+
+  // -- t03: token counting — whitespace and BPE-ish regex.
+  private val t03 = Q(
+    "t03_token_count",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.nTokens.as("ws_tokens"),
+        TextAnalysis.bpeTokenCount.as("bpe_tokens"),
+        length(col("text")).cast(LongType).as("n_chars")),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    """.trim))
+
+  // -- t04: document fingerprints — rolling polynomial + normalized md5.
+  private val t04 = Q(
+    "t04_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint.as("rolling_fp"),
+        TextAnalysis.contentFingerprint.as("content_fp")),
+    Some("""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+                           w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp,
+        md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_fp
+      FROM documents
+    """.trim))
+
+  // -- m01: multimodal metadata (binary column + typed meta) —
+  //    oracle-checkable half of the media pipeline.
+  private val m01 = Q(
+    "m01_multimodal_meta",
+    (s, d) => Multimodal.mediaMeta(Multimodal.mediaTable(Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS checksum
+      FROM documents
+    """.trim))
+
+  // -- m02: batched feature extraction through the typed Dataset
+  //    boundary (decode is a deterministic stub; rows-only check, exact
+  //    values asserted in LlmSpec).
+  private val m02 = Q(
+    "m02_media_features",
+    (s, d) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"), col("n_frames"),
+          col("checksum"), col("features")))
+
+  def queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, t01, t02, t03, t04, m01, m02)
 }

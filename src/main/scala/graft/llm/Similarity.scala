@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ArrayType(FloatType)` columns.
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *  - brute-force cosine top-k against a query vector: one broadcast of
+  *    the query + a single scan; the baseline and the verifier.
+  *  - random-hyperplane LSH: an 8-bit sign signature per vector (one
+  *    scan, no shuffle) buckets the corpus; the k-NN join then runs
+  *    only within buckets — candidate count is sum of bucket^2 sizes,
+  *    not corpus^2.
+  *
+  * Hyperplane weights are +/-1 derived from md5("p|d") so the DuckDB
+  * oracle reproduces the exact same buckets. All arithmetic is double
+  * with list-order accumulation; results are rounded to 6 decimals
+  * before ranking so both engines rank identical values.
+  */
+object Similarity {
+  val Dims = 64
+  val Planes = 8
+
+  /** deterministic +/-1 hyperplane weight, shared with the oracle:
+    * +1 iff the first hex digit of md5("p|d") is even
+    */
+  def weight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** list-order dot product in double space */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 8-bit LSH bucket id per vector */
+  def bucket(emb: Column): Column =
+    (0 until Planes)
+      .map { p =>
+        val w = array((0 until Dims).map(d => lit(weight(p, d))): _*)
+        when(dot(emb, w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** brute-force top-k by cosine against the embedding of `queryId` */
+  def topK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** approximate nearest-neighbor join: best same-bucket neighbor per
+    * vector (vectors alone in their bucket yield no row)
+    */
+  def annJoin(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = embeddings.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id"), col("embedding"))
+    val r = b.select(
+      col("bucket"),
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(
+        col("vec_id"),
+        col("neighbor_id"),
+        round(cosine(col("embedding"), col("emb2")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the LLM-pipeline operators (exact-value
+  * parity vs DuckDB is tools/check.py's job).
+  */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("minhash-LSH finds the planted near-duplicates and nothing below threshold") {
+    val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf).collect()
+    assert(pairs.nonEmpty, "generator plants jaccard≈1.0 pairs; LSH must surface them")
+    assert(pairs.forall(_.getAs[Double]("jac") >= 0.8))
+  }
+
+  test("LSH candidates are a superset of exact high-jaccard pairs") {
+    // recall check: every exact pair >= 0.8 from the inverted index must
+    // also be caught by banding (r=2,k=8 => ~1.0 prob at jac 0.8)
+    val exact = Catalog.byName("d05_ngram_jaccard").run(spark, sf)
+      .filter(col("jac") >= 0.8).select("d1", "d2")
+    val lsh = Catalog.byName("d03_minhash_lsh").run(spark, sf).select("d1", "d2")
+    assert(exact.except(lsh).count() == 0)
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sim = Catalog.byName("d04_simhash").run(spark, sf)
+    val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf)
+    val withSig = pairs
+      .join(sim.withColumnRenamed("doc_id", "d1").withColumnRenamed("simhash", "h1"), "d1")
+      .join(sim.withColumnRenamed("doc_id", "d2").withColumnRenamed("simhash", "h2"), "d2")
+      .withColumn("ham", expr("bit_count(h1 ^ h2)"))
+    val maxHamDup = withSig.agg(max("ham")).collect()(0).getInt(0)
+    assert(maxHamDup <= 12, s"near-dups should be hamming-close, got $maxHamDup")
+  }
+
+  test("cosine top-k is the true argmax set (vs full scan)") {
+    val top = Catalog.byName("s01_cosine_topk").run(spark, sf).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getAs[Double]("cos"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    assert(scores.forall(s => s >= -1.0000001 && s <= 1.0000001))
+    // the k-th score must dominate every non-returned vector's score
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val allScores = embs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(round(graft.llm.Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse)
+    assert(scores.last >= allScores(10) - 1e-9)
+  }
+
+  test("ann join returns true same-bucket argmax (spot check vs brute force)") {
+    val ann = Catalog.byName("s03_ann_join").run(spark, sf)
+    val buckets = Catalog.byName("s02_lsh_buckets").run(spark, sf)
+    // every reported pair must share a bucket
+    val joined = ann
+      .join(buckets.withColumnRenamed("bucket", "b1"), "vec_id")
+      .join(
+        buckets.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("bucket", "b2"),
+        "neighbor_id")
+    assert(joined.filter(col("b1") =!= col("b2")).count() == 0)
+  }
+
+  test("media features are deterministic and shaped correctly") {
+    val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
+    val f2 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
+    assert(f1.map(_.media_id).sorted.toSeq == f2.map(_.media_id).sorted.toSeq)
+    val m1 = f1.map(f => f.media_id -> f).toMap
+    for (f <- f2) {
+      assert(m1(f.media_id).checksum == f.checksum)
+      assert(f.features.length == 8)
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+      assert(f.n_frames >= 1)
+    }
+    // kinds route per the doc_id % 3 rule
+    assert(f1.filter(_.media_id % 3 == 0).forall(_.kind == "image"))
+  }
+
+  test("rolling fingerprint is order-sensitive, content fingerprint is whitespace-insensitive") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha  beta   gamma"))
+      .toDF("doc_id", "text")
+    val fp = two.select(
+      col("doc_id"),
+      graft.llm.TextAnalysis.rollingFingerprint.as("r"),
+      graft.llm.TextAnalysis.contentFingerprint.as("c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fp(1L)._1 != fp(2L)._1, "permutation must change the rolling fp")
+    assert(fp(1L)._2 == fp(3L)._2, "whitespace must not change the content fp")
+  }
+
+  test("shingle index respects the stop-shingle cap") {
+    val sh = Dedup.shingles(docs)
+    val capped = Dedup.shingleIndex(sh, 2)
+    val maxDf = capped.groupBy("shingle").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf <= 2)
+  }
+}
