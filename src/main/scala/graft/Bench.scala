@@ -1,24 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BENCH harness (driver contract): runs the catalog's bench-flagged
+  * headline queries against SPARK_GRAFT_SF_DIR and prints exactly one
+  * JSON line.
+  *
+  * Methodology:
+  *  - a full warmup pass at sf0.001 first — JIT, codegen caches, parquet
+  *    reader init — so measured times reflect steady-state execution,
+  *    not JVM startup (the thing a long-lived cluster amortizes away).
+  *  - every query is fully materialized through the noop sink (count()
+  *    would let scans shortcut via parquet row-group counts).
+  *  - deterministic name order; per-query seconds + total reported.
+  */
 object Bench {
+  private val WarmDir = "/root/testdata/sf0.001"
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val all = Catalog.all.map(q => q.name -> q.run)
+    // warmup: run everything once on the tiny sf
+    for ((_, fn) <- all)
+      try materialize(fn(spark, WarmDir)) catch { case _: Throwable => () }
+
+    val results = all.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"}""")
     spark.stop()
   }
 }

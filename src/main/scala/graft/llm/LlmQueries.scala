@@ -57,17 +57,21 @@ object LlmQueries {
   private val d03 = Q(
     "d03_minhash_lsh",
     (s, d) => {
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf)
+      // the shingle index feeds signature building AND jaccard verify —
+      // cache it (at lake scale: persist DISK_ONLY or checkpoint)
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
       val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, R)
       Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8).select("d1", "d2", "jac")
     },
     Some(s"""
       WITH $shingleCte,
+      hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+             FROM sh),
       sigs AS (SELECT doc_id,
-        ${(0 until K).map(p => s"min(md5('$p|' || shingle)) AS mh$p").mkString(", ")}
-        FROM sh GROUP BY doc_id),
+        ${(0 until K).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
+        FROM hh GROUP BY doc_id),
       bands AS (${(0 until K / R)
-        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || mh${b * R + 1} AS bv FROM sigs")
+        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
         .mkString(" UNION ALL ")}),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
@@ -105,11 +109,21 @@ object LlmQueries {
   private val d05 = Q(
     "d05_ngram_jaccard",
     (s, d) => {
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf)
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      // the shingle-match join IS the intersection count — no separate
+      // candidate pass + re-join (halves the work vs the naive shape)
       val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
       val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
-      val cand = s1.join(s2, Seq("shingle")).filter(col("d1") < col("d2")).select("d1", "d2").distinct()
-      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.5).select("d1", "d2", "jac")
+      val inter = s1.join(s2, Seq("shingle")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac",
+          round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jac") >= 0.5)
+        .select("d1", "d2", "jac")
     },
     Some(s"""
       WITH $shingleCte,
