@@ -21,6 +21,7 @@ final case class Q(
 object Catalog {
   lazy val all: Seq[Q] =
     ops.Relational.queries ++
+      ops.Relational2.queries ++
       llm.LlmQueries.queries ++
       blocks.BlockQueries.queries
 

@@ -316,5 +316,25 @@ object LlmQueries {
         .select(col("media_id"), col("kind"), col("byte_len"), col("n_frames"),
           col("checksum"), col("features")))
 
-  def queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, t01, t02, t03, t04, m01, m02)
+  // -- m03: frame sampling — every 4th frame index per media blob with
+  //    its byte offset (the sampling half of decode/resize plumbing;
+  //    rows-only like m02).
+  private val m03 = Q(
+    "m03_frame_sample",
+    (s, d) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .filter(col("n_frames") > 1)
+        .select(
+          col("media_id"),
+          col("kind"),
+          col("n_frames"),
+          col("byte_len"),
+          explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx"))
+        .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / col("n_frames")).cast(LongType))
+        .drop("byte_len"))
+
+  def queries: Seq[Q] =
+    Seq(d01, d02, d03, d04, d05, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03)
 }
