@@ -112,5 +112,30 @@ object BlockQueries {
         .select("tx_hash", "tx_height", "outcome_height", "gas_burnt", "status_type")
     })
 
-  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07)
+  // S8: compressed envelope wire — wrap with zstd and lz4, unwrap,
+  // verify the roundtrip and report compression ratios.
+  private val b08 = Q(
+    "b08_envelope_compressed",
+    (s, _) => {
+      import s.implicits._
+      val raw = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
+      val z = Envelope.wrap(raw, "cbor", Some("zstd"))
+      val l = Envelope.wrap(raw, "cbor", Some("lz4"))
+      val zBack = Envelope.unwrap(z).withColumnRenamed("value", "z_value")
+      val sizes = z.select(col("seq_id"), length(col("payload")).cast(LongType).as("zstd_bytes"))
+        .join(l.select(col("seq_id"), length(col("payload")).cast(LongType).as("lz4_bytes")), "seq_id")
+      raw
+        .select(get_json_object(col("value"), "$.block.header.height").as("h").cast(LongType)
+          .as("seq_id"), col("value"))
+        .join(zBack, "seq_id")
+        .join(sizes, "seq_id")
+        .select(
+          col("seq_id"),
+          (col("value") === col("z_value")).as("roundtrip_ok"),
+          length(col("value")).cast(LongType).as("raw_bytes"),
+          col("zstd_bytes"),
+          col("lz4_bytes"))
+    })
+
+  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07, b08)
 }

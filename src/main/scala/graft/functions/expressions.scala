@@ -60,4 +60,8 @@ object ColumnFns {
   def from_cbor(col: Column): Column = c(CborToJson(e(col)))
   def base58_decode(col: Column): Column = c(Base58Decode(e(col)))
   def base58_encode(col: Column): Column = c(Base58Encode(e(col)))
+  def lz4_compress(col: Column): Column = c(Lz4Compress(e(col)))
+  def lz4_decompress(col: Column): Column = c(Lz4Decompress(e(col)))
+  def zstd_compress(col: Column): Column = c(ZstdCompress(e(col)))
+  def zstd_decompress(col: Column): Column = c(ZstdDecompress(e(col)))
 }

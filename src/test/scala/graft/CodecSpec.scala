@@ -85,4 +85,16 @@ class CodecSpec extends AnyFunSuite {
       Base58.decode(Base58.encode(b)).toSeq == b.toSeq
     })
   }
+
+  test("lz4 / zstd payload round-trip property (S8 wire formats)") {
+    import graft.functions.Compression._
+    check(Prop.forAll(Arbitrary.arbitrary[Array[Byte]]) { b =>
+      lz4Decompress(lz4Compress(b)).toSeq == b.toSeq &&
+      zstdDecompress(zstdCompress(b)).toSeq == b.toSeq
+    })
+    // a real block document compresses well
+    val doc = Fixtures.blockJson(Fixtures.baseHeight).getBytes("UTF-8")
+    assert(zstdCompress(doc).length < doc.length / 2)
+    assert(lz4Compress(doc).length < doc.length)
+  }
 }
