@@ -49,8 +49,31 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val blocksPerSec = streamingThroughput(spark)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"}}""")
     spark.stop()
+  }
+
+  /** Reference-shaped metric (BASELINE.md "streaming parity"): blocks/s
+    * through the full ingest path — JSON source -> schema parse ->
+    * 8-table flatten -> checkpointed parquet lake. The reference's live
+    * floor is ~1 block/s (NEAR cadence); backfill wants orders of
+    * magnitude more.
+    */
+  private def streamingThroughput(spark: SparkSession, nBlocks: Int = 2000): Double = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_bench_stream").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val groups = graft.blocks.Fixtures.blocksJson(1000000L, nBlocks).grouped(500).zipWithIndex
+    for ((g, i) <- groups)
+      Files.write(Paths.get(s"$src/blocks_$i.jsonl"), g.mkString("\n").getBytes("UTF-8"))
+    val t0 = System.nanoTime()
+    graft.streaming.BlockIngest
+      .start(spark, src, s"$base/lake", s"$base/ckpt")
+      .awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    nBlocks / secs
   }
 }

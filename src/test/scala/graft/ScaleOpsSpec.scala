@@ -11,9 +11,13 @@ class ScaleOpsSpec extends AnyFunSuite {
   import TestSpark._
 
   test("bucketed tables join without a shuffle exchange") {
-    import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // an aborted prior run can leave orphan managed-table locations
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = new java.io.File("/tmp/graft_test_warehouse", t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     val o = Tables.orders(spark, sf)
     val li = Tables.lineitem(spark, sf)
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
