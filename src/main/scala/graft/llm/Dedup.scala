@@ -90,18 +90,21 @@ object Dedup {
       .distinct()
   }
 
-  /** exact Jaccard for given candidate pairs over the shingle sets */
+  /** exact Jaccard for given candidate pairs over the shingle sets.
+    * The candidate and per-doc-size tables are tiny relative to the
+    * shingle index — broadcast them so the only shuffle is the
+    * intersection groupBy.
+    */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
-    cand
-      .join(s1, "d1")
+    s1.join(broadcast(cand), "d1")
       .join(s2, Seq("d2", "shingle"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
       .withColumn("jac",
         round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")), 4))
   }

@@ -118,8 +118,8 @@ object LlmQueries {
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
         .withColumn("jac",
           round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")), 4))
         .filter(col("jac") >= 0.5)

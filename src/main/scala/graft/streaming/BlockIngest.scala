@@ -68,16 +68,26 @@ object BlockIngest {
   }
 
   /** flatten + append each entity table; blocks partitioned by date for
-    * pruning
+    * pruning. The 8 writes are independent jobs over the same cached
+    * batch — submitted concurrently so the scheduler overlaps them
+    * (Spark jobs from separate threads share the executor pool).
     */
   private def writeEntities(docs: DataFrame, lakeDir: String): Unit = {
-    val entities = Flatten.all(docs.cache())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cached = docs.cache()
+    cached.count(): Unit // materialize once before the parallel writers
+    val entities = Flatten.all(cached)
     try {
-      for ((name, df) <- entities) {
-        val w = df.write.mode("append")
-        (if (name == "blocks") w.partitionBy("block_date") else w)
-          .parquet(s"$lakeDir/$name")
+      val jobs = entities.toSeq.map { case (name, df) =>
+        Future {
+          val w = df.write.mode("append")
+          (if (name == "blocks") w.partitionBy("block_date") else w)
+            .parquet(s"$lakeDir/$name")
+        }
       }
-    } finally { docs.unpersist(): Unit }
+      jobs.foreach(Await.result(_, Duration.Inf))
+    } finally { cached.unpersist(): Unit }
   }
 }
