@@ -11,9 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None,
-    /** include in the per-round BENCH timing run */
-    bench: Boolean = false)
+    oracle: Option[String] = None)
 
 /** Central registry of every operator/query the engine ships.
   * SURVEY.md §2 inventory coverage is enumerated here.
@@ -32,6 +30,4 @@ object Catalog {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
-
-  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
 }

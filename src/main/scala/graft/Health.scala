@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Health {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val t0 = System.nanoTime()
     val spark = SparkSession.builder()

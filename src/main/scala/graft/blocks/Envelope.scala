@@ -21,6 +21,7 @@ object Envelope {
 
   /** raw JSON-lines documents (`value` column) -> wire envelopes */
   def wrap(raw: DataFrame, msgFormat: String, compression: Option[String]): DataFrame = {
+    require(msgFormat == "cbor" || msgFormat == "json", s"unknown msg format $msgFormat")
     val jsonBytes = encode(col("value"), "UTF-8")
     val encoded = compression match {
       case Some("lz4") => lz4_compress(jsonBytes)

@@ -27,7 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** distinct word n-gram shingles per doc */
+  /** Positions considered per document — must stay in sync with the
+    * oracle CTE's range() bound; docs longer than this have their tail
+    * shingles ignored on BOTH sides (a deliberate, documented cap).
+    */
+  val MaxShinglePositions = 1000
+
+  /** distinct word n-gram shingles per doc (first
+    * [[MaxShinglePositions]] positions)
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -35,7 +43,8 @@ object Dedup {
       .select(
         col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+          s"transform(sequence(0, least(size(toks) - $n, ${MaxShinglePositions - 1})), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .as("shingle"))
       .distinct()
 
@@ -109,8 +118,9 @@ object Dedup {
         round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")), 4))
   }
 
-  /** 48-bit SimHash per doc — no shuffle, pure higher-order functions.
-    * Word hash = first 15 md5 hex chars as a 60-bit int; bit b of the
+  /** 48-bit SimHash Column — resolves `text` on whatever DataFrame it
+    * is selected over. No shuffle, pure higher-order functions. Word
+    * hash = first 15 md5 hex chars as a 60-bit int; bit b of the
     * signature is the sign of the +/-1 vote sum over word-hash bit b.
     *
     * Loop order matters for performance: the fold runs over the word
@@ -119,7 +129,7 @@ object Dedup {
     * The inverted form (fold over bits, inner fold over words) re-runs
     * the md5 transform per bit — measured 8x slower.
     */
-  def simhash(docs: DataFrame, bits: Int = 48): Column =
+  def simhash(bits: Int = 48): Column =
     expr(s"""
       aggregate(
         transform(split(text, ' '),

@@ -36,8 +36,7 @@ object LlmQueries {
     Some("""
       SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- d02: fingerprint dedup — md5 of normalized text.
   private val d02 = Q(
@@ -84,15 +83,14 @@ object LlmQueries {
       SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
       FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
       WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.8
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- d04: 48-bit SimHash signature per doc (shuffle-free HOFs).
   private val d04 = Q(
     "d04_simhash",
     (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(Tables.documents(s, d)).as("simhash")),
+        .select(col("doc_id"), Dedup.simhash().as("simhash")),
     Some("""
       WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv FROM w),
@@ -150,8 +148,7 @@ object LlmQueries {
             WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label)
       SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
-    """.trim),
-    bench = true)
+    """.trim))
 
   /** shared DuckDB CTE: md5-derived random-hyperplane buckets */
   private val bucketCte = s"""
@@ -198,8 +195,7 @@ object LlmQueries {
                                                neighbor_id ASC) AS rk
                  FROM cs)
       SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk = 1
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- t01: language ID via marker-word density.
   private val t01 = Q(

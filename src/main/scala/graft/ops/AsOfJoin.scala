@@ -26,6 +26,13 @@ object AsOfJoin {
     * `rightPayload` columns must exist in `right` and not collide with
     * `left` columns. Right rows ordered before left rows on ts ties
     * (i.e. a right row at exactly left.ts matches).
+    *
+    * CONTRACT: right payload columns must be non-null and unique per
+    * (key, ts) — pre-aggregate the right side (as q22 does). The
+    * union+window encoding uses null as the "no right row here" marker,
+    * so a genuinely-null payload would be skipped (forward-filled from
+    * an older row), and duplicate (key, ts) right rows would tie-break
+    * arbitrarily.
     */
   def asofLeft(
       left: DataFrame,

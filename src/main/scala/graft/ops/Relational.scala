@@ -54,8 +54,7 @@ object Relational {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q02: projection + filter; predicate and column pruning reach the
   //    parquet scan (PushedFilters). Per-row double math is
@@ -76,8 +75,7 @@ object Relational {
         CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charge
       FROM lineitem
       WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q03: 3-way join + agg + top-k (TPC-H Q3 shape). customer is the
   //    dimension side -> broadcast; orders-lineitem co-shuffle on orderkey.
@@ -104,8 +102,7 @@ object Relational {
       GROUP BY o_orderkey, odate
       ORDER BY revenue DESC, o_orderkey ASC
       LIMIT 10
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q04: correlated EXISTS == left-semi join with a non-equi conjunct.
   private val q04 = Q(
@@ -123,8 +120,7 @@ object Relational {
       WHERE EXISTS (SELECT 1 FROM lineitem l
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
       GROUP BY o_orderpriority
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q05: 6-way snowflake join (TPC-H Q5 shape). region/nation/supplier
   //    broadcast; the fact-side join keys stay co-partitioned.
@@ -157,8 +153,7 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
       GROUP BY n_name
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q06: selective scan-aggregate (TPC-H Q6 shape); no shuffle beyond
   //    the single-row final agg.
@@ -178,8 +173,7 @@ object Relational {
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q07: anti join (NOT EXISTS).
   private val q07 = Q(
@@ -239,8 +233,7 @@ object Relational {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q10: global sort + limit (TakeOrderedAndProject, no full sort at
   //    scale).
@@ -512,8 +505,7 @@ object Relational {
         CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
         v.view_event_id
       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q23: tumbling time window (batch image of the streaming window op).
   private val q23 = Q(
@@ -534,8 +526,7 @@ object Relational {
         event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q24: multi count-distinct (expand-based).
   private val q24 = Q(

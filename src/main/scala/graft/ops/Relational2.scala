@@ -42,8 +42,8 @@ object Relational2 {
           element_at(col("m"), "k").as("k_val"),
           element_at(col("m"), "uid").as("uid_val"),
           size(col("m")).cast(LongType).as("n_entries"),
-          aggregate(map_values(col("m")), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
-            .as("vals_sum"))
+          // null map values propagate (matches the oracle's NULL + x)
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("vals_sum"))
     },
     Some("""
       SELECT event_id, 'k,uid' AS keys_csv,
@@ -185,8 +185,7 @@ object Relational2 {
             FROM e)
       SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start, COUNT(*) AS n_events
       FROM s GROUP BY user_id, sid
-    """.trim),
-    bench = true)
+    """.trim))
 
   // -- q34: custom typed Aggregator as a UDAF — merge-order-invariant
   //    exact decimal sum (the u128 discipline as a reusable aggregate).

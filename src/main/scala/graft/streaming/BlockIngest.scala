@@ -35,7 +35,7 @@ object BlockIngest {
     */
   def backfill(spark: SparkSession, srcDir: String, lakeDir: String): Unit = {
     val docs = Flatten.parse(spark, spark.read.text(srcDir))
-    writeEntities(docs, lakeDir)
+    writeEntities(docs, lakeDir, batchId = -1L)
   }
 
   /** streaming tail with checkpointed resume + height dedup */
@@ -60,19 +60,26 @@ object BlockIngest {
 
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeEntities(batch.drop("event_time", "height"), lakeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEntities(batch.drop("event_time", "height"), lakeDir, batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
-  /** flatten + append each entity table; blocks partitioned by date for
+  /** Flatten + write each entity table; blocks partitioned by date for
     * pruning. The 8 writes are independent jobs over the same cached
     * batch — submitted concurrently so the scheduler overlaps them
     * (Spark jobs from separate threads share the executor pool).
+    *
+    * Idempotence (the effectively-once half of S9): every write lands in
+    * a batch-scoped partition directory (`batch=<id>`) with OVERWRITE
+    * semantics, so a micro-batch that is replayed after a partial
+    * failure — some entities committed, checkpoint not — simply
+    * rewrites the same directories instead of appending duplicates.
+    * `batch` surfaces as an ordinary partition column on read.
     */
-  private def writeEntities(docs: DataFrame, lakeDir: String): Unit = {
+  private def writeEntities(docs: DataFrame, lakeDir: String, batchId: Long): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -82,9 +89,9 @@ object BlockIngest {
     try {
       val jobs = entities.toSeq.map { case (name, df) =>
         Future {
-          val w = df.write.mode("append")
+          val w = df.write.mode("overwrite")
           (if (name == "blocks") w.partitionBy("block_date") else w)
-            .parquet(s"$lakeDir/$name")
+            .parquet(s"$lakeDir/$name/batch=$batchId")
         }
       }
       jobs.foreach(Await.result(_, Duration.Inf))
