@@ -20,6 +20,7 @@ object Catalog {
   lazy val all: Seq[Q] =
     ops.Relational.queries ++
       ops.Relational2.queries ++
+      ops.Relational3.queries ++
       llm.LlmQueries.queries ++
       blocks.BlockQueries.queries
 
