@@ -75,5 +75,10 @@ object Tables {
     */
   def epochS(c: Column): Column = unix_timestamp(c)
 
-  def tsLit(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  /** timestamp literal parsed in the SESSION timezone (UTC), not the
+    * JVM default — `Timestamp.valueOf` would shift the literal on
+    * machines whose default zone isn't UTC, silently diverging from the
+    * oracle's zone-free TIMESTAMP literals
+    */
+  def tsLit(s: String): Column = to_timestamp(lit(s))
 }

@@ -20,7 +20,7 @@ object LlmQueries {
   private val shingleCte = s"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh0 AS (SELECT DISTINCT doc_id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS shingle
-            FROM toks, (SELECT unnest(range(1000)) AS i) i
+            FROM toks, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
             WHERE len(t) >= 3 AND i.i <= len(t) - 3),
     rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxDf),
     sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""

@@ -20,7 +20,10 @@ object Relational3 {
   private def sxx(c: Column) = sum((c * c).cast(DecimalType(28, 4))).cast(DoubleType)
   private def sxy(a: Column, b: Column) = sum((a * b).cast(DecimalType(28, 6))).cast(DoubleType)
 
-  // -- q36: exact + interpolated percentiles.
+  // -- q36: exact + interpolated percentiles. Parity note: both engines
+  //    interpolate as lower + (upper-lower)*frac on identical sorted
+  //    values (verified at sf0.001/0.01); round(6) absorbs any residual
+  //    last-ulp lerp difference.
   private val q36 = Q(
     "q36_percentiles",
     (s, d) =>

@@ -33,9 +33,18 @@ object BlockIngest {
   /** batch backfill: read an existing drop of JSON-lines block files
     * into the lake (S4 WaitForFullSync)
     */
+  /** stable token for one checkpoint lineage: same checkpoint resumes
+    * under the same token (replay = idempotent overwrite of the same
+    * dirs), while a DIFFERENT checkpoint over the same lake gets fresh
+    * batch dirs instead of clobbering a previous run's
+    */
+  private def runToken(seed: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   def backfill(spark: SparkSession, srcDir: String, lakeDir: String): Unit = {
     val docs = Flatten.parse(spark, spark.read.text(srcDir))
-    writeEntities(docs, lakeDir, batchId = -1L)
+    writeEntities(docs, lakeDir, s"${runToken(s"backfill:$srcDir")}--1")
   }
 
   /** streaming tail with checkpointed resume + height dedup */
@@ -58,10 +67,11 @@ object BlockIngest {
       .withWatermark("event_time", "24 hours")
       .dropDuplicatesWithinWatermark("height")
 
+    val token = runToken(s"ckpt:$checkpointDir")
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeEntities(batch.drop("event_time", "height"), lakeDir, batchId)
+        writeEntities(batch.drop("event_time", "height"), lakeDir, s"$token-$batchId")
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
@@ -79,7 +89,7 @@ object BlockIngest {
     * rewrites the same directories instead of appending duplicates.
     * `batch` surfaces as an ordinary partition column on read.
     */
-  private def writeEntities(docs: DataFrame, lakeDir: String, batchId: Long): Unit = {
+  private def writeEntities(docs: DataFrame, lakeDir: String, batchTag: String): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -91,10 +101,33 @@ object BlockIngest {
         Future {
           val w = df.write.mode("overwrite")
           (if (name == "blocks") w.partitionBy("block_date") else w)
-            .parquet(s"$lakeDir/$name/batch=$batchId")
+            .parquet(s"$lakeDir/$name/batch=$batchTag")
         }
       }
       jobs.foreach(Await.result(_, Duration.Inf))
     } finally { cached.unpersist(): Unit }
+  }
+
+  /** Lake maintenance: fold an entity's accumulated batch=* directories
+    * into a single compacted generation (long-running streams create one
+    * dir per micro-batch; listing cost grows without this). Writes the
+    * compacted copy under a fresh batch tag, then removes the old batch
+    * dirs — readers racing the swap see duplicates at worst for the
+    * rename window, never loss. Run from a maintenance job, not the
+    * ingest path.
+    */
+  def compact(spark: SparkSession, lakeDir: String, entity: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$lakeDir/$entity")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldDirs = fs.listStatus(path).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch="))
+    if (oldDirs.length <= 1) return
+    val df = spark.read.parquet(path.toString).drop("batch")
+    val w = df.coalesce(math.max(1, oldDirs.length / 16)).write.mode("overwrite")
+    val compactTag = s"compact-${System.currentTimeMillis()}"
+    (if (entity == "blocks") w.partitionBy("block_date") else w)
+      .parquet(s"$lakeDir/$entity/batch=$compactTag")
+    for (d <- oldDirs if d.getPath.getName != s"batch=$compactTag")
+      fs.delete(d.getPath, true)
   }
 }

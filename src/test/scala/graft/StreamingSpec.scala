@@ -48,5 +48,16 @@ class StreamingSpec extends AnyFunSuite {
 
     // blocks lake is date-partitioned (pruning layout)
     assert(Files.list(Paths.get(s"$lake/blocks")).iterator().hasNext)
+
+    // compaction folds the per-micro-batch dirs into one generation
+    // with identical content
+    BlockIngest.compact(spark, lake, "transactions")
+    val txAfter = spark.read.parquet(s"$lake/transactions")
+    assert(txAfter.count() == expectedTx)
+    assert(txAfter.select(countDistinct(col("tx_hash"))).collect()(0).getLong(0) == expectedTx)
+    import scala.jdk.CollectionConverters._
+    val batchDirs = Files.list(Paths.get(s"$lake/transactions")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("batch="))
+    assert(batchDirs == 1, s"expected 1 compacted batch dir, got $batchDirs")
   }
 }
