@@ -62,6 +62,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(joined.filter(col("view_ts") > col("ts_ns")).count() == 0)
   }
 
+  test("schema_of_json infers the props schema; flatten merges nested arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{flatten => fflatten, schema_of_json, lit, col}
+    val schema = spark.range(1).select(schema_of_json(lit("""{"k": 87}"""))).collect()(0).getString(0)
+    assert(schema.contains("k") && schema.toUpperCase.contains("BIGINT"))
+    val merged = Seq((Seq(Seq(1, 2), Seq(3)), 0)).toDF("nested", "id")
+      .select(fflatten(col("nested")).as("flat")).collect()(0).getSeq[Int](0)
+    assert(merged == Seq(1, 2, 3))
+  }
+
   test("q24b approx distinct within 5% of exact") {
     val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
     val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
