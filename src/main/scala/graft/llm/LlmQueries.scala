@@ -134,6 +134,51 @@ object LlmQueries {
       WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.5
     """.trim))
 
+  // -- d06: embedding-cosine near-dup pairs — banded hyperplane-LSH
+  //    candidates (16 planes, 4 bands of 4: high recall at moderate
+  //    cosine) verified at cosine >= 0.4 (this corpus's near-dup band;
+  //    the semantic-dedup counterpart of d03's lexical pairs).
+  private val d06 = Q(
+    "d06_embedding_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bandedCandidates(emb, planes = 16, bandBits = 4)
+      val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      cand
+        .join(e1, "v1")
+        .join(e2, "v2")
+        .select(col("v1"), col("v2"), round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select("v1", "v2", "cos")
+    },
+    Some(s"""
+      WITH w16 AS (SELECT p.p AS p, d.d AS d,
+              CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END AS wt
+            FROM (SELECT unnest(range(16)) AS p) p,
+                 (SELECT unnest(range(${Similarity.Dims})) AS d) d),
+      proj AS (SELECT vec_id, w16.p AS p, SUM(CAST(embedding[w16.d+1] AS DOUBLE) * w16.wt) AS pr
+               FROM embeddings, w16 GROUP BY vec_id, w16.p),
+      bands AS (SELECT vec_id, p // 4 AS band,
+                  CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS bv
+                FROM proj GROUP BY vec_id, p // 4),
+      cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      cs AS (SELECT c.v1, c.v2,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(e2.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS nb
+             FROM cand c
+             JOIN embeddings e1 ON e1.vec_id = c.v1
+             JOIN embeddings e2 ON e2.vec_id = c.v2,
+             (SELECT unnest(range(64)) AS d) d
+             GROUP BY c.v1, c.v2)
+      SELECT v1, v2, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM cs WHERE round(dt / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+    """.trim))
+
   // -- s01: brute-force cosine top-10 against vec 0 (the ANN baseline).
   private val s01 = Q(
     "s01_cosine_topk",
@@ -150,8 +195,10 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
-  /** shared DuckDB CTE: md5-derived random-hyperplane buckets */
-  private val bucketCte = s"""
+  /** shared DuckDB CTE: md5-derived random-hyperplane buckets (lazy:
+    * referenced by d06 which is declared earlier in the file)
+    */
+  private lazy val bucketCte = s"""
     w AS (SELECT p.p AS p, d.d AS d,
             CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
                  THEN 1.0 ELSE -1.0 END AS wt
@@ -332,5 +379,5 @@ object LlmQueries {
         .drop("byte_len"))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03)
+    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03)
 }

@@ -64,6 +64,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Banded hyperplane-LSH candidate pairs: `planes` sign bits split
+    * into bands of `bandBits`; pairs colliding in ANY band are
+    * candidates (recall amplification — a single wide bucket has
+    * (1-θ/π)^planes recall, bands lift it to
+    * 1-(1-(1-θ/π)^bandBits)^nBands).
+    */
+  def bandedCandidates(embeddings: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    val bandCols = (0 until planes / bandBits).map { b =>
+      val bv = (0 until bandBits)
+        .map { i =>
+          val p = b * bandBits + i
+          val w = array((0 until Dims).map(d => lit(weight(p, d))): _*)
+          when(dot(col("embedding"), w) > 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    val bands = embeddings
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val l = bands.select(col("band"), col("bv"), col("vec_id").as("v1"))
+    val r = bands.select(col("band"), col("bv"), col("vec_id").as("v2"))
+    l.join(r, Seq("band", "bv")).filter(col("v1") < col("v2")).select("v1", "v2").distinct()
+  }
+
   /** approximate nearest-neighbor join: best same-bucket neighbor per
     * vector (vectors alone in their bucket yield no row)
     */
