@@ -38,8 +38,14 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Fused native expression (whole-stage codegen loop) — numerically
+    * identical to dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) but without
+    * the intermediate product arrays of the HOF formulation.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** 8-bit LSH bucket id per vector */
   def bucket(emb: Column): Column =
