@@ -34,7 +34,10 @@ object Dedup {
   val MaxShinglePositions = 1000
 
   /** distinct word n-gram shingles per doc (first
-    * [[MaxShinglePositions]] positions)
+    * [[MaxShinglePositions]] positions), with the 60-bit md5 image
+    * `h64` computed once here — downstream minhash consumers read the
+    * long instead of re-hashing the string (and when the index is
+    * cached, the digest cost is paid exactly once).
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -47,6 +50,7 @@ object Dedup {
             s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .as("shingle"))
       .distinct()
+      .withColumn("h64", expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"))
 
   /** shingle -> docs inverted index with stop-shingle cap: shingles in
     * more than maxDf docs carry no similarity signal but quadratic join
@@ -68,14 +72,14 @@ object Dedup {
   }
 
   /** k minhash signature columns mh0..mh{k-1} per doc.
-    * One md5 per shingle (not per shingle x perm): the base 60-bit hash
-    * is permuted by XOR with k md5-derived constants — 8x fewer digest
-    * computations, same bucketing power, still oracle-reproducible.
+    * One md5 per shingle (not per shingle x perm; precomputed as the
+    * index's `h64`): the base 60-bit hash is permuted by XOR with k
+    * md5-derived constants — same bucketing power, still
+    * oracle-reproducible.
     */
   def minhashSigs(sh: DataFrame, k: Int): DataFrame = {
-    val h64 = expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)")
     val aggs = (0 until k).map(p =>
-      min(h64.bitwiseXOR(lit(permConst(p)))).as(s"mh$p"))
+      min(col("h64").bitwiseXOR(lit(permConst(p)))).as(s"mh$p"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
