@@ -378,6 +378,15 @@ object LlmQueries {
         .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / col("n_frames")).cast(LongType))
         .drop("byte_len"))
 
+  // -- m04: resize plumbing — aspect-preserving target box per media
+  //    blob (stubbed scaler; rows-only, invariants in LlmSpec).
+  private val m04 = Q(
+    "m04_media_resize",
+    (s, d) =>
+      Multimodal
+        .resize(s, Multimodal.mediaTable(Tables.documents(s, d)), maxDim = 256)
+        .toDF())
+
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03)
+    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03, m04)
 }

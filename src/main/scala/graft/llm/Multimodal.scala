@@ -66,6 +66,36 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      src_w: Int,
+      src_h: Int,
+      dst_w: Int,
+      dst_h: Int,
+      est_bytes: Long)
+
+  /** STUB resize: a real implementation decodes, scales, and re-encodes
+    * per partition; this stand-in derives deterministic source
+    * dimensions from the bytes and computes the aspect-preserving
+    * target box — the exact plumbing (typed rows, batched partitions,
+    * size accounting) a real scaler drops into.
+    */
+  def resize(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        // fake source dims from content bytes (stable per blob)
+        val w = 64 + (r.bytes.length % 1024)
+        val h = 64 + (math.abs(r.bytes.headOption.getOrElse(0: Byte).toInt) * 7 % 1024)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val dw = math.max(1, (w * scale).toInt)
+        val dh = math.max(1, (h * scale).toInt)
+        ResizedMedia(r.media_id, r.kind, w, h, dw, dh, dw.toLong * dh * 3)
+      }
+    }
+  }
+
   /** scalar metadata view of the media table — oracle-checkable
     * (byte length, md5, kind routing) without the stubbed decode
     */

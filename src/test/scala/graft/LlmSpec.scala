@@ -94,6 +94,29 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(1L)._2 == fp(3L)._2, "whitespace must not change the content fp")
   }
 
+  test("d06 finds every high-cosine pair its buckets can see, none below threshold") {
+    val pairs = Catalog.byName("d06_embedding_neardup").run(spark, sf).collect()
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.4))
+    // symmetric sanity: v1 < v2 always
+    assert(pairs.forall(r => r.getAs[Long]("v1") < r.getAs[Long]("v2")))
+  }
+
+  test("m04 resize preserves aspect ratio within the max box") {
+    val rs = graft.llm.Multimodal
+      .resize(spark, Multimodal.mediaTable(docs), maxDim = 256).collect()
+    assert(rs.nonEmpty)
+    for (r <- rs) {
+      assert(r.dst_w <= 256 && r.dst_h <= 256 && r.dst_w >= 1 && r.dst_h >= 1)
+      // no upscaling
+      assert(r.dst_w <= r.src_w && r.dst_h <= r.src_h)
+      // aspect preserved within integer truncation
+      val srcAr = r.src_w.toDouble / r.src_h
+      val dstAr = r.dst_w.toDouble / r.dst_h
+      assert(math.abs(srcAr - dstAr) / srcAr < 0.05, s"$r")
+      assert(r.est_bytes == r.dst_w.toLong * r.dst_h * 3)
+    }
+  }
+
   test("shingle index respects the stop-shingle cap") {
     val sh = Dedup.shingles(docs)
     val capped = Dedup.shingleIndex(sh, 2)
