@@ -378,6 +378,13 @@ object LlmQueries {
         .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / col("n_frames")).cast(LongType))
         .drop("byte_len"))
 
+  // -- d07: MLlib MinHashLSH near-dup pairs (engine-internal hash
+  //    family — rows-only; cross-checked against the md5 pipeline in
+  //    LlmSpec).
+  private val d07 = Q(
+    "d07_minhash_lsh_mllib",
+    (s, d) => MlDedup.nearDupPairs(Tables.documents(s, d), maxDistance = 0.2))
+
   // -- m04: resize plumbing — aspect-preserving target box per media
   //    blob (stubbed scaler; rows-only, invariants in LlmSpec).
   private val m04 = Q(
@@ -388,5 +395,5 @@ object LlmQueries {
         .toDF())
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03, m04)
 }

@@ -94,6 +94,16 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(1L)._2 == fp(3L)._2, "whitespace must not change the content fp")
   }
 
+  test("MLlib MinHashLSH path finds the same near-dup pairs as the md5 pipeline") {
+    val ml = Catalog.byName("d07_minhash_lsh_mllib").run(spark, sf)
+      .select("d1", "d2")
+    val md5Pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf)
+      .filter(col("jac") >= 0.9).select("d1", "d2")
+    // the exact high-jaccard pairs must all be recalled by the MLlib path
+    assert(md5Pairs.except(ml).count() == 0,
+      "MLlib LSH missed pairs the exact pipeline found at jaccard >= 0.9")
+  }
+
   test("d06 finds every high-cosine pair its buckets can see, none below threshold") {
     val pairs = Catalog.byName("d06_embedding_neardup").run(spark, sf).collect()
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.4))
