@@ -15,10 +15,17 @@ object BlockQueries {
 
   private val N = 64 // fixture blocks per query run
 
-  // S15/S16: the canonical flatten — one row per transaction.
+  // S15/S16: the canonical flatten — one row per transaction. The
+  // library API keeps `receipt_ids` array-typed; the catalog projection
+  // emits harness-sortable scalars (size + joined string) because the
+  // driver's rows-only check sorts every output column.
   private val b01 = Q(
     "b01_flatten_transactions",
-    (s, _) => Flatten.transactions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N)))
+    (s, _) =>
+      Flatten
+        .transactions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
+        .withColumn("n_receipts", size(col("receipt_ids")).cast(LongType))
+        .withColumn("receipt_ids", concat_ws(",", col("receipt_ids"))))
 
   // SURVEY §7 phase-2 flagship: gas/tokens burnt per executor per day
   // (nested access + explode + Decimal38 agg + nano->timestamp).

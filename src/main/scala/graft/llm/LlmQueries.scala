@@ -52,6 +52,32 @@ object LlmQueries {
       FROM documents GROUP BY 1
     """.trim))
 
+  /** shared DuckDB CTE (follows `sh`): 60-bit md5 shingle hash + the
+    * K-permutation minhash signature per doc — the oracle image of
+    * [[Dedup.minhashSigs]], used by d03 and d05.
+    */
+  private val sigCte = s"""
+    hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+           FROM sh),
+    sigs AS (SELECT doc_id,
+      ${(0 until K).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
+      FROM hh GROUP BY doc_id)"""
+
+  /** shared DuckDB tail (follows `sh` + a `cand(d1,d2)` CTE): exact
+    * Jaccard over the candidate pairs at `minJac` — the oracle image of
+    * [[Dedup.jaccard]].
+    */
+  private def jaccardTail(minJac: Double) = s"""
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, count(*) AS i
+                FROM cand c
+                JOIN sh s1 ON s1.doc_id = c.d1
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+                GROUP BY c.d1, c.d2)
+      SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
+      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+      WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= $minJac"""
+
   // -- d03: MinHash-LSH near-dup pairs, exact-Jaccard verified >= 0.8.
   private val d03 = Q(
     "d03_minhash_lsh",
@@ -64,25 +90,13 @@ object LlmQueries {
     },
     Some(s"""
       WITH $shingleCte,
-      hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
-             FROM sh),
-      sigs AS (SELECT doc_id,
-        ${(0 until K).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
-        FROM hh GROUP BY doc_id),
+      $sigCte,
       bands AS (${(0 until K / R)
         .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
         .mkString(" UNION ALL ")}),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.d1, c.d2, count(*) AS i
-                FROM cand c
-                JOIN sh s1 ON s1.doc_id = c.d1
-                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-                GROUP BY c.d1, c.d2)
-      SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
-      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
-      WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.8
+      ${jaccardTail(0.8)}
     """.trim))
 
   // -- d04: 48-bit SimHash signature per doc (shuffle-free HOFs).
@@ -102,37 +116,53 @@ object LlmQueries {
       FROM bits GROUP BY doc_id
     """.trim))
 
-  // -- d05: exact n-gram Jaccard pairs >= 0.5 via shingle inverted
-  //    index (stop-shingle capped).
+  // -- d05: n-gram Jaccard pairs >= 0.5 — exact Jaccard computed only
+  //    on LSH candidates (8 single-row bands: collision prob at jac j
+  //    is 1-(1-j)^8, i.e. ~99.6% recall at the 0.5 threshold). The
+  //    round-1 full shingle self-join was Σdf² — correct but quadratic
+  //    in the df cap at scale; candidate-bounding makes the verify cost
+  //    linear in collisions. The oracle applies the identical candidate
+  //    generation, so the check stays exact.
   private val d05 = Q(
     "d05_ngram_jaccard",
     (s, d) => {
       val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
-      // the shingle-match join IS the intersection count — no separate
-      // candidate pass + re-join (halves the work vs the naive shape)
-      val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
-      val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
-      val inter = s1.join(s2, Seq("shingle")).filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
-        .withColumn("jac",
-          round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jac") >= 0.5)
-        .select("d1", "d2", "jac")
+      // r=1 bands: each of the K minhash values is its own band key —
+      // the high-recall setting for the lower 0.5 threshold (d03's r=2
+      // tuning targets 0.8)
+      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, 1)
+      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.5).select("d1", "d2", "jac")
     },
     Some(s"""
       WITH $shingleCte,
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
-                FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-                GROUP BY 1, 2)
-      SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
-      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
-      WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.5
+      $sigCte,
+      bands AS (${(0 until K)
+        .map(b => s"SELECT doc_id, $b AS band, CAST(mh$b AS VARCHAR) AS bv FROM sigs")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      ${jaccardTail(0.5)}
     """.trim))
+
+  /** shared DuckDB CTE: 16-plane / 4-bit banded hyperplane-LSH
+    * candidate pairs (v1 < v2) — the oracle image of
+    * [[Similarity.bandedCandidates]](planes = 16, bandBits = 4), used
+    * by d06 and s03.
+    */
+  private val bandCte16 = s"""
+    w16 AS (SELECT p.p AS p, d.d AS d,
+            CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS wt
+          FROM (SELECT unnest(range(16)) AS p) p,
+               (SELECT unnest(range(${Similarity.Dims})) AS d) d),
+    proj AS (SELECT vec_id, w16.p AS p, SUM(CAST(embedding[w16.d+1] AS DOUBLE) * w16.wt) AS pr
+             FROM embeddings, w16 GROUP BY vec_id, w16.p),
+    bands AS (SELECT vec_id, p // 4 AS band,
+                CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS bv
+              FROM proj GROUP BY vec_id, p // 4),
+    cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)"""
 
   // -- d06: embedding-cosine near-dup pairs — banded hyperplane-LSH
   //    candidates (16 planes, 4 bands of 4: high recall at moderate
@@ -153,19 +183,7 @@ object LlmQueries {
         .select("v1", "v2", "cos")
     },
     Some(s"""
-      WITH w16 AS (SELECT p.p AS p, d.d AS d,
-              CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
-                   THEN 1.0 ELSE -1.0 END AS wt
-            FROM (SELECT unnest(range(16)) AS p) p,
-                 (SELECT unnest(range(${Similarity.Dims})) AS d) d),
-      proj AS (SELECT vec_id, w16.p AS p, SUM(CAST(embedding[w16.d+1] AS DOUBLE) * w16.wt) AS pr
-               FROM embeddings, w16 GROUP BY vec_id, w16.p),
-      bands AS (SELECT vec_id, p // 4 AS band,
-                  CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS bv
-                FROM proj GROUP BY vec_id, p // 4),
-      cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-               FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      WITH $bandCte16,
       cs AS (SELECT c.v1, c.v2,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
@@ -219,14 +237,18 @@ object LlmQueries {
         .select(col("vec_id"), Similarity.bucket(col("embedding")).as("bucket")),
     Some(s"WITH $bucketCte SELECT vec_id, bucket FROM bkt".trim))
 
-  // -- s03: ANN join — best same-bucket neighbor per vector.
+  // -- s03: ANN join — best banded-LSH-candidate neighbor per vector
+  //    (16 planes / 4-bit bands, same candidate machinery as d06;
+  //    replaces the round-1 single-8-bit-bucket join whose 256-bucket
+  //    key capped parallelism and recall at scale).
   private val s03 = Q(
     "s03_ann_join",
     (s, d) => Similarity.annJoin(Tables.embeddings(s, d)),
     Some(s"""
-      WITH $bucketCte,
-      pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-                FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      WITH $bandCte16,
+      pairs AS (SELECT v1 AS vec_id, v2 AS neighbor_id FROM cand
+                UNION ALL
+                SELECT v2 AS vec_id, v1 AS neighbor_id FROM cand),
       cs AS (SELECT p.vec_id, p.neighbor_id,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
@@ -349,7 +371,9 @@ object LlmQueries {
 
   // -- m02: batched feature extraction through the typed Dataset
   //    boundary (decode is a deterministic stub; rows-only check, exact
-  //    values asserted in LlmSpec).
+  //    values asserted in LlmSpec). The library API returns the typed
+  //    Array[Float] features; the catalog projection stringifies the
+  //    vector because the driver's rows-only check sorts every column.
   private val m02 = Q(
     "m02_media_features",
     (s, d) =>
@@ -357,7 +381,8 @@ object LlmQueries {
         .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
         .toDF()
         .select(col("media_id"), col("kind"), col("byte_len"), col("n_frames"),
-          col("checksum"), col("features")))
+          col("checksum"),
+          expr("concat_ws(',', transform(features, f -> cast(f as string)))").as("features")))
 
   // -- m03: frame sampling — every 4th frame index per media blob with
   //    its byte offset (the sampling half of decode/resize plumbing;

@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object MlDedup {
 
-  /** near-dup pairs with estimated Jaccard distance <= maxDistance */
+  /** near-dup pairs with estimated Jaccard distance <= maxDistance.
+    *
+    * Self-join cost notes (approxSimilarityJoin explodes every hash
+    * table into a full self-join): the shingle string array is dropped
+    * before the join — only (doc_id, features) rows travel through the
+    * hash-explode shuffle, which is the dominant cost at any scale —
+    * and 4 hash tables (not 8) halve the exploded row count; at the
+    * 0.2-distance operating point the md5 pipeline (d03) remains the
+    * production path, this is the off-the-shelf cross-check.
+    */
   def nearDupPairs(docs: DataFrame, maxDistance: Double = 0.2): DataFrame = {
     val sh = Dedup
       .shingles(docs)
@@ -28,9 +37,9 @@ object MlDedup {
       .agg(collect_list(col("shingle")).as("sh"))
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(1 << 18)
-    val vectors = tf.transform(sh)
+    val vectors = tf.transform(sh).select("doc_id", "features")
     val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes").setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(vectors)
     model
       .approxSimilarityJoin(vectors, vectors, maxDistance, "jaccard_dist")

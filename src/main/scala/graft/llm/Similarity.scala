@@ -95,20 +95,36 @@ object Similarity {
     l.join(r, Seq("band", "bv")).filter(col("v1") < col("v2")).select("v1", "v2").distinct()
   }
 
-  /** approximate nearest-neighbor join: best same-bucket neighbor per
-    * vector (vectors alone in their bucket yield no row)
+  /** Approximate nearest-neighbor join: best banded-LSH-candidate
+    * neighbor per vector (vectors with no band collision yield no row).
+    *
+    * Built on [[bandedCandidates]] rather than one wide bucket: a
+    * single `planes`-bit bucket key both caps parallelism at 2^planes
+    * buckets AND loses recall exponentially in `planes`; bands keep
+    * buckets small (2^bandBits ids) while OR-ing `planes/bandBits`
+    * collision chances, so the candidate set stays linear-ish in corpus
+    * size and the within-bucket work is bounded by band-bucket sizes.
+    *
+    * Scaling note: `planes` should grow ~log2(corpus) to hold
+    * per-band-bucket occupancy constant (16 planes / 4-bit bands is
+    * sized for ~1e5-1e6 vectors; at 1e9 use ~30 planes / 5-bit bands
+    * and expect candidates ~ corpus x bands / occupancy). Verification
+    * cost is candidates x Dims, independent of corpus^2.
     */
-  def annJoin(embeddings: DataFrame): DataFrame = {
+  def annJoin(embeddings: DataFrame, planes: Int = 16, bandBits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = embeddings.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id"), col("embedding"))
-    val r = b.select(
-      col("bucket"),
-      col("vec_id").as("neighbor_id"),
-      col("embedding").as("emb2"))
+    val cand = bandedCandidates(embeddings, planes, bandBits)
+    // candidates are undirected (v1 < v2); per-vector top-1 needs both
+    // directions
+    val directed = cand
+      .select(col("v1").as("vec_id"), col("v2").as("neighbor_id"))
+      .unionAll(cand.select(col("v2").as("vec_id"), col("v1").as("neighbor_id")))
+    val e1 = embeddings.select(col("vec_id"), col("embedding"))
+    val e2 = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb2"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    l.join(r, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
+    directed
+      .join(e1, "vec_id")
+      .join(e2, "neighbor_id")
       .select(
         col("vec_id"),
         col("neighbor_id"),

@@ -54,16 +54,15 @@ class LlmSpec extends AnyFunSuite {
     assert(scores.last >= allScores(10) - 1e-9)
   }
 
-  test("ann join returns true same-bucket argmax (spot check vs brute force)") {
+  test("ann join reports one banded-candidate argmax per vector") {
     val ann = Catalog.byName("s03_ann_join").run(spark, sf)
-    val buckets = Catalog.byName("s02_lsh_buckets").run(spark, sf)
-    // every reported pair must share a bucket
-    val joined = ann
-      .join(buckets.withColumnRenamed("bucket", "b1"), "vec_id")
-      .join(
-        buckets.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("bucket", "b2"),
-        "neighbor_id")
-    assert(joined.filter(col("b1") =!= col("b2")).count() == 0)
+    // exactly one row (the top-1) per vec_id
+    assert(ann.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // every reported pair must be a banded-LSH candidate (collide in >= 1 band)
+    val cand = graft.llm.Similarity.bandedCandidates(embs, planes = 16, bandBits = 4)
+    val directed = cand.select(col("v1").as("vec_id"), col("v2").as("neighbor_id"))
+      .unionAll(cand.select(col("v2").as("vec_id"), col("v1").as("neighbor_id")))
+    assert(ann.select("vec_id", "neighbor_id").except(directed).count() == 0)
   }
 
   test("media features are deterministic and shaped correctly") {
