@@ -12,12 +12,7 @@ object Health {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val t0 = System.nanoTime()
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = SparkSessions.local("graft-health", 2, logLevel = "ERROR")
     val sessionMs = (System.nanoTime() - t0) / 1e6
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

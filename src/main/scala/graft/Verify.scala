@@ -7,14 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkSessions.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // Block-fixture oracle inputs: dump the flattened entity tables so
+    // the `{{FIXTURES}}`-anchored oracle SQL (BlockQueries) can
+    // recompute aggregations/joins over them in DuckDB. Underscore
+    // prefix keeps the dir out of any query-output listing.
+    val fixDir = new java.io.File(s"$outDir/_fixtures").getAbsolutePath
+    blocks.Flatten
+      .all(blocks.Flatten.fixtureDocs(spark, blocks.Fixtures.baseHeight, blocks.BlockQueries.FixtureN))
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/$name")
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -38,7 +42,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{FIXTURES}}", fixDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -7,13 +7,26 @@ import org.apache.spark.sql.types._
 
 /** Block-document (reference-shaped) queries. These run on the embedded
   * golden fixture (borealis-indexer/src/main.rs:118-349) re-keyed over a
-  * height range, independent of the star-schema sf dir — the driver's
-  * rows-only check applies (no DuckDB oracle; the inputs aren't its
-  * tables). Exact-value coverage lives in the ScalaTest specs.
+  * height range, independent of the star-schema sf dir. Queries whose
+  * semantics DuckDB can express (aggregation, unnest-join, projection)
+  * carry oracles anchored at `{{FIXTURES}}` — [[graft.Verify]] dumps the
+  * flattened entity tables there and substitutes the real path, so the
+  * driver's DuckDB gate recomputes them independently. The wire-codec
+  * queries (CBOR/base58/compression) stay rows-only; their exact-value
+  * coverage lives in the ScalaTest specs.
   */
 object BlockQueries {
 
-  private val N = 64 // fixture blocks per query run
+  /** fixture blocks per catalog run — [[graft.Verify]] dumps the entity
+    * tables at exactly this N so the `{{FIXTURES}}` oracles see the same
+    * input
+    */
+  val FixtureN = 64
+
+  private val N = FixtureN // fixture blocks per query run
+
+  /** oracle table anchor: `read_parquet` over one dumped entity table */
+  private def fx(entity: String) = s"read_parquet('{{FIXTURES}}/$entity/*.parquet')"
 
   // S15/S16: the canonical flatten — one row per transaction. The
   // library API keeps `receipt_ids` array-typed; the catalog projection
@@ -25,7 +38,12 @@ object BlockQueries {
       Flatten
         .transactions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
         .withColumn("n_receipts", size(col("receipt_ids")).cast(LongType))
-        .withColumn("receipt_ids", concat_ws(",", col("receipt_ids"))))
+        .withColumn("receipt_ids", concat_ws(",", col("receipt_ids"))),
+    Some(s"""
+      SELECT * REPLACE (array_to_string(receipt_ids, ',') AS receipt_ids),
+             CAST(len(receipt_ids) AS BIGINT) AS n_receipts
+      FROM ${fx("transactions")}
+    """.trim))
 
   // SURVEY §7 phase-2 flagship: gas/tokens burnt per executor per day
   // (nested access + explode + Decimal38 agg + nano->timestamp).
@@ -38,12 +56,21 @@ object BlockQueries {
         .agg(
           sum(col("gas_burnt")).as("total_gas"),
           sum(col("tokens_burnt")).as("total_tokens"),
-          count(lit(1)).as("n_outcomes")))
+          count(lit(1)).as("n_outcomes")),
+    Some(s"""
+      SELECT executor_id, block_date,
+             CAST(sum(gas_burnt) AS BIGINT) AS total_gas,
+             CAST(sum(tokens_burnt) AS DECIMAL(38,0)) AS total_tokens,
+             count(*) AS n_outcomes
+      FROM ${fx("execution_outcomes")}
+      GROUP BY 1, 2
+    """.trim))
 
   // S18: null-chunk branch — per-shard counts with has_chunk flag.
   private val b03 = Q(
     "b03_shard_counts",
-    (s, _) => Flatten.shards(Flatten.fixtureDocs(s, Fixtures.baseHeight, N)))
+    (s, _) => Flatten.shards(Flatten.fixtureDocs(s, Fixtures.baseHeight, N)),
+    Some(s"SELECT * FROM ${fx("shards")}"))
 
   // S5/S6/S7: envelope wrap + dual wire format (JSON bytes and CBOR
   // bytes) with sizes.
@@ -117,7 +144,16 @@ object BlockQueries {
       tx.join(outcomes, tx("receipt_id") === outcomes("outcome_id") &&
           col("outcome_height") >= col("tx_height"))
         .select("tx_hash", "tx_height", "outcome_height", "gas_burnt", "status_type")
-    })
+    },
+    Some(s"""
+      WITH t AS (SELECT tx_hash, block_height AS tx_height,
+                        unnest(receipt_ids) AS receipt_id
+                 FROM ${fx("transactions")}),
+           o AS (SELECT block_height AS outcome_height, outcome_id, gas_burnt, status_type
+                 FROM ${fx("execution_outcomes")})
+      SELECT t.tx_hash, t.tx_height, o.outcome_height, o.gas_burnt, o.status_type
+      FROM t JOIN o ON o.outcome_id = t.receipt_id AND o.outcome_height >= t.tx_height
+    """.trim))
 
   // S8: compressed envelope wire — wrap with zstd and lz4, unwrap,
   // verify the roundtrip and report compression ratios.

@@ -57,12 +57,8 @@ object Cbor {
       if (v >= 0) writeTypeAndLen(out, 0, v)
       else writeTypeAndLen(out, 1, -(v + 1))
     } else if (n.isBigInteger || n.isBigDecimal || n.isFloatingPointNumber) {
-      if (n.isIntegralNumber) {
-        // big integer beyond long: CBOR bignum would be tag 2; documents
-        // carry u128 as strings, so this path only serves exotic inputs —
-        // encode as text to stay lossless.
-        writeText(out, n.asText())
-      } else {
+      if (n.isIntegralNumber) writeBigInt(out, n.bigIntegerValue())
+      else {
         out.writeByte(0xfb); out.writeLong(java.lang.Double.doubleToLongBits(n.asDouble()))
       }
     } else if (n.isTextual) writeText(out, n.asText())
@@ -81,6 +77,36 @@ object Cbor {
     } else writeText(out, n.asText())
   }
 
+  /** Integer beyond i64 (RFC 8949 §3.4.3, matching serde_cbor/ciborium
+    * byte-for-byte): values whose u64 image fits stay major type 0/1
+    * (preferred serialization — appendix-A vector
+    * `18446744073709551615 = 0x1bffffffffffffffff`); anything wider is
+    * tag 2 (positive) / tag 3 (negative, content = -1 - n) over the
+    * minimal big-endian magnitude bytes.
+    */
+  private def writeBigInt(out: DataOutputStream, bi: java.math.BigInteger): Unit = {
+    def magnitudeBytes(m: java.math.BigInteger): Array[Byte] = {
+      val raw = m.toByteArray
+      if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw // strip sign byte
+    }
+    if (bi.signum() >= 0) {
+      if (bi.bitLength() <= 64) { out.writeByte(0x1b); out.writeLong(bi.longValue()) }
+      else {
+        out.writeByte(0xc2)
+        val b = magnitudeBytes(bi)
+        writeTypeAndLen(out, 2, b.length.toLong); out.write(b)
+      }
+    } else {
+      val m = bi.negate().subtract(java.math.BigInteger.ONE) // -1 - n
+      if (m.bitLength() <= 64) { out.writeByte(0x3b); out.writeLong(m.longValue()) }
+      else {
+        out.writeByte(0xc3)
+        val b = magnitudeBytes(m)
+        writeTypeAndLen(out, 2, b.length.toLong); out.write(b)
+      }
+    }
+  }
+
   private def writeText(out: DataOutputStream, s: String): Unit = {
     val b = s.getBytes(StandardCharsets.UTF_8)
     writeTypeAndLen(out, 3, b.length.toLong)
@@ -94,8 +120,16 @@ object Cbor {
     val major = ib >> 5
     val info = ib & 0x1f
     major match {
-      case 0 => longNode(readLen(buf, info))
-      case 1 => longNode(-(readLen(buf, info) + 1))
+      case 0 =>
+        val v = readLen(buf, info)
+        // v is the raw u64: ≥ 2^63 doesn't fit a signed long node
+        if (v >= 0) longNode(v)
+        else nf.numberNode(new java.math.BigInteger(java.lang.Long.toUnsignedString(v)))
+      case 1 =>
+        val v = readLen(buf, info)
+        if (v >= 0 && v < Long.MaxValue) longNode(-(v + 1))
+        else nf.numberNode(java.math.BigInteger.valueOf(-1)
+          .subtract(new java.math.BigInteger(java.lang.Long.toUnsignedString(v))))
       case 2 =>
         val b = new Array[Byte](readLen(buf, info).toInt); buf.get(b)
         nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
@@ -127,8 +161,16 @@ object Cbor {
           case 27 => nf.numberNode(java.lang.Double.longBitsToDouble(buf.getLong))
           case _ => throw new IllegalArgumentException(s"unsupported simple value $info")
         }
-      case 6 => // tag: skip the tag number, decode the content
-        readLen(buf, info); decode(buf)
+      case 6 => // tag 2/3 = bignum (RFC 8949 §3.4.3); other tags: skip
+        val tag = readLen(buf, info)
+        if (tag == 2L || tag == 3L) {
+          val inner = buf.get() & 0xff
+          require(inner >> 5 == 2, s"bignum content must be a byte string, got major ${inner >> 5}")
+          val b = new Array[Byte](readLen(buf, inner & 0x1f).toInt); buf.get(b)
+          val mag = new java.math.BigInteger(1, b)
+          nf.numberNode(
+            if (tag == 2L) mag else java.math.BigInteger.valueOf(-1).subtract(mag))
+        } else decode(buf)
       case _ => throw new IllegalArgumentException(s"unsupported major type $major")
     }
   }

@@ -370,10 +370,12 @@ object LlmQueries {
     """.trim))
 
   // -- m02: batched feature extraction through the typed Dataset
-  //    boundary (decode is a deterministic stub; rows-only check, exact
-  //    values asserted in LlmSpec). The library API returns the typed
-  //    Array[Float] features; the catalog projection stringifies the
-  //    vector because the driver's rows-only check sorts every column.
+  //    boundary (decode is a deterministic stub; exact values also
+  //    asserted in LlmSpec). The library API returns the typed
+  //    Array[Float] features; the catalog projection recovers the
+  //    integer digest bytes (f*255 is exact for b/255 floats) both to
+  //    be harness-sortable and to give the oracle integer parity — no
+  //    float-to-string formatting drift across engines.
   private val m02 = Q(
     "m02_media_features",
     (s, d) =>
@@ -382,11 +384,27 @@ object LlmQueries {
         .toDF()
         .select(col("media_id"), col("kind"), col("byte_len"), col("n_frames"),
           col("checksum"),
-          expr("concat_ws(',', transform(features, f -> cast(f as string)))").as("features")))
+          expr("concat_ws(',', transform(features, " +
+            "f -> cast(cast(round(cast(f as double) * 255) as int) as string)))").as("features")),
+    Some(s"""
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                  WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 64 + 1
+                  ELSE octet_length(encode(text)) // 32 + 1 END AS BIGINT) AS n_frames,
+        md5(text) AS checksum,
+        array_to_string([${(0 until 8)
+        .map(i => s"CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(", ")}], ',') AS features
+      FROM documents
+    """.trim))
 
   // -- m03: frame sampling — every 4th frame index per media blob with
-  //    its byte offset (the sampling half of decode/resize plumbing;
-  //    rows-only like m02).
+  //    its byte offset (the sampling half of decode/resize plumbing).
+  //    Oracle recomputes the stub's frame math via range() — Spark
+  //    sequence(0, n-1, 4) ≡ DuckDB range(0, n, 4); the long-cast of
+  //    the double division truncates, ≡ floor for positive values.
   private val m03 = Q(
     "m03_frame_sample",
     (s, d) =>
@@ -401,7 +419,22 @@ object LlmQueries {
           col("byte_len"),
           explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx"))
         .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / col("n_frames")).cast(LongType))
-        .drop("byte_len"))
+        .drop("byte_len"),
+    Some(s"""
+      WITH f AS (SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                    WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 64 + 1
+                    ELSE octet_length(encode(text)) // 32 + 1 END AS BIGINT) AS n_frames
+        FROM documents),
+      x AS (SELECT media_id, kind, n_frames, byte_len,
+              unnest(range(0, n_frames, 4)) AS frame_idx
+            FROM f WHERE n_frames > 1)
+      SELECT media_id, kind, n_frames, frame_idx,
+             frame_idx * CAST(floor(byte_len / n_frames) AS BIGINT) AS byte_offset
+      FROM x
+    """.trim))
 
   // -- d07: MLlib MinHashLSH near-dup pairs (engine-internal hash
   //    family — rows-only; cross-checked against the md5 pipeline in
@@ -411,13 +444,35 @@ object LlmQueries {
     (s, d) => MlDedup.nearDupPairs(Tables.documents(s, d), maxDistance = 0.2))
 
   // -- m04: resize plumbing — aspect-preserving target box per media
-  //    blob (stubbed scaler; rows-only, invariants in LlmSpec).
+  //    blob (stubbed scaler; invariants also in LlmSpec). The oracle
+  //    replays the stub's integer math: first text byte is ASCII
+  //    across all SFs (verified), so ascii(substr(text,1,1)) ≡ the
+  //    JVM's signed-byte toInt, and (w*scale).toInt ≡ floor for the
+  //    positive scale.
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
       Multimodal
         .resize(s, Multimodal.mediaTable(Tables.documents(s, d)), maxDim = 256)
-        .toDF())
+        .toDF(),
+    Some(s"""
+      WITH m AS (SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          octet_length(encode(text)) AS blen,
+          CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS b0
+        FROM documents),
+      d AS (SELECT media_id, kind,
+          CAST(64 + blen % 1024 AS INT) AS src_w,
+          CAST(64 + (abs(b0) * 7) % 1024 AS INT) AS src_h
+        FROM m),
+      s AS (SELECT *, least(1.0, 256.0 / greatest(src_w, src_h)) AS scale FROM d)
+      SELECT media_id, kind, src_w, src_h,
+        CAST(greatest(1, CAST(floor(src_w * scale) AS INT)) AS INT) AS dst_w,
+        CAST(greatest(1, CAST(floor(src_h * scale) AS INT)) AS INT) AS dst_h,
+        CAST(greatest(1, CAST(floor(src_w * scale) AS INT)) AS BIGINT)
+          * greatest(1, CAST(floor(src_h * scale) AS INT)) * 3 AS est_bytes
+      FROM s
+    """.trim))
 
   def queries: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03, m04)

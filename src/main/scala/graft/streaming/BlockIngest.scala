@@ -28,6 +28,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * At 100 TB the lake layout is what matters: every entity table is
   * written partitioned so height-range and date predicates prune files.
   */
+/** S19: verbosity-gated debug dump levels ≡ the reference's
+  * `verbosity` config (borealis-indexer/src/configs.rs:187-205) gating
+  * the console dumps in main.rs:463-570 — 1 prints key block fields,
+  * 2 the full wire JSON, 3 the fully parsed document.
+  */
+sealed abstract class Verbosity(val level: Int)
+object Verbosity {
+  /** height / hash / time / shard+chunk counts */
+  case object KeyFields extends Verbosity(1)
+  /** the raw wire document, untouched */
+  case object FullJson extends Verbosity(2)
+  /** every parsed column (post-schema, pre-flatten) */
+  case object FullParse extends Verbosity(3)
+}
+
 object BlockIngest {
 
   /** batch backfill: read an existing drop of JSON-lines block files
@@ -73,6 +88,46 @@ object BlockIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeEntities(batch.drop("event_time", "height"), lakeDir, s"$token-$batchId")
       }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  /** The per-level debug projection (S19). Input is the RAW json-lines
+    * frame (column `value`) so level 2 can dump the wire bytes exactly;
+    * levels 1/3 parse with the versioned schema first.
+    */
+  def debugProjection(spark: SparkSession, raw: DataFrame, v: Verbosity): DataFrame = v match {
+    case Verbosity.KeyFields =>
+      Flatten.parse(spark, raw).select(
+        col("block.header.height").as("height"),
+        col("block.header.hash").as("hash"),
+        timestamp_micros((col("block.header.timestamp") / 1000L)
+          .cast(org.apache.spark.sql.types.LongType)).as("block_time"),
+        size(col("block.chunks")).as("n_chunks"),
+        size(col("shards")).as("n_shards"))
+    case Verbosity.FullJson  => raw.select(col("value").as("wire_json"))
+    case Verbosity.FullParse => Flatten.parse(spark, raw)
+  }
+
+  /** S19 console-sink variant of [[start]]: tail the drop dir and dump
+    * each micro-batch at the given verbosity — the debug path, kept off
+    * the lake-write path exactly like the reference's stdout dumps.
+    */
+  def startConsole(
+      spark: SparkSession,
+      srcDir: String,
+      verbosity: Verbosity,
+      availableNow: Boolean = true,
+      numRows: Int = 20): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 64)
+      .text(srcDir)
+    val writer = debugProjection(spark, raw, verbosity).writeStream
+      .format("console")
+      .option("numRows", numRows)
+      .option("truncate", verbosity.level < 2) // wire/parse dumps untruncated
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }

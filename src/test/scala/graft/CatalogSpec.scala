@@ -4,15 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = SparkSessions.local(
+    "graft-test",
+    cores = 4,
+    extra = Map("spark.sql.warehouse.dir" -> "/tmp/graft_test_warehouse"))
   val sf: String = "/root/testdata/sf0.001"
 }
 
@@ -38,6 +33,20 @@ class CatalogSpec extends AnyFunSuite {
   test("oracle names are a subset of query names") {
     val qn = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+  }
+
+  test("README/ARCHITECTURE query counts match the actual catalog") {
+    val entries = Catalog.all.size
+    val oracle = SparkEntry.oracleSql.size
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")
+    val arch = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("ARCHITECTURE.md")), "UTF-8")
+    assert(readme.contains(s"$entries cataloged queries"), s"README: expected '$entries cataloged queries'")
+    assert(readme.contains(s"($entries entries, $oracle with DuckDB oracle SQL)"),
+      s"README: expected '($entries entries, $oracle with DuckDB oracle SQL)'")
+    assert(arch.contains(s"$oracle oracle queries + ${entries - oracle} rows-only"),
+      s"ARCHITECTURE: expected '$oracle oracle queries + ${entries - oracle} rows-only'")
   }
 
   test("q01 aggregates are consistent") {

@@ -42,6 +42,22 @@ class CodecSpec extends AnyFunSuite {
     assert(hex(Cbor.jsonToCbor("1.1")) == "fb3ff199999999999a")
   }
 
+  test("CBOR bignum vectors (RFC 8949 appendix A + §3.4.3 tag 2/3)") {
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    // u64 edge: stays major type 0 (preferred serialization)
+    assert(hex(Cbor.jsonToCbor("18446744073709551615")) == "1bffffffffffffffff")
+    assert(hex(Cbor.jsonToCbor("-18446744073709551616")) == "3bffffffffffffffff")
+    // beyond u64: tag-2 / tag-3 bignum over minimal magnitude bytes
+    assert(hex(Cbor.jsonToCbor("18446744073709551616")) == "c249010000000000000000")
+    assert(hex(Cbor.jsonToCbor("-18446744073709551617")) == "c349010000000000000000")
+    // round-trip: decode restores the exact integers (u128 scale)
+    for (v <- Seq(
+        "18446744073709551615", "18446744073709551616",
+        "-18446744073709551616", "-18446744073709551617",
+        "340282366920938463463374607431768211455")) // u128 max
+      assert(Cbor.cborToJson(Cbor.jsonToCbor(v)) == v)
+  }
+
   private val jsonGen: Gen[String] = {
     val scalar = Gen.oneOf(
       Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(_.toString),

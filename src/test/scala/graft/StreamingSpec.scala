@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import graft.blocks.Fixtures
-import graft.streaming.BlockIngest
+import graft.streaming.{BlockIngest, Verbosity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -59,5 +59,47 @@ class StreamingSpec extends AnyFunSuite {
     val batchDirs = Files.list(Paths.get(s"$lake/transactions")).iterator().asScala
       .count(_.getFileName.toString.startsWith("batch="))
     assert(batchDirs == 1, s"expected 1 compacted batch dir, got $batchDirs")
+  }
+
+  test("S22 cloud-lake bootstrap loads a drop URI through the s3a-ready path") {
+    val conf = graft.sources.CloudLake.s3aConf(anonymous = true)
+    assert(conf("spark.hadoop.fs.s3a.committer.name") == "magic")
+    assert(conf("spark.hadoop.fs.s3a.aws.credentials.provider").contains("Anonymous"))
+    // scheme-agnostic: same code path against a file: URI
+    val base = Files.createTempDirectory("graft_bootstrap").toString
+    val src = s"$base/src"; val lake = s"$base/lake"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, 5000, 16, "s3")
+    graft.sources.CloudLake.bootstrap(spark, s"file:$src", lake)
+    assert(spark.read.parquet(s"$lake/blocks").count() == 16)
+  }
+
+  test("S19 verbosity levels project the reference's three debug shapes") {
+    import spark.implicits._
+    val raw = Fixtures.blocksJson(2000, 4).toDF("value")
+
+    val l1 = BlockIngest.debugProjection(spark, raw, Verbosity.KeyFields)
+    assert(l1.columns.toSeq == Seq("height", "hash", "block_time", "n_chunks", "n_shards"))
+    assert(l1.select("height").collect().map(_.getLong(0)).sorted.toSeq == (2000L until 2004L))
+
+    val l2 = BlockIngest.debugProjection(spark, raw, Verbosity.FullJson)
+    assert(l2.columns.toSeq == Seq("wire_json"))
+    assert(l2.collect().forall(_.getString(0).contains("\"block\"")))
+
+    val l3 = BlockIngest.debugProjection(spark, raw, Verbosity.FullParse)
+    assert(l3.columns.toSeq == Seq("block", "shards"))
+    assert(Verbosity.FullParse.level == 3)
+  }
+
+  test("S19 console-sink stream drains a drop dir at each verbosity") {
+    val base = Files.createTempDirectory("graft_console").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, 3000, 8, "c")
+    for (v <- Seq(Verbosity.KeyFields, Verbosity.FullJson)) {
+      val q = BlockIngest.startConsole(spark, src, v, numRows = 2)
+      q.awaitTermination()
+      assert(q.lastProgress.sources.nonEmpty)
+    }
   }
 }
