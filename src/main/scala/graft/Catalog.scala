@@ -21,6 +21,7 @@ object Catalog {
     ops.Relational.queries ++
       ops.Relational2.queries ++
       ops.Relational3.queries ++
+      ops.Relational4.queries ++
       llm.LlmQueries.queries ++
       blocks.BlockQueries.queries
 

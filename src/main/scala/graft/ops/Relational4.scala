@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth relational batch: reshaping (pivot/unpivot) and the interval
+  * range join.
+  *
+  * 100 TB notes per operator:
+  *  - q35 pivot: one hash-aggregate shuffle keyed on the group column;
+  *    the pivoted value list is declared explicitly (`Seq("F","O")`) so
+  *    Spark skips the extra distinct-values job it otherwise runs first.
+  *  - q39 unpivot: `stack` is a map-side generator — rows multiply
+  *    AFTER the aggregation shuffle, so the wide->long reshape is free.
+  *  - q40 range join: equi-key (user) + bounded time band as residual.
+  *    The equi key keeps it a shuffle/broadcast hash join with the band
+  *    as a cheap post-filter — never an unbounded interval cross-join;
+  *    candidate count per row is bounded by per-user activity in the
+  *    10-minute window, independent of corpus size.
+  */
+object Relational4 {
+
+  // -- q35: PIVOT — wide sums per linestatus (fills the q35 numbering
+  //    gap with the one reshape op the catalog lacked).
+  private val q35 = Q(
+    "q35_pivot",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))))
+        .select(
+          col("l_returnflag"),
+          col("F").cast(DoubleType).as("qty_f"),
+          col("O").cast(DoubleType).as("qty_o")),
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY 1
+    """.trim))
+
+  // -- q39: UNPIVOT — wide aggregate melted to (measure, value) rows
+  //    via the stack generator.
+  private val q39 = Q(
+    "q39_unpivot",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"))
+        .selectExpr(
+          "l_returnflag",
+          "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+            "'sum_disc_price', sum_disc_price) AS (measure, value)"),
+    Some("""
+      WITH a AS (SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+      UNION ALL SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM a
+    """.trim))
+
+  // -- q40: interval range join — for every purchase, activity of the
+  //    same user in the preceding 10 minutes. Microsecond arithmetic on
+  //    both engines (events are µs-aligned; Spark `div 1000` of the
+  //    nano column ≡ DuckDB epoch_us of the µs-truncated timestamp).
+  private val q40 = Q(
+    "q40_range_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"),
+          expr("ts_ns div 1000").as("p_us"))
+      val e = ev.select(
+        col("user_id").as("e_user"),
+        expr("ts_ns div 1000").as("e_us"),
+        col("event_id").as("prior_id"),
+        col("event_type").as("prior_type"))
+      p.join(
+          e,
+          col("p_user") === col("e_user") &&
+            col("e_us") >= col("p_us") - lit(600000000L) && col("e_us") < col("p_us"),
+          "left")
+        .groupBy("purchase_id")
+        .agg(
+          count(col("prior_id")).as("n_prior"),
+          countDistinct(col("prior_type")).as("n_prior_types"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, epoch_us(ts) AS e_us, event_id, event_type FROM events)
+      SELECT p.purchase_id,
+             count(e.event_id) AS n_prior,
+             count(DISTINCT e.event_type) AS n_prior_types
+      FROM p LEFT JOIN e
+        ON e.user_id = p.user_id AND e.e_us >= p.p_us - 600000000 AND e.e_us < p.p_us
+      GROUP BY 1
+    """.trim))
+
+  val queries: Seq[Q] = Seq(q35, q39, q40)
+}

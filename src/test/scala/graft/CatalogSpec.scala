@@ -81,6 +81,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(merged == Seq(1, 2, 3))
   }
 
+  test("q35 pivot columns re-sum to the flat aggregate; q39 unpivot melts 3 rows per flag") {
+    import org.apache.spark.sql.functions.col
+    val piv = Catalog.byName("q35_pivot").run(spark, sf).collect()
+    val flat = Catalog.byName("q39_unpivot").run(spark, sf)
+    assert(piv.length == 3) // A/N/R return flags
+    val meltCounts = flat.groupBy("l_returnflag").count().collect()
+    assert(meltCounts.length == 3 && meltCounts.forall(_.getAs[Long]("count") == 3))
+    // pivot cells re-sum to the unpivoted sum_qty measure
+    val qtyByFlag = flat.filter(col("measure") === "sum_qty").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("value")).toMap
+    for (r <- piv) {
+      val total = Option(r.getAs[java.lang.Double]("qty_f")).map(_.doubleValue).getOrElse(0.0) +
+        Option(r.getAs[java.lang.Double]("qty_o")).map(_.doubleValue).getOrElse(0.0)
+      assert(math.abs(total - qtyByFlag(r.getAs[String]("l_returnflag"))) < 1e-6)
+    }
+  }
+
+  test("q40 range join matches brute force on one purchase") {
+    import org.apache.spark.sql.functions.col
+    val rj = Catalog.byName("q40_range_join").run(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns")).collect()
+    val purchase = ev.filter(_.getAs[String]("event_type") == "purchase").head
+    val pUs = purchase.getAs[Long]("ts_ns") / 1000
+    val expected = ev.count { r =>
+      r.getAs[Long]("user_id") == purchase.getAs[Long]("user_id") && {
+        val us = r.getAs[Long]("ts_ns") / 1000
+        us >= pUs - 600000000L && us < pUs
+      }
+    }
+    val got = rj.filter(col("purchase_id") === purchase.getAs[Long]("event_id"))
+      .collect()(0).getAs[Long]("n_prior")
+    assert(got == expected)
+  }
+
   test("q24b approx distinct within 5% of exact") {
     val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
     val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
