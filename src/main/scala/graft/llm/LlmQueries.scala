@@ -266,6 +266,39 @@ object LlmQueries {
       SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk = 1
     """.trim))
 
+  // -- s04: IVF-flat top-k — sampled coarse quantizer (vec_id < 16),
+  //    4-probe posting-list search, exact cosine re-rank. The third ANN
+  //    flavor next to brute force (s01) and LSH (s02/s03): scanned
+  //    fraction ≈ nProbe/nCentroids of the corpus.
+  private val s04 = Q(
+    "s04_ivf_topk",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10, 16, 4),
+    Some("""
+      WITH dims AS (SELECT unnest(range(64)) AS d),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      asim AS (SELECT e.vec_id, c.cid,
+            round(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE))
+              / (sqrt(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)))
+               * sqrt(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE)))), 6) AS sim
+          FROM embeddings e, cents c, dims d GROUP BY e.vec_id, c.cid),
+      assign AS (SELECT vec_id, cid FROM asim
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1),
+      probes AS (SELECT cid FROM asim WHERE vec_id = 0
+                 QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.cid = a.cid, q, dims d
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -475,5 +508,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, m03, m04)
 }

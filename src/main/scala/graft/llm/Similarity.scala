@@ -133,4 +133,69 @@ object Similarity {
       .filter(col("rk") === 1)
       .select("vec_id", "neighbor_id", "cos")
   }
+
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest centroid — the posting-list index of IVF-flat ANN.
+    *
+    * Centroids here are the deterministic sample `vec_id < nCentroids`
+    * (a sampled coarse quantizer, the oracle-reproducible flavor); a
+    * k-means quantizer is a drop-in replacement for `cents` — the
+    * assignment, posting lists, and probe path below are unchanged.
+    *
+    * 100 TB shape: centroids broadcast (nCentroids ~ sqrt(corpus) rows),
+    * assignment is one map-side scan computing nCentroids fused-codegen
+    * cosines per row, then a per-vector argmax over nCentroids rows —
+    * no corpus-sized shuffle beyond the argmax window keyed on vec_id.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
+    embeddings
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("embedding"),
+        col("cid"),
+        round(cosine(col("embedding"), col("cv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "embedding", "cid")
+  }
+
+  /** IVF-flat top-k: probe the `nProbe` centroids nearest the query,
+    * brute-force exact cosine only over their posting lists. Scanned
+    * fraction ≈ nProbe/nCentroids of the corpus — the probe knob trades
+    * recall for scan cost at any scale.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val cents = embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probes = cents
+      .crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(nProbe)
+      .select("cid")
+    ivfAssign(embeddings, nCentroids)
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

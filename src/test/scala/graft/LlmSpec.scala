@@ -65,6 +65,23 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.select("vec_id", "neighbor_id").except(directed).count() == 0)
   }
 
+  test("IVF top-k probes posting lists and recalls most of the brute-force top-10") {
+    val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Catalog.byName("s04_ivf_topk").run(spark, sf).collect()
+    assert(ivf.length == 10)
+    val ivfIds = ivf.map(_.getAs[Long]("vec_id")).toSet
+    // 4 of 16 probes scan ~1/4 of the corpus; measured recall@10 is 0.9
+    // at sf0.001 — assert a conservative floor
+    assert((brute & ivfIds).size >= 5, s"recall too low: ${(brute & ivfIds).size}/10")
+    // every result must come from a probed posting list
+    val assign = graft.llm.Similarity.ivfAssign(embs, 16)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = assign.filterKeys(ivfIds.contains).values.toSet
+    assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
+  }
+
   test("media features are deterministic and shaped correctly") {
     val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
     val f2 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
