@@ -33,6 +33,7 @@ object SparkSessions {
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
+    functions.ColumnFns.register(s) // engine SQL functions (md5_prefix64)
     s
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,6 +51,39 @@ case class Base58Encode(child: Expression) extends UnaryExpression with CodegenF
   override def prettyName: String = "base58_encode"
 }
 
+/** The 60-bit md5 image used across the dedup pipelines.
+  * [[Md5Prefix64]] computes it from the digest bytes directly.
+  */
+object HashUtil {
+  /** ≡ `cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)`: the first
+    * 15 hex chars are the top 60 bits of the first 8 digest bytes
+    */
+  def md5Prefix64(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Native codegen form of the dedup hash
+  * `conv(substr(md5(s), 1, 15), 16, 10)` — same 60-bit value (oracle
+  * parity preserved, property-tested in CodecSpec) without
+  * materializing the 32-char hex string, the substring copy, or the
+  * radix re-parse per row. This sits in the innermost loop of
+  * shingle/minhash pipelines (one call per distinct shingle).
+  */
+case class Md5Prefix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.md5Prefix64(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Prefix64($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix64 = copy(c)
+  override def prettyName: String = "md5_prefix64"
+}
+
 /** Column-level entry points (the user-facing function surface). */
 object ColumnFns {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -64,4 +97,12 @@ object ColumnFns {
   def lz4_decompress(col: Column): Column = c(Lz4Decompress(e(col)))
   def zstd_compress(col: Column): Column = c(ZstdCompress(e(col)))
   def zstd_decompress(col: Column): Column = c(ZstdDecompress(e(col)))
+  def md5_prefix64(col: Column): Column = c(Md5Prefix64(e(col)))
+
+  /** Register the SQL-callable subset of these functions on a session
+    * so `expr(...)` strings and HOF lambdas can use them (done by
+    * `SparkSessions.local` for every engine entry point).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "md5_prefix64", args => Md5Prefix64(args.head))
 }

@@ -50,7 +50,7 @@ object Dedup {
             s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .as("shingle"))
       .distinct()
-      .withColumn("h64", expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
 
   /** shingle -> docs inverted index with stop-shingle cap: shingles in
     * more than maxDf docs carry no similarity signal but quadratic join
@@ -136,8 +136,7 @@ object Dedup {
   def simhash(bits: Int = 48): Column =
     expr(s"""
       aggregate(
-        transform(split(text, ' '),
-                  w -> cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)),
+        transform(split(text, ' '), w -> md5_prefix64(w)),
         array_repeat(0L, $bits),
         (acc, h) -> zip_with(
           acc,

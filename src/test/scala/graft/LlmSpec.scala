@@ -13,6 +13,20 @@ class LlmSpec extends AnyFunSuite {
   private lazy val docs = Tables.documents(spark, sf)
   private lazy val embs = Tables.embeddings(spark, sf)
 
+  test("md5_prefix64 equals the conv(substr(md5)) formulation it replaces") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val samples = Seq("", "a", "hello world", "ünïcødé ☃", "x" * 1000) ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val rows = samples.toDF("s").select(
+      graft.functions.ColumnFns.md5_prefix64(col("s")).as("native"),
+      expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("sqlform"),
+      expr("md5_prefix64(s)").as("registered")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2))
+    }
+  }
+
   test("minhash-LSH finds the planted near-duplicates and nothing below threshold") {
     val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf).collect()
     assert(pairs.nonEmpty, "generator plants jaccard≈1.0 pairs; LSH must surface them")
