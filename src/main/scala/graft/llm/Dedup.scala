@@ -103,16 +103,28 @@ object Dedup {
       .distinct()
   }
 
-  /** exact Jaccard for given candidate pairs over the shingle sets.
-    * The candidate and per-doc-size tables are tiny relative to the
-    * shingle index — broadcast them so the only shuffle is the
-    * intersection groupBy.
+  /** Exact Jaccard for given candidate pairs over the shingle sets.
+    *
+    * Both index sides are first cut to candidate docs with broadcast
+    * semi-joins, so the (doc, shingle) equi-join shuffles only
+    * candidate-doc shingles (|cand| x shingles-per-doc rows), never the
+    * full corpus index — the property that keeps verification cost
+    * proportional to collisions, not corpus size.
     */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the candidate set is referenced 5x below (pair join + two
+    // semi-filters + sizes); cache it or every broadcast re-runs the
+    // whole signature/banding pipeline that produced it
+    val c = cand.cache()
+    val candDocs = c.select(col("d1").as("doc_id"))
+      .union(c.select(col("d2").as("doc_id"))).distinct()
+    val sizes = sh.join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(broadcast(c.select("d1").distinct()), Seq("d1"), "leftsemi")
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
-    s1.join(broadcast(cand), "d1")
+      .join(broadcast(c.select("d2").distinct()), Seq("d2"), "leftsemi")
+    s1.join(broadcast(c), "d1")
       .join(s2, Seq("d2", "shingle"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
