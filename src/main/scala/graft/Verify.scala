@@ -5,21 +5,27 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // extra args (local iteration only): restrict to the named queries
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSessions.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // Block-fixture oracle inputs: dump the flattened entity tables so
     // the `{{FIXTURES}}`-anchored oracle SQL (BlockQueries) can
-    // recompute aggregations/joins over them in DuckDB. Underscore
-    // prefix keeps the dir out of any query-output listing.
-    val fixDir = new java.io.File(s"$outDir/_fixtures").getAbsolutePath
+    // recompute aggregations/joins over them in DuckDB. Deliberately
+    // OUTSIDE outDir: the driver's checker treats every outDir subdir as
+    // a query output, and the entity tables carry ArrayType columns its
+    // row-sorter cannot hash (round-2 `_fixtures` err).
+    val fixDir = new java.io.File("/root/repo/target/verify_fixtures").getAbsolutePath
     blocks.Flatten
       .all(blocks.Flatten.fixtureDocs(spark, blocks.Fixtures.baseHeight, blocks.BlockQueries.FixtureN))
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/$name")
       }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

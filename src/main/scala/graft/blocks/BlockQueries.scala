@@ -31,17 +31,27 @@ object BlockQueries {
   // S15/S16: the canonical flatten — one row per transaction. The
   // library API keeps `receipt_ids` array-typed; the catalog projection
   // emits harness-sortable scalars (size + joined string) because the
-  // driver's rows-only check sorts every output column.
+  // driver's rows-only check sorts every output column. Likewise
+  // Decimal38 -> VARCHAR (exact digits) and TimestampType -> epoch
+  // seconds: the driver's pandas compare hashes DECIMAL/TIMESTAMP
+  // differently per engine (round-2 b01/b02 hash misses), while every
+  // proven-green output sticks to long/double/date/string.
   private val b01 = Q(
     "b01_flatten_transactions",
     (s, _) =>
       Flatten
         .transactions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
         .withColumn("n_receipts", size(col("receipt_ids")).cast(LongType))
-        .withColumn("receipt_ids", concat_ws(",", col("receipt_ids"))),
+        .withColumn("receipt_ids", concat_ws(",", col("receipt_ids")))
+        .withColumn("tokens_burnt", col("tokens_burnt").cast(StringType))
+        .withColumn("block_time_s", unix_timestamp(col("block_time")))
+        .drop("block_time"),
     Some(s"""
-      SELECT * REPLACE (array_to_string(receipt_ids, ',') AS receipt_ids),
-             CAST(len(receipt_ids) AS BIGINT) AS n_receipts
+      SELECT * EXCLUDE (block_time)
+             REPLACE (array_to_string(receipt_ids, ',') AS receipt_ids,
+                      CAST(tokens_burnt AS VARCHAR) AS tokens_burnt),
+             CAST(len(receipt_ids) AS BIGINT) AS n_receipts,
+             CAST(floor(epoch(block_time)) AS BIGINT) AS block_time_s
       FROM ${fx("transactions")}
     """.trim))
 
@@ -55,12 +65,14 @@ object BlockQueries {
         .groupBy(col("executor_id"), col("block_date"))
         .agg(
           sum(col("gas_burnt")).as("total_gas"),
-          sum(col("tokens_burnt")).as("total_tokens"),
+          // exact u128 total as digit string — see b01 note on the
+          // driver's DECIMAL hashing
+          sum(col("tokens_burnt")).cast(StringType).as("total_tokens"),
           count(lit(1)).as("n_outcomes")),
     Some(s"""
       SELECT executor_id, block_date,
              CAST(sum(gas_burnt) AS BIGINT) AS total_gas,
-             CAST(sum(tokens_burnt) AS DECIMAL(38,0)) AS total_tokens,
+             CAST(CAST(sum(tokens_burnt) AS DECIMAL(38,0)) AS VARCHAR) AS total_tokens,
              count(*) AS n_outcomes
       FROM ${fx("execution_outcomes")}
       GROUP BY 1, 2
@@ -103,7 +115,13 @@ object BlockQueries {
       val cbor = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
         .select(to_cbor(col("value")).as("bin"))
       val decoded = Flatten.parse(s, cbor.select(from_cbor(col("bin")).as("value")))
-      Flatten.blocks(decoded).select("block_height", "block_hash", "total_supply", "n_shards")
+      Flatten.blocks(decoded)
+        .select(
+          col("block_height"),
+          col("block_hash"),
+          // digit string, not Decimal38 — see b01 note
+          col("total_supply").cast(StringType).as("total_supply"),
+          col("n_shards"))
     })
 
   // base58 codec over block hashes: decode to 32 bytes, re-encode.

@@ -78,7 +78,9 @@ class BlocksSpec extends AnyFunSuite {
     assert(r.nonEmpty)
     val one = r.filter(_.getAs[String]("executor_id") == "some.test.near").head
     val n = one.getAs[Long]("n_outcomes")
-    assert(one.getAs[java.math.BigDecimal]("total_tokens") ==
+    // catalog projection emits the exact u128 total as a digit string
+    // (driver-harness type rule); compare as BigDecimal
+    assert(new java.math.BigDecimal(one.getAs[String]("total_tokens")) ==
       new java.math.BigDecimal("424555062500000000000").multiply(java.math.BigDecimal.valueOf(n)))
   }
 
