@@ -45,21 +45,31 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .select(
         col("doc_id"),
+        // distinct-per-doc ≡ global DISTINCT(doc_id, shingle), but
+        // array_distinct runs inside the scan stage — the round-1
+        // `.distinct()` here shuffled the full (doc, shingle) explosion,
+        // the single biggest intermediate of the dedup family
         explode(expr(
-          s"transform(sequence(0, least(size(toks) - $n, ${MaxShinglePositions - 1})), " +
-            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+          s"array_distinct(transform(sequence(0, least(size(toks) - $n, ${MaxShinglePositions - 1})), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $n))))"))
           .as("shingle"))
-      .distinct()
       .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
 
   /** shingle -> docs inverted index with stop-shingle cap: shingles in
     * more than maxDf docs carry no similarity signal but quadratic join
     * cost, so they are dropped (deterministically — the oracle applies
     * the same HAVING).
+    *
+    * The cap is applied as a broadcast ANTI join against the *stop* set
+    * (df > maxDf): by construction that set is tiny (stop-ngrams are a
+    * vanishing fraction of distinct shingles at any corpus size), where
+    * the round-1 inner join against the *rare* set shuffled the whole
+    * index a second time. At extreme scale swap the broadcast for a
+    * bloom filter of stop hashes — same plan shape.
     */
   def shingleIndex(sh: DataFrame, maxDf: Int): DataFrame = {
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    sh.join(rare.select("shingle"), "shingle")
+    val stops = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+    sh.join(broadcast(stops.select("shingle")), Seq("shingle"), "left_anti")
   }
 
   /** deterministic 60-bit permutation constant for minhash perm p,
@@ -103,13 +113,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given candidate pairs over the shingle sets.
+  /** Exact Jaccard for given candidate pairs over the shingle sets:
+    * candidate-bounded equi-join on the inverted index.
     *
     * Both index sides are first cut to candidate docs with broadcast
     * semi-joins, so the (doc, shingle) equi-join shuffles only
     * candidate-doc shingles (|cand| x shingles-per-doc rows), never the
     * full corpus index — the property that keeps verification cost
-    * proportional to collisions, not corpus size.
+    * proportional to collisions, not corpus size. (A doc-grain
+    * array_intersect variant was measured and lost: the eager stop-set
+    * job plus per-band interpreted HOF folds broke single-DAG fusion.)
     */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     // the candidate set is referenced 5x below (pair join + two

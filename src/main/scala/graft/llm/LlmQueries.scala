@@ -469,12 +469,11 @@ object LlmQueries {
       FROM x
     """.trim))
 
-  // -- d07: MLlib MinHashLSH near-dup pairs (engine-internal hash
-  //    family — rows-only; cross-checked against the md5 pipeline in
-  //    LlmSpec).
-  private val d07 = Q(
-    "d07_minhash_lsh_mllib",
-    (s, d) => MlDedup.nearDupPairs(Tables.documents(s, d), maxDistance = 0.2))
+  // (The MLlib MinHashLSH variant — formerly catalog entry d07 — lives
+  // in [[MlDedup]] and is cross-checked against the md5 pipeline in
+  // LlmSpec. It is deliberately NOT a catalog/bench entry: its hash
+  // family is engine-internal (never oracle-checkable) and its
+  // approxSimilarityJoin is strictly redundant with d03's banded LSH.)
 
   // -- m04: resize plumbing — aspect-preserving target box per media
   //    blob (stubbed scaler; invariants also in LlmSpec). The oracle
@@ -508,5 +507,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, m03, m04)
 }

@@ -125,7 +125,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("MLlib MinHashLSH path finds the same near-dup pairs as the md5 pipeline") {
-    val ml = Catalog.byName("d07_minhash_lsh_mllib").run(spark, sf)
+    val ml = graft.llm.MlDedup.nearDupPairs(Tables.documents(spark, sf), maxDistance = 0.2)
       .select("d1", "d2")
     val md5Pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf)
       .filter(col("jac") >= 0.9).select("d1", "d2")
