@@ -1,0 +1,267 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators — the pipeline stages between "raw
+  * corpus" and "training batches" that the dedup/similarity family
+  * (LlmQueries) doesn't cover: deterministic splits, stratified
+  * sampling, sequence packing, TF-IDF term scoring, repetition/
+  * boilerplate scoring, and cross-document passage dedup.
+  *
+  * Design rules shared by every operator here:
+  *  - determinism end-to-end: all randomness is md5-derived from the
+  *    data itself (reshuffling the corpus or rerunning the job cannot
+  *    change any assignment), which also makes every operator
+  *    DuckDB-oracle-checkable;
+  *  - map-side first: p01/p02 are zero-shuffle; the rest shuffle only
+  *    aggregated or per-key rows;
+  *  - outputs are long/double/string only (driver-harness hash rules).
+  */
+object Curation {
+
+  /** 60-bit uniform hash in [0, 1) from a column's string image —
+    * md5-based so DuckDB reproduces it bit-for-bit (same expression as
+    * the t2-proven md5_prefix64 / conv path, divided by 2^60).
+    */
+  private def unitHash(c: org.apache.spark.sql.Column) =
+    graft.functions.ColumnFns.md5_prefix64(c.cast(StringType)) / lit(1152921504606846976.0) // 2^60
+
+  private val duckUnitHash =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
+
+  // -- p01: deterministic train/val/test split. Pure projection (zero
+  //    shuffle, zero state): the assignment is a function of doc_id
+  //    alone, so it is stable under corpus growth, repartitioning, and
+  //    replays — the property a 100 TB ingest needs so that adding a
+  //    shard never flips an existing doc's split.
+  private val p01 = Q(
+    "p01_split_assign",
+    (s, d) => {
+      val u = unitHash(col("doc_id"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          round(u, 6).as("u"),
+          when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             round($duckUnitHash, 6) AS u,
+             CASE WHEN $duckUnitHash < 0.9 THEN 'train'
+                  WHEN $duckUnitHash < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """.trim))
+
+  // -- p02: deterministic stratified sampling — per-language rates
+  //    (simulating per-source curation weights). Same zero-shuffle
+  //    map-side shape as p01; the rate table is a literal map (in a
+  //    real pipeline: a broadcast dimension).
+  private val p02 = Q(
+    "p02_stratified_sample",
+    (s, d) => {
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "de", 0.25)
+        .otherwise(0.1)
+      Tables.documents(s, d)
+        .withColumn("rate", rate)
+        .filter(unitHash(col("doc_id")) < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+    },
+    Some(s"""
+      SELECT doc_id, lang,
+             CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END AS DOUBLE) AS rate
+      FROM documents
+      WHERE $duckUnitHash <
+            CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END
+    """.trim))
+
+  /** token budget per packed training sequence (p03) */
+  val PackBudget = 512L
+
+  // -- p03: sequence packing — assign docs to fixed-token-budget bins
+  //    by running token count, partitioned by lang (the parallel unit;
+  //    at lake scale the partition key is the ingest shard, giving one
+  //    independent packing stream per shard — a global order would
+  //    serialize the sort). floor(cumsum_before / budget) packs bins
+  //    contiguously; a doc may straddle a boundary (documented,
+  //    standard for fixed-stride packing).
+  private val p03 = Q(
+    "p03_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget)).as("bin"))
+    },
+    Some(s"""
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS bin
+      FROM (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents)
+    """.trim))
+
+  // -- t05: TF-IDF top terms per document. Two aggregations (term
+  //    frequency per (doc, term); document frequency per term) + a
+  //    broadcast of the df table (vocabulary-sized — small relative to
+  //    the corpus at any scale; beyond broadcast range it becomes the
+  //    bucketed side of a shuffle join) + a per-doc top-k window.
+  //    idf uses the rational (N+1)/(df+1) form: exact IEEE division on
+  //    both engines, no ln() last-ulp parity risk.
+  private val t05 = Q(
+    "t05_tfidf_terms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // corpus size: one cheap metadata count
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // rank on the RAW score (identical IEEE arithmetic both engines);
+      // emit the rounded image — ranking on the rounded value could
+      // break ties differently than the oracle
+      val raw = col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0)))
+      val w = Window.partitionBy("doc_id").orderBy(raw.desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), round(raw, 6).as("score"),
+          col("rank").cast(LongType).as("rank"))
+    },
+    Some(s"""
+      WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, term,
+                        round(tf * ((n + 1.0) / (df + 1.0)), 6) AS score,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tf * ((n + 1.0) / (df + 1.0)) DESC, term) AS rank
+                 FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+      SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+      FROM scored WHERE rank <= 3
+    """.trim))
+
+  // -- t06: repetition / boilerplate scoring (C4-style quality gate):
+  //    per-doc duplicate-bigram ratio and most-frequent-bigram share.
+  //    One explode + two map-side-combined aggregations; no corpus-wide
+  //    state, linear at any scale.
+  /** Library entry point for t06: works on any (doc_id, text) frame. */
+  def repetitionScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val bi = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+            .as("bigram"))
+      bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(
+          col("doc_id"),
+          col("n_bigrams"),
+          round(lit(1.0) - col("n_distinct") / col("n_bigrams").cast(DoubleType), 6).as("dup_ratio"),
+          round(col("top_c") / col("n_bigrams").cast(DoubleType), 6).as("top_share"))
+  }
+
+  private val t06 = Q(
+    "t06_repetition_score",
+    (s, d) => repetitionScore(Tables.documents(s, d)),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, toks[i.i+1] || ' ' || toks[i.i+2] AS bigram
+             FROM t, (SELECT unnest(range(10000)) AS i) i
+             WHERE len(toks) >= 2 AND i.i <= len(toks) - 2),
+      c AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             round(1.0 - count(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ratio,
+             round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+      FROM c GROUP BY doc_id
+    """.trim))
+
+  /** words per dedup passage (d08) */
+  val PassageWords = 10
+
+  // -- d08: cross-document passage dedup (CCNet-shape): chunk every doc
+  //    into fixed 10-word passages, fingerprint each, count global
+  //    occurrences, and report per-doc how much material survives
+  //    first-occurrence dedup (keeper = min (doc_id, idx) per
+  //    fingerprint). The passage table shuffles once on the fingerprint
+  //    (map-side combined) and once per-doc — both aggregation-shaped,
+  //    no pairwise joins anywhere.
+  private val d08 = Q(
+    "d08_passage_dedup",
+    (s, d) => {
+      val p = PassageWords
+      val passages = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, cast(ceil(size(toks) / $p.0) as int) - 1), " +
+              s"i -> concat_ws(' ', slice(toks, i * $p + 1, $p)))"))
+            .as(Seq("idx", "passage")))
+        .withColumn("fp", md5(col("passage")))
+      val keeper = Window.partitionBy("fp")
+      val marked = passages
+        .withColumn("n_copies", count(lit(1)).over(keeper))
+        .withColumn("keep_doc", min(col("doc_id")).over(keeper))
+        // second window pass: the conditional min needs keep_doc
+        // materialized (window-in-window is illegal in one expression)
+        .withColumn("keep_idx",
+          min(when(col("doc_id") === col("keep_doc"), col("idx"))).over(keeper))
+        .withColumn("keep",
+          col("doc_id") === col("keep_doc") && col("idx") === col("keep_idx"))
+      marked
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_passages"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("kept_ratio", round(col("n_kept") / col("n_passages").cast(DoubleType), 6))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (SELECT doc_id, i.i AS idx,
+                   md5(array_to_string(toks[i.i * $PassageWords + 1 : i.i * $PassageWords + $PassageWords], ' ')) AS fp
+            FROM t, (SELECT unnest(range(10000)) AS i) i
+            WHERE i.i < ceil(len(toks) / ${PassageWords}.0)),
+      m1 AS (SELECT doc_id, idx, fp,
+                    count(*) OVER (PARTITION BY fp) AS n_copies,
+                    min(doc_id) OVER (PARTITION BY fp) AS keep_doc
+             FROM p),
+      m AS (SELECT *,
+                   min(CASE WHEN doc_id = keep_doc THEN idx END)
+                     OVER (PARTITION BY fp) AS keep_idx
+            FROM m1)
+      SELECT doc_id,
+             count(*) AS n_passages,
+             CAST(SUM(CASE WHEN doc_id = keep_doc AND idx = keep_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             round(SUM(CASE WHEN doc_id = keep_doc AND idx = keep_idx THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS kept_ratio
+      FROM m GROUP BY doc_id
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08)
+}

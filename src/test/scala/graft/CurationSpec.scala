@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the training-data curation operators
+  * (exact-value parity vs DuckDB is tools/check.py's job).
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("p01: split assignment is deterministic, total, and ~90/5/5") {
+    val a = Catalog.byName("p01_split_assign").run(spark, sf)
+    val b = Catalog.byName("p01_split_assign").run(spark, sf)
+    assert(a.except(b).count() == 0, "rerun must not flip any assignment")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") / n > 0.8, s"train share ${counts("train") / n}")
+    assert(counts("val") / n < 0.15 && counts("test") / n < 0.15)
+    assert(n.toLong == docs.count(), "every doc gets exactly one split")
+  }
+
+  test("p02: sample rate per stratum is honored within tolerance") {
+    val sampled = Catalog.byName("p02_stratified_sample").run(spark, sf)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / base("en")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en sampled at $enRate, want ~0.5")
+    // sampling is a strict filter: no invented rows
+    assert(sampled.count() <= docs.count())
+  }
+
+  test("p03: bins are contiguous per lang and respect the running budget") {
+    val packed = Catalog.byName("p03_pack_sequences").run(spark, sf)
+    // bin ids per lang form a dense 0..max range (no gaps: a bin is only
+    // opened once the running count crosses a budget boundary)
+    val perLang = packed.groupBy("lang")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("nbins"))
+      .collect()
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("nbins") == r.getAs[Long]("hi") + 1,
+        s"gap in bins for ${r.getAs[String]("lang")}")
+    }
+    // bins are monotone in doc_id order within a lang (the packing order)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val nonMonotone = packed
+      .withColumn("prev_bin", lag("bin", 1).over(w))
+      .filter(col("prev_bin").isNotNull && col("bin") < col("prev_bin"))
+      .count()
+    assert(nonMonotone == 0, "bin ids must be non-decreasing in packing order")
+  }
+
+  test("t05: exactly top-3 terms per doc, ranked by tf-idf desc") {
+    val t = Catalog.byName("t05_tfidf_terms").run(spark, sf)
+    val perDoc = t.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr")).collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("n") <= 3 && r.getAs[Long]("maxr") <= 3)
+    }
+    // scores are non-increasing in rank within a doc
+    val viol = t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.rank") < col("b.rank") &&
+          col("a.score") < col("b.score"))
+      .count()
+    assert(viol == 0, "higher rank must not have lower score")
+  }
+
+  test("t06: ratios are in [0,1] and a repeated-text doc scores higher") {
+    import spark.implicits._
+    val t = Catalog.byName("t06_repetition_score").run(spark, sf)
+    val bounds = t.agg(
+      min("dup_ratio"), max("dup_ratio"), min("top_share"), max("top_share"))
+      .collect()(0)
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    assert(bounds.getDouble(2) > 0.0 && bounds.getDouble(3) <= 1.0)
+    // a doc that is one bigram repeated must land at dup_ratio ~ 1
+    val loop = Seq(("synthetic", ("spam ham " * 50).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val scored = llm.Curation.repetitionScore(loop)
+    val r = scored.collect()(0)
+    assert(r.getAs[Double]("dup_ratio") > 0.9)
+    assert(r.getAs[Double]("top_share") > 0.4)
+  }
+
+  test("d08: kept+shared accounting is consistent and dedup is lossless on uniques") {
+    val d = Catalog.byName("d08_passage_dedup").run(spark, sf)
+    // every doc appears; kept <= passages; ratios consistent
+    assert(d.count() == docs.count())
+    val bad = d.filter(col("n_kept") > col("n_passages")).count()
+    assert(bad == 0)
+    // globally: number of kept passages == number of distinct fingerprints
+    val kept = d.agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinctFps = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / ${llm.Curation.PassageWords}.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * ${llm.Curation.PassageWords} + 1, ${llm.Curation.PassageWords})))"))
+        .as(Seq("idx", "passage")))
+      .select(md5(col("passage"))).distinct().count()
+    assert(kept == distinctFps, "one keeper per distinct passage fingerprint")
+  }
+}
