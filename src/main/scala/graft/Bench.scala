@@ -27,17 +27,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSessions.local("graft-bench", cpus.toInt)
 
-    val all = Catalog.all.map(q => q.name -> q.run)
+    // local-iteration extras (driver passes no args): restrict to the
+    // named queries and repeat each, reporting the best-of-n time
+    val only = args.filterNot(_.forall(_.isDigit)).toSet
+    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(1)
+    val all = Catalog.all
+      .filter(q => only.isEmpty || only(q.name))
+      .map(q => q.name -> q.run)
     // warmup: run everything once on the tiny sf
     for ((_, fn) <- all)
       try materialize(fn(spark, WarmDir)) catch { case _: Throwable => () }
 
     val results = all.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -46,7 +55,7 @@ object Bench {
     // never let the streaming probe destroy the query timings: the
     // contract is exactly one JSON line on stdout
     val blocksPerSec =
-      try streamingThroughput(spark)
+      try if (only.nonEmpty) 0.0 else streamingThroughput(spark)
       catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); 0.0 }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"}}""")

@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   */
 object LlmQueries {
 
-  private val MaxDf = 1000
-  private val K = 8 // minhash permutations
+  private[graft] val MaxDf = 1000
+  private[graft] val K = 8 // minhash permutations
   private val R = 2 // rows per LSH band
 
   /** shared DuckDB CTE: distinct 3-gram shingles + stop-shingle cap */
