@@ -23,6 +23,7 @@ object Catalog {
       ops.Relational3.queries ++
       ops.Relational4.queries ++
       llm.LlmQueries.queries ++
+      llm.Clusters.queries ++
       llm.Curation.queries ++
       blocks.BlockQueries.queries
 

@@ -263,5 +263,67 @@ object Curation {
       FROM m GROUP BY doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08)
+  /** n-gram width for the contamination check (c01) */
+  val ContamN = 5
+
+  // -- c01: train/test contamination — train-split docs sharing any
+  //    5-gram with a test-split doc (the leak check every eval pipeline
+  //    needs before training). Reuses the p01 hash split and the dedup
+  //    family's capped shingle machinery. The test side is a small
+  //    fixed fraction of the corpus, so it broadcasts at bench scale;
+  //    at 100 TB swap the broadcast for a bloom filter of test-shingle
+  //    hashes (same plan shape, same output).
+  private val c01 = Q(
+    "c01_contamination",
+    (s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), ContamN)
+        // u is a pure function of doc_id: recompute post-explode rather
+        // than joining the split assignment back (saves a shuffle)
+        .withColumn("u", unitHash(col("doc_id")))
+      val testSh = sh.filter(col("u") >= 0.95)
+        .select(col("doc_id").as("test_doc"), col("shingle"))
+      val trainSh = sh.filter(col("u") < 0.9)
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      trainSh.join(broadcast(testSh), "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, $duckUnitHash AS u
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, u,
+                    ${(0 until ContamN).map(k => s"toks[i.i+${k + 1}]").mkString(" || ' ' || ")} AS shingle
+             FROM t, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
+             WHERE len(toks) >= $ContamN AND i.i <= len(toks) - $ContamN)
+      SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, count(*) AS n_shared
+      FROM sh tr JOIN sh te USING (shingle)
+      WHERE tr.u < 0.9 AND te.u >= 0.95
+      GROUP BY 1, 2
+    """.trim))
+
+  // -- v01: corpus vocabulary — top-1000 terms by frequency (the
+  //    tokenizer-training view). The window runs over the POST-agg
+  //    vocabulary (distinct terms), not the corpus: a global top-k on
+  //    agg output is a single-reduce TakeOrdered at any corpus size.
+  private val v01 = Q(
+    "v01_vocab_topk",
+    (s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      terms
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 1000)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT term, count(*) AS cnt,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS rank
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term)
+      WHERE rank <= 1000
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08, c01, v01)
 }

@@ -67,36 +67,54 @@ object LlmQueries {
     * Jaccard over the candidate pairs at `minJac` — the oracle image of
     * [[Dedup.jaccard]].
     */
-  private def jaccardTail(minJac: Double) = s"""
+  private val jaccardCtes = s"""
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT c.d1, c.d2, count(*) AS i
                 FROM cand c
                 JOIN sh s1 ON s1.doc_id = c.d1
                 JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-                GROUP BY c.d1, c.d2)
+                GROUP BY c.d1, c.d2)"""
+
+  private def jaccardSelect(minJac: Double) = s"""
       SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
       FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
       WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= $minJac"""
 
-  // -- d03: MinHash-LSH near-dup pairs, exact-Jaccard verified >= 0.8.
-  private val d03 = Q(
-    "d03_minhash_lsh",
-    (s, d) => {
-      // the shingle index feeds signature building AND jaccard verify —
-      // cache it (at lake scale: persist DISK_ONLY or checkpoint)
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
-      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, R)
-      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8).select("d1", "d2", "jac")
-    },
-    Some(s"""
-      WITH $shingleCte,
+  private def jaccardTail(minJac: Double) = s"""$jaccardCtes
+      ${jaccardSelect(minJac)}"""
+
+  /** The d03 pipeline as a reusable DataFrame: verified near-dup pairs
+    * (d1 < d2, jac >= 0.8). Consumed by d03 itself and by the
+    * cluster-contraction stage (d09 in [[Clusters]]).
+    */
+  private[llm] def nearDupPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // the shingle index feeds signature building AND jaccard verify —
+    // cache it (at lake scale: persist DISK_ONLY or checkpoint)
+    val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+    val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, R)
+    Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8).select("d1", "d2", "jac")
+  }
+
+  /** DuckDB CTE chain ending in `pairs(d1, d2, jac)` — the oracle image
+    * of [[nearDupPairs]], shared by d03's and d09's oracles.
+    */
+  private[llm] val pairsCtes = s"""$shingleCte,
       $sigCte,
       bands AS (${(0 until K / R)
         .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
         .mkString(" UNION ALL ")}),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      ${jaccardTail(0.8)}
+      $jaccardCtes,
+      pairs AS (${jaccardSelect(0.8)})"""
+
+  // -- d03: MinHash-LSH near-dup pairs, exact-Jaccard verified >= 0.8.
+  private val d03 = Q(
+    "d03_minhash_lsh",
+    (s, d) => nearDupPairs(s, d),
+    Some(s"""
+      WITH $pairsCtes
+      SELECT d1, d2, jac FROM pairs
     """.trim))
 
   // -- d04: 48-bit SimHash signature per doc (shuffle-free HOFs).
@@ -264,6 +282,39 @@ object LlmQueries {
                                                neighbor_id ASC) AS rk
                  FROM cs)
       SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk = 1
+    """.trim))
+
+  // -- e01: int8 scalar quantization of the embedding column — the
+  //    compression step an ANN index at 100 TB runs before storage
+  //    (4x smaller vectors, one map-side pass, no shuffle). Per-vector
+  //    symmetric scale = 127/max|x|; quantized value = floor(x*scale)
+  //    (floor, not round: IEEE-exact on both engines, no half-ulp
+  //    tie-break parity risk). The harness-facing output projects the
+  //    int8 vector to scalars (sum/min/max); the library shape would
+  //    keep the array column.
+  private val e01 = Q(
+    "e01_quantize_int8",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("mx", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("aggregate(embedding, cast(0 as bigint), (acc, x) -> acc + cast(floor(cast(x as double) * scale) as bigint))").as("qsum"),
+          expr("cast(array_min(transform(embedding, x -> floor(cast(x as double) * scale))) as bigint)").as("qmin"),
+          expr("cast(array_max(transform(embedding, x -> floor(cast(x as double) * scale))) as bigint)").as("qmax")),
+    Some("""
+      WITH m AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+                 FROM embeddings),
+      sc AS (SELECT vec_id, embedding, 127.0 / mx AS scale FROM m WHERE mx > 0)
+      SELECT vec_id, round(scale, 6) AS scale,
+             CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))) AS BIGINT) AS qsum,
+             CAST(list_min(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS qmin,
+             CAST(list_max(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS qmax
+      FROM sc
     """.trim))
 
   // -- s04: IVF-flat top-k — sampled coarse quantizer (vec_id < 16),
@@ -507,5 +558,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

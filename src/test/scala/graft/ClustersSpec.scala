@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-semantics invariants for the dedup cluster contraction (d09). */
+class ClustersSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("d09: labels are a fixpoint — every near-dup pair lands in one cluster") {
+    val cl = Catalog.byName("d09_dedup_clusters").run(spark, sf)
+    val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf)
+    val l1 = cl.select(col("doc_id").as("d1"), col("cluster").as("c1"))
+    val l2 = cl.select(col("doc_id").as("d2"), col("cluster").as("c2"))
+    val split = pairs.join(l1, "d1").join(l2, "d2")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(split == 0, "a verified near-dup pair must never straddle clusters")
+  }
+
+  test("d09: cluster root is a member and the unique keeper") {
+    val cl = Catalog.byName("d09_dedup_clusters").run(spark, sf).cache()
+    // root is a member of its own cluster
+    val roots = cl.select(col("cluster")).distinct()
+    val orphaned = roots.join(
+      cl.select(col("doc_id").as("cluster")), Seq("cluster"), "left_anti").count()
+    assert(orphaned == 0, "every cluster root must itself be a row")
+    // exactly one keeper per cluster, and it is the min member
+    val badKeep = cl.groupBy("cluster")
+      .agg(sum("keep").as("nkeep"), min("doc_id").as("mn"),
+        max(when(col("keep") === 1, col("doc_id"))).as("kept"))
+      .filter(col("nkeep") =!= 1 || col("kept") =!= col("mn") || col("kept") =!= col("cluster"))
+      .count()
+    assert(badKeep == 0)
+    cl.unpersist()
+  }
+
+  test("connectedComponents contracts a 3-chain that pairwise LSH would report as 2 edges") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2") // chain: 1-2-3; 4 isolated
+    val got = llm.Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+}

@@ -92,6 +92,44 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("top_share") > 0.4)
   }
 
+  test("c01: contaminated pairs really share a 5-gram across the split boundary") {
+    val c = Catalog.byName("c01_contamination").run(spark, sf).collect()
+    // the generator plants near-dups; some straddle the 90/5/5 split
+    c.foreach { r =>
+      val tr = r.getAs[Long]("train_doc"); val te = r.getAs[Long]("test_doc")
+      assert(tr != te)
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+    // spot-verify one pair by brute force
+    if (c.nonEmpty) {
+      val r = c.head
+      val texts = docs.filter(col("doc_id").isin(r.getAs[Long]("train_doc"), r.getAs[Long]("test_doc")))
+        .collect().map(_.getAs[String]("text").split(" ").sliding(5).map(_.mkString(" ")).toSet)
+      assert(texts(0).intersect(texts(1)).nonEmpty)
+    }
+  }
+
+  test("v01: vocabulary ranks are dense, counts non-increasing") {
+    val v = Catalog.byName("v01_vocab_topk").run(spark, sf)
+      .orderBy("rank").collect()
+    assert(v.nonEmpty && v.head.getAs[Long]("rank") == 1L)
+    v.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("rank") == a.getAs[Long]("rank") + 1)
+        assert(b.getAs[Long]("cnt") <= a.getAs[Long]("cnt"))
+      case _ =>
+    }
+  }
+
+  test("e01: quantized range fits int8 and scale is the max-normalizer") {
+    val e = Catalog.byName("e01_quantize_int8").run(spark, sf)
+    val bad = e.filter(col("qmin") < -128 || col("qmax") > 127).count()
+    assert(bad == 0, "floor(x * 127/max|x|) must stay within int8")
+    // at least one coordinate touches the positive or negative edge
+    val edge = e.filter(col("qmax") === 127 || col("qmin") === -128).count()
+    assert(edge > 0)
+  }
+
   test("d08: kept+shared accounting is consistent and dedup is lossless on uniques") {
     val d = Catalog.byName("d08_passage_dedup").run(spark, sf)
     // every doc appears; kept <= passages; ratios consistent
