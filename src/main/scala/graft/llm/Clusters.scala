@@ -38,7 +38,12 @@ object Clusters {
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
-    var labels = nodes
+    // propagate only over the near-dup subgraph (docs that appear in at
+    // least one pair) — a vanishing fraction of the corpus at any scale.
+    // Untouched docs are singletons and join back at the end, so the
+    // per-round joins never touch the full node set.
+    val touched = edges.select(col("d1").as("doc_id")).distinct()
+    var labels = touched
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
     var round = 0
@@ -62,7 +67,10 @@ object Clusters {
       round += 1
     }
     edges.unpersist()
-    labels
+    val singletons = nodes
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.union(singletons)
   }
 
   // -- d09: near-dup clusters + keeper election over d03's verified
