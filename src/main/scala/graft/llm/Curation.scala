@@ -32,6 +32,9 @@ object Curation {
   private val duckUnitHash =
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
 
+  /** [[duckUnitHash]] with a qualified doc_id, for multi-table scopes */
+  private def duckUnitHashOf(q: String) = duckUnitHash.replace("doc_id", q + ".doc_id")
+
   // -- p01: deterministic train/val/test split. Pure projection (zero
   //    shuffle, zero state): the assignment is a function of doc_id
   //    alone, so it is stable under corpus growth, repartitioning, and
@@ -325,5 +328,81 @@ object Curation {
       WHERE rank <= 1000
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08, c01, v01)
+  /** x01 quality-gate thresholds */
+  val MinTokens = 10L
+  val MaxTokens = 10000L
+  val MaxDupRatio = 0.5
+
+  // -- x01: the end-to-end curation gate — every linear-cost stage of a
+  //    production training-data pipeline composed into one plan: split
+  //    assignment (p01), fingerprint dedup keeper (d02), length +
+  //    repetition quality gates (t03/t06), and train-set contamination
+  //    (c01), emitting one disposition per document. First matching rule
+  //    wins: dup -> length -> repetitive -> contaminated -> kept.
+  //    Everything here is aggregation/broadcast-shaped (no pairwise
+  //    joins): the O(n log n) LSH family (d03/d09) runs as its own
+  //    offline job feeding a drop-list, exactly as it would at 100 TB.
+  private val x01 = Q(
+    "x01_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.withColumn("fp", TextAnalysis.contentFingerprint)
+      val keepers = fp.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+      val qual = repetitionScore(docs).select(col("doc_id"), col("dup_ratio"))
+      val contamDocs = c01.run(s, d)
+        .select(col("train_doc").as("doc_id")).distinct()
+        .withColumn("contaminated", lit(1L))
+      val u = unitHash(col("doc_id"))
+      fp.join(keepers, "fp")
+        .join(qual, Seq("doc_id"), "left")
+        .join(contamDocs, Seq("doc_id"), "left")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("split",
+          when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test"))
+        .withColumn("disposition",
+          when(col("doc_id") =!= col("keeper_id"), "dup")
+            .when(col("n_tokens") < MinTokens || col("n_tokens") > MaxTokens, "length")
+            .when(col("dup_ratio") > MaxDupRatio, "repetitive")
+            .when(col("contaminated") === 1L && col("split") === "train", "contaminated")
+            .otherwise("kept"))
+        .select("doc_id", "split", "n_tokens", "disposition")
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id, text,
+                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+                  FROM documents),
+      keepers AS (SELECT fp, MIN(doc_id) AS keeper_id FROM fp GROUP BY fp),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, toks[i.i+1] || ' ' || toks[i.i+2] AS bigram
+             FROM t, (SELECT unnest(range(10000)) AS i) i
+             WHERE len(toks) >= 2 AND i.i <= len(toks) - 2),
+      bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2),
+      qual AS (SELECT doc_id, 1.0 - count(*) / CAST(SUM(c) AS DOUBLE) AS dup_ratio
+               FROM bc GROUP BY doc_id),
+      csh AS (SELECT DISTINCT doc_id, $duckUnitHash AS u,
+                     ${(0 until ContamN).map(k => s"toks[i.i+${k + 1}]").mkString(" || ' ' || ")} AS shingle
+              FROM t, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
+              WHERE len(toks) >= $ContamN AND i.i <= len(toks) - $ContamN),
+      contam AS (SELECT DISTINCT tr.doc_id AS doc_id
+                 FROM csh tr JOIN csh te USING (shingle)
+                 WHERE tr.u < 0.9 AND te.u >= 0.95)
+      SELECT f.doc_id,
+             CASE WHEN ${duckUnitHashOf("f")} < 0.9 THEN 'train'
+                  WHEN ${duckUnitHashOf("f")} < 0.95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN f.doc_id <> k.keeper_id THEN 'dup'
+                  WHEN len(string_split(f.text, ' ')) < $MinTokens
+                       OR len(string_split(f.text, ' ')) > $MaxTokens THEN 'length'
+                  WHEN q.dup_ratio > $MaxDupRatio THEN 'repetitive'
+                  WHEN c.doc_id IS NOT NULL
+                       AND ${duckUnitHashOf("f")} < 0.9 THEN 'contaminated'
+                  ELSE 'kept' END AS disposition
+      FROM fp f
+      JOIN keepers k USING (fp)
+      LEFT JOIN qual q ON q.doc_id = f.doc_id
+      LEFT JOIN contam c ON c.doc_id = f.doc_id
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08, c01, v01, x01)
 }

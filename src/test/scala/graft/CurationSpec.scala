@@ -130,6 +130,25 @@ class CurationSpec extends AnyFunSuite {
     assert(edge > 0)
   }
 
+  test("x01: every doc gets one disposition; rules agree with their source operators") {
+    val x = Catalog.byName("x01_curation_pipeline").run(spark, sf).cache()
+    assert(x.count() == docs.count())
+    // contaminated dispositions are exactly c01's train docs that
+    // survived the earlier gates
+    val contamTrain = Catalog.byName("c01_contamination").run(spark, sf)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val markedContam = x.filter(col("disposition") === "contaminated").select("doc_id")
+    assert(markedContam.except(contamTrain).count() == 0)
+    // a disposition of 'dup' implies another doc with the same fingerprint kept
+    val dups = x.filter(col("disposition") === "dup").count()
+    val fpGroups = docs.groupBy(llm.TextAnalysis.contentFingerprint)
+      .count().filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).collect()(0)
+    val expectedDups = if (fpGroups.isNullAt(0)) 0L else fpGroups.getLong(0)
+    assert(dups == expectedDups)
+    x.unpersist()
+  }
+
   test("d08: kept+shared accounting is consistent and dedup is lossless on uniques") {
     val d = Catalog.byName("d08_passage_dedup").run(spark, sf)
     // every doc appears; kept <= passages; ratios consistent
