@@ -65,6 +65,48 @@ object HashUtil {
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** 48-bit SimHash over space-separated words — the single-pass native
+    * form of the HOF pipeline `aggregate(transform(split(text,' '),
+    * md5_prefix64), votes…)`: one MD5 per word, a 48-wide vote
+    * accumulator, sign bits packed at the end. Word splitting keeps
+    * empty tokens (including a trailing one) to match `split(text,' ')`
+    * / DuckDB `string_split` semantics exactly — oracle parity depends
+    * on hashing the same token stream.
+    */
+  def simhash48(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < 48) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 }
 
 /** Native codegen form of the dedup hash
@@ -84,6 +126,21 @@ case class Md5Prefix64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "md5_prefix64"
 }
 
+/** Native codegen 48-bit SimHash (see [[HashUtil.simhash48]]) — replaces
+  * a 4-level interpreted HOF pipeline (split → transform-md5 → zip_with
+  * vote fold → bit pack) with one static call per row. Same signature
+  * bits, oracle parity verified by the d04 gate.
+  */
+case class SimHash48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simhash48(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash48($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash48 = copy(c)
+  override def prettyName: String = "simhash48"
+}
+
 /** Column-level entry points (the user-facing function surface). */
 object ColumnFns {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -98,11 +155,14 @@ object ColumnFns {
   def zstd_compress(col: Column): Column = c(ZstdCompress(e(col)))
   def zstd_decompress(col: Column): Column = c(ZstdDecompress(e(col)))
   def md5_prefix64(col: Column): Column = c(Md5Prefix64(e(col)))
+  def simhash48(col: Column): Column = c(SimHash48(e(col)))
 
   /** Register the SQL-callable subset of these functions on a session
     * so `expr(...)` strings and HOF lambdas can use them (done by
     * `SparkSessions.local` for every engine entry point).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "md5_prefix64", args => Md5Prefix64(args.head))
+    Bridge.registerFunction(spark, "simhash48", args => SimHash48(args.head))
+  }
 }

@@ -148,9 +148,19 @@ object Dedup {
   }
 
   /** 48-bit SimHash Column — resolves `text` on whatever DataFrame it
-    * is selected over. No shuffle, pure higher-order functions. Word
-    * hash = first 15 md5 hex chars as a 60-bit int; bit b of the
-    * signature is the sign of the +/-1 vote sum over word-hash bit b.
+    * is selected over. No shuffle. Word hash = first 15 md5 hex chars
+    * as a 60-bit int; bit b of the signature is the sign of the +/-1
+    * vote sum over word-hash bit b. Computed by the native codegen
+    * [[graft.functions.SimHash48]] expression: one static call per row,
+    * no per-word array allocation (the interpreted HOF form it replaces
+    * is kept below as [[simhashHof]] for the parity cross-check).
+    */
+  def simhash(): Column =
+    graft.functions.ColumnFns.simhash48(col("text"))
+
+  /** The original higher-order-function formulation of [[simhash]] —
+    * retained as the executable spec the native expression is tested
+    * against (LlmSpec cross-checks them row-for-row).
     *
     * Loop order matters for performance: the fold runs over the word
     * hashes ONCE (one md5 per word), accumulating a 48-wide vote
@@ -158,7 +168,7 @@ object Dedup {
     * The inverted form (fold over bits, inner fold over words) re-runs
     * the md5 transform per bit — measured 8x slower.
     */
-  def simhash(bits: Int = 48): Column =
+  def simhashHof(bits: Int = 48): Column =
     expr(s"""
       aggregate(
         transform(split(text, ' '), w -> md5_prefix64(w)),

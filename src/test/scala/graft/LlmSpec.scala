@@ -42,6 +42,19 @@ class LlmSpec extends AnyFunSuite {
     assert(exact.except(lsh).count() == 0)
   }
 
+  test("native simhash48 equals the HOF formulation row-for-row") {
+    import spark.implicits._
+    val edge = Seq(
+      (9000L, ""), (9001L, " "), (9002L, "one"), (9003L, "a  b"),
+      (9004L, "trailing space "), (9005L, ("w " * 200).trim))
+      .toDF("doc_id", "text")
+    val sample = docs.select("doc_id", "text").limit(100).union(edge)
+    val mismatches = sample.select(
+      Dedup.simhash().as("native"), Dedup.simhashHof().as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val sim = Catalog.byName("d04_simhash").run(spark, sf)
     val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf)
