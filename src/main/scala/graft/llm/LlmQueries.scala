@@ -317,6 +317,60 @@ object LlmQueries {
       FROM sc
     """.trim))
 
+  // -- d10: cross-modal semantic dedup — embedding-LSH candidate pairs
+  //    verified by cosine (the semantic signal) and annotated with
+  //    textual n-gram Jaccard (the lexical signal) over the SAME ids
+  //    (documents.doc_id ≡ embeddings.vec_id). The operator a 100 TB
+  //    pipeline runs to catch paraphrase duplicates: high-cos/low-jac
+  //    pairs are rewrites exact dedup can never see. Candidate
+  //    generation is band-bounded (never all-pairs); the Jaccard
+  //    annotate is candidate-bounded (left join, 0.0 when the pair
+  //    shares no shingle).
+  private val d10 = Q(
+    "d10_semantic_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bandedCandidates(emb, planes = 16, bandBits = 4)
+      val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      val cosPairs = cand
+        .join(e1, "v1")
+        .join(e2, "v2")
+        .select(col("v1").as("d1"), col("v2").as("d2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val jac = Dedup.jaccard(cosPairs.select("d1", "d2"), sh).select("d1", "d2", "jac")
+      cosPairs.join(jac, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"), col("cos"),
+          coalesce(col("jac"), lit(0.0)).as("jac"))
+    },
+    Some(s"""
+      WITH $bandCte16,
+      cs AS (SELECT c.v1, c.v2,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(e2.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS nb
+             FROM cand c
+             JOIN embeddings e1 ON e1.vec_id = c.v1
+             JOIN embeddings e2 ON e2.vec_id = c.v2,
+             (SELECT unnest(range(64)) AS d) d
+             GROUP BY c.v1, c.v2),
+      cosp AS (SELECT v1 AS d1, v2 AS d2, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+               FROM cs WHERE round(dt / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+      $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT p.d1, p.d2, count(*) AS i
+                FROM cosp p
+                JOIN sh s1 ON s1.doc_id = p.d1
+                JOIN sh s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+                GROUP BY p.d1, p.d2),
+      jac AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
+              FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2)
+      SELECT p.d1, p.d2, p.cos, COALESCE(j.jac, 0.0) AS jac
+      FROM cosp p LEFT JOIN jac j ON j.d1 = p.d1 AND j.d2 = p.d2
+    """.trim))
+
   // -- s04: IVF-flat top-k — sampled coarse quantizer (vec_id < 16),
   //    4-probe posting-list search, exact cosine re-rank. The third ANN
   //    flavor next to brute force (s01) and LSH (s02/s03): scanned
@@ -558,5 +612,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

@@ -66,6 +66,19 @@ class LlmSpec extends AnyFunSuite {
     assert(maxHamDup <= 12, s"near-dups should be hamming-close, got $maxHamDup")
   }
 
+  test("d10: semantic pairs are cos-verified; lexical near-dups among them carry high jaccard") {
+    val sem = Catalog.byName("d10_semantic_dedup").run(spark, sf).cache()
+    assert(sem.count() > 0)
+    assert(sem.filter(col("cos") < 0.4).count() == 0)
+    // every lexical near-dup pair (d03) that band-collides semantically
+    // must show its jaccard here, not 0
+    val lex = Catalog.byName("d03_minhash_lsh").run(spark, sf).select("d1", "d2")
+    val overlap = sem.join(lex, Seq("d1", "d2"))
+    assert(overlap.filter(col("jac") < 0.8).count() == 0,
+      "a d03-verified pair annotated by d10 must carry its true jaccard")
+    sem.unpersist()
+  }
+
   test("cosine top-k is the true argmax set (vs full scan)") {
     val top = Catalog.byName("s01_cosine_topk").run(spark, sf).collect()
     assert(top.length == 10)
