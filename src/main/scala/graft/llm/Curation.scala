@@ -328,6 +328,40 @@ object Curation {
       WHERE rank <= 1000
     """.trim))
 
+  // -- p04: domain-mixing weights — per-(source, lang) token shares and
+  //    the sampling weight that would flatten the mixture to uniform
+  //    across strata (weight = target_share / actual_share; a target
+  //    mixture table would be a broadcast dim in production). One
+  //    map-side-combined aggregation over the corpus; the weight math
+  //    runs on the aggregate (strata-sized) frame.
+  private val p04 = Q(
+    "p04_source_mix",
+    (s, d) => {
+      val agg = Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("tokens"))
+      val w = Window.partitionBy(lit(1))
+      agg
+        .withColumn("token_share",
+          round(col("tokens") / sum(col("tokens")).over(w).cast(DoubleType), 6))
+        .withColumn("weight",
+          round((lit(1.0) / count(lit(1)).over(w)) /
+            (col("tokens") / sum(col("tokens")).over(w).cast(DoubleType)), 6))
+        .select("source", "lang", "docs", "tokens", "token_share", "weight")
+    },
+    Some("""
+      WITH agg AS (SELECT source, lang, count(*) AS docs,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                   FROM documents GROUP BY 1, 2)
+      SELECT source, lang, docs, tokens,
+             round(tokens / CAST(SUM(tokens) OVER () AS DOUBLE), 6) AS token_share,
+             round((1.0 / COUNT(*) OVER ()) /
+                   (tokens / CAST(SUM(tokens) OVER () AS DOUBLE)), 6) AS weight
+      FROM agg
+    """.trim))
+
   /** x01 quality-gate thresholds */
   val MinTokens = 10L
   val MaxTokens = 10000L
@@ -404,5 +438,5 @@ object Curation {
       LEFT JOIN contam c ON c.doc_id = f.doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, t05, t06, d08, c01, v01, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, d08, c01, v01, x01)
 }
