@@ -55,10 +55,20 @@ object Dedup {
           .as("shingle"))
       .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
 
-  /** shingle -> docs inverted index with stop-shingle cap: shingles in
-    * more than maxDf docs carry no similarity signal but quadratic join
-    * cost, so they are dropped (deterministically — the oracle applies
-    * the same HAVING).
+  /** shingle-hash -> docs inverted index with stop-shingle cap:
+    * shingles in more than maxDf docs carry no similarity signal but
+    * quadratic join cost, so they are dropped (deterministically — the
+    * oracle applies the same HAVING).
+    *
+    * Everything downstream of this point — the df aggregation, the
+    * anti join, the Jaccard intersection joins — keys on the 60-bit
+    * `h64` image, NOT the shingle string: the widest shuffles of the
+    * dedup family carry 8-byte longs instead of n-gram text (the
+    * string exists only inside the scan stage that hashes it). The
+    * oracle joins on the identical md5-derived hash, so parity is
+    * bit-for-bit; a 60-bit collision would merge two shingles on both
+    * engines alike (P < 1e-8 at 1e6 distinct shingles per capped df
+    * group — and the hash gate would surface it).
     *
     * The cap is applied as a broadcast ANTI join against the *stop* set
     * (df > maxDf): by construction that set is tiny (stop-ngrams are a
@@ -68,8 +78,9 @@ object Dedup {
     * bloom filter of stop hashes — same plan shape.
     */
   def shingleIndex(sh: DataFrame, maxDf: Int): DataFrame = {
-    val stops = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-    sh.join(broadcast(stops.select("shingle")), Seq("shingle"), "left_anti")
+    val narrow = sh.select("doc_id", "h64")
+    val stops = narrow.groupBy("h64").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+    narrow.join(broadcast(stops.select("h64")), Seq("h64"), "left_anti")
   }
 
   /** deterministic 60-bit permutation constant for minhash perm p,
@@ -117,7 +128,7 @@ object Dedup {
     * candidate-bounded equi-join on the inverted index.
     *
     * Both index sides are first cut to candidate docs with broadcast
-    * semi-joins, so the (doc, shingle) equi-join shuffles only
+    * semi-joins, so the (doc, h64) equi-join shuffles only
     * candidate-doc shingles (|cand| x shingles-per-doc rows), never the
     * full corpus index — the property that keeps verification cost
     * proportional to collisions, not corpus size. (A doc-grain
@@ -133,12 +144,12 @@ object Dedup {
       .union(c.select(col("d2").as("doc_id"))).distinct()
     val sizes = sh.join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("h64"))
       .join(broadcast(c.select("d1").distinct()), Seq("d1"), "leftsemi")
-    val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("h64"))
       .join(broadcast(c.select("d2").distinct()), Seq("d2"), "leftsemi")
     s1.join(broadcast(c), "d1")
-      .join(s2, Seq("d2", "shingle"))
+      .join(s2, Seq("d2", "h64"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")

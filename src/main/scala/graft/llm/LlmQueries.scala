@@ -16,14 +16,21 @@ object LlmQueries {
   private[graft] val K = 8 // minhash permutations
   private val R = 2 // rows per LSH band
 
-  /** shared DuckDB CTE: distinct 3-gram shingles + stop-shingle cap */
+  /** shared DuckDB CTE: distinct 3-gram shingles, hashed to the 60-bit
+    * md5 image, + stop-shingle cap — `sh(doc_id, h)`. Downstream CTEs
+    * join on `h`, mirroring the engine's long-keyed shuffles
+    * ([[Dedup.shingleIndex]]): both sides merge 60-bit collisions
+    * identically, so parity holds bit-for-bit.
+    */
   private val shingleCte = s"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh0 AS (SELECT DISTINCT doc_id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS shingle
             FROM toks, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
             WHERE len(t) >= 3 AND i.i <= len(t) - 3),
-    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxDf),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""
+    hh0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+            FROM sh0),
+    rare AS (SELECT h FROM hh0 GROUP BY h HAVING count(*) <= $MaxDf),
+    sh AS (SELECT hh0.doc_id, hh0.h FROM hh0 JOIN rare USING (h))"""
 
   // -- d01: exact dedup — keeper (min doc_id) per distinct text.
   private val d01 = Q(
@@ -57,11 +64,9 @@ object LlmQueries {
     * [[Dedup.minhashSigs]], used by d03 and d05.
     */
   private val sigCte = s"""
-    hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
-           FROM sh),
     sigs AS (SELECT doc_id,
       ${(0 until K).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
-      FROM hh GROUP BY doc_id)"""
+      FROM sh GROUP BY doc_id)"""
 
   /** shared DuckDB tail (follows `sh` + a `cand(d1,d2)` CTE): exact
     * Jaccard over the candidate pairs at `minJac` — the oracle image of
@@ -72,7 +77,7 @@ object LlmQueries {
       inter AS (SELECT c.d1, c.d2, count(*) AS i
                 FROM cand c
                 JOIN sh s1 ON s1.doc_id = c.d1
-                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
                 GROUP BY c.d1, c.d2)"""
 
   private def jaccardSelect(minJac: Double) = s"""
@@ -363,7 +368,7 @@ object LlmQueries {
       inter AS (SELECT p.d1, p.d2, count(*) AS i
                 FROM cosp p
                 JOIN sh s1 ON s1.doc_id = p.d1
-                JOIN sh s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+                JOIN sh s2 ON s2.doc_id = p.d2 AND s2.h = s1.h
                 GROUP BY p.d1, p.d2),
       jac AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
               FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2)

@@ -186,7 +186,7 @@ class LlmSpec extends AnyFunSuite {
   test("shingle index respects the stop-shingle cap") {
     val sh = Dedup.shingles(docs)
     val capped = Dedup.shingleIndex(sh, 2)
-    val maxDf = capped.groupBy("shingle").count().agg(max("count")).collect()(0).getLong(0)
+    val maxDf = capped.groupBy("h64").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxDf <= 2)
   }
 }
