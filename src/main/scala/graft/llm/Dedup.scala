@@ -104,18 +104,27 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: rows of r signature values concatenated into band
-    * keys; returns candidate pairs (d1 < d2) colliding in >= 1 band
+  /** LSH band table: one row per (doc, band) with the band key `bv`
+    * (r signature values concatenated). The joinable unit for both the
+    * self-join (corpus dedup) and the asymmetric delta-vs-corpus join
+    * (incremental dedup).
     */
-  def lshCandidates(sigs: DataFrame, k: Int, r: Int): DataFrame = {
+  def bandTable(sigs: DataFrame, k: Int, r: Int): DataFrame = {
     val bandStructs = (0 until k / r).map { b =>
       struct(
         lit(b).as("band"),
         concat_ws("_", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bv"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+  }
+
+  /** LSH banding: rows of r signature values concatenated into band
+    * keys; returns candidate pairs (d1 < d2) colliding in >= 1 band
+    */
+  def lshCandidates(sigs: DataFrame, k: Int, r: Int): DataFrame = {
+    val bands = bandTable(sigs, k, r)
     val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"))
     val b = bands.select(col("band"), col("bv"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "bv"))

@@ -289,6 +289,46 @@ object LlmQueries {
       SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk = 1
     """.trim))
 
+  // -- d11: incremental near-dup — the "new batch vs existing corpus"
+  //    form of d03, the shape a 100 TB pipeline actually runs daily
+  //    (you never re-dedup the world; you LSH-join the delta against
+  //    the corpus's standing band index). Corpus/delta split is the
+  //    deterministic doc_id hash (u < 0.8 = corpus, else delta); the
+  //    band join is asymmetric (delta x corpus, never corpus x corpus),
+  //    so candidate cost scales with |delta|, not |corpus|^2.
+  private val d11 = Q(
+    "d11_incremental_neardup",
+    (s, d) => {
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val bands = Dedup.bandTable(Dedup.minhashSigs(sh, K), K, R)
+      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
+        lit(1152921504606846976.0) // 2^60, same unit hash as p01
+      val corpus = bands.filter(u < 0.8)
+        .select(col("band"), col("bv"), col("doc_id").as("d1"))
+      val delta = bands.filter(u >= 0.8)
+        .select(col("band"), col("bv"), col("doc_id").as("d2"))
+      val cand = corpus.join(delta, Seq("band", "bv")).select("d1", "d2").distinct()
+      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
+        .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
+    },
+    Some {
+      def uh(q: String) =
+        s"CAST(concat('0x', substr(md5(CAST($q.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
+      s"""
+      WITH $shingleCte,
+      $sigCte,
+      bands AS (${(0 until K / R)
+        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+               WHERE ${uh("a")} < 0.8 AND ${uh("b")} >= 0.8),
+      $jaccardCtes
+      SELECT d1 AS corpus_doc, d2 AS delta_doc, jac
+      FROM (${jaccardSelect(0.8)})
+      """.trim
+    })
+
   // -- e01: int8 scalar quantization of the embedding column — the
   //    compression step an ANN index at 100 TB runs before storage
   //    (4x smaller vectors, one map-side pass, no shuffle). Per-vector
@@ -617,5 +657,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

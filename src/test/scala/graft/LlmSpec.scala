@@ -79,6 +79,24 @@ class LlmSpec extends AnyFunSuite {
     sem.unpersist()
   }
 
+  test("d11: incremental pairs are exactly d03's pairs that straddle the corpus/delta split") {
+    val inc = Catalog.byName("d11_incremental_neardup").run(spark, sf)
+    val all = Catalog.byName("d03_minhash_lsh").run(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
+      lit(1152921504606846976.0)
+    val split = docs.select(col("doc_id"), (u < 0.8).as("in_corpus"))
+    // d03 pairs with exactly one side in the corpus, normalized to (corpus, delta)
+    val crossing = all
+      .join(split.select(col("doc_id").as("d1"), col("in_corpus").as("c1")), "d1")
+      .join(split.select(col("doc_id").as("d2"), col("in_corpus").as("c2")), "d2")
+      .filter(col("c1") =!= col("c2"))
+      .select(
+        when(col("c1"), col("d1")).otherwise(col("d2")).as("corpus_doc"),
+        when(col("c1"), col("d2")).otherwise(col("d1")).as("delta_doc"),
+        col("jac"))
+    assert(inc.except(crossing).count() == 0 && crossing.except(inc).count() == 0)
+  }
+
   test("cosine top-k is the true argmax set (vs full scan)") {
     val top = Catalog.byName("s01_cosine_topk").run(spark, sf).collect()
     assert(top.length == 10)
