@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the 100 TB design rules: these
+  * assert the properties `.explain` audits rely on, so a refactor that
+  * silently degrades a plan (cartesian, lost broadcast) fails CI, not
+  * the cluster.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+
+  test("no catalog query plans a cartesian product") {
+    val offenders = Catalog.all.flatMap { q =>
+      val plan =
+        try q.run(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("designed broadcasts are planned as broadcasts") {
+    // c01: the small test-split side must broadcast (never shuffle the
+    // train side by shingle)
+    assert(planOf("c01_contamination").contains("BroadcastHashJoin"))
+    // t05: the vocabulary-sized df table must broadcast
+    assert(planOf("t05_tfidf_terms").contains("BroadcastHashJoin"))
+    // q05: dimension tables broadcast into the fact scan
+    assert(planOf("q05_regional_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup pipelines never shuffle the corpus by raw text") {
+    // the only text-keyed exchange allowed is d01's exact-dedup groupBy;
+    // LSH-family exchanges must be hash/long-keyed (h64, doc_id, band)
+    for (name <- Seq("d03_minhash_lsh", "d05_ngram_jaccard", "d11_incremental_neardup")) {
+      val plan = planOf(name)
+      assert(!plan.contains("hashpartitioning(shingle"),
+        s"$name shuffles on the shingle string")
+      assert(!plan.contains("hashpartitioning(text"),
+        s"$name shuffles on raw text")
+    }
+  }
+}
