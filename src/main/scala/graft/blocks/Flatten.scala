@@ -230,10 +230,28 @@ object Flatten {
     "shards" -> shards(docs))
 
   /** parse raw JSON-lines block documents with the versioned schema
-    * (never inferSchema — SURVEY §1.4)
+    * (never inferSchema — SURVEY §1.4). Lines that don't parse to a
+    * block document (malformed JSON, wrong shape) are DROPPED here —
+    * `from_json` yields a null struct for them, and a null doc row must
+    * never reach the entity tables. Capture them via [[rejects]] into a
+    * dead-letter location instead of losing them silently.
     */
   def parse(spark: SparkSession, jsonl: DataFrame): DataFrame = {
-    jsonl.select(from_json(col("value"), StreamerSchema.streamerMessage).as("doc")).select("doc.*")
+    jsonl
+      .select(from_json(col("value"), StreamerSchema.streamerMessage).as("doc"))
+      .filter(col("doc").isNotNull && col("doc.block.header.height").isNotNull)
+      .select("doc.*")
+  }
+
+  /** the complement of [[parse]]: raw lines that failed schema parse
+    * (the dead-letter stream a 100 TB ingest writes aside and alerts
+    * on, rather than poisoning the lake or crashing the job)
+    */
+  def rejects(spark: SparkSession, jsonl: DataFrame): DataFrame = {
+    jsonl
+      .withColumn("doc", from_json(col("value"), StreamerSchema.streamerMessage))
+      .filter(col("doc").isNull || col("doc.block.header.height").isNull)
+      .select(col("value").as("raw"))
   }
 
   /** in-memory fixture documents (golden example re-keyed per height) */

@@ -58,8 +58,40 @@ object BlockIngest {
       .digest(seed.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   def backfill(spark: SparkSession, srcDir: String, lakeDir: String): Unit = {
-    val docs = Flatten.parse(spark, spark.read.text(srcDir))
+    val raw = spark.read.text(srcDir)
+    val docs = Flatten.parse(spark, raw)
     writeEntities(docs, lakeDir, s"${runToken(s"backfill:$srcDir")}--1")
+    // dead-letter the unparseable lines next to the lake (never silently
+    // dropped, never poisoning the entity tables)
+    val bad = Flatten.rejects(spark, raw)
+    if (!bad.isEmpty)
+      bad.write.mode("append").parquet(s"$lakeDir/_rejects")
+  }
+
+  /** Dead-letter companion stream to [[start]]: tails the same drop dir
+    * under its OWN checkpoint and appends schema-reject lines to
+    * `<lakeDir>/_rejects`. Kept as a separate query so reject rows never
+    * enter the main path's watermark/dedup state (a null height would
+    * collapse all rejects into one dedup key).
+    */
+  def startRejects(
+      spark: SparkSession,
+      srcDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 64)
+      .text(srcDir)
+    val writer = Flatten.rejects(spark, raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(s"$lakeDir/_rejects")
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
   /** streaming tail with checkpointed resume + height dedup */

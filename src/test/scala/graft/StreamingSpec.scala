@@ -61,6 +61,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDirs == 1, s"expected 1 compacted batch dir, got $batchDirs")
   }
 
+  test("malformed lines never reach the entity tables and land in the dead-letter dir") {
+    val base = Files.createTempDirectory("graft_rejects").toString
+    val src = s"$base/src"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, 2000, 8, "ok")
+    Files.write(Paths.get(s"$src/garbage.jsonl"),
+      "not json at all\n{\"valid\":\"json\",\"but\":\"wrong shape\"}\n{broken"
+        .getBytes("UTF-8")): Unit
+
+    // streaming main path: bad lines dropped, 8 good blocks land
+    BlockIngest.start(spark, src, lake, s"$ckpt/main").awaitTermination()
+    val blocks = spark.read.parquet(s"$lake/blocks")
+    assert(blocks.count() == 8)
+    assert(blocks.filter(col("block_height").isNull).count() == 0)
+
+    // dead-letter companion: exactly the 3 bad lines, raw
+    BlockIngest.startRejects(spark, src, lake, s"$ckpt/rejects").awaitTermination()
+    val rejects = spark.read.parquet(s"$lake/_rejects")
+    assert(rejects.count() == 3)
+    assert(rejects.columns.toSeq == Seq("raw"))
+
+    // batch backfill honors the same contract
+    val lake2 = s"$base/lake2"
+    BlockIngest.backfill(spark, src, lake2)
+    assert(spark.read.parquet(s"$lake2/blocks").count() == 8)
+    assert(spark.read.parquet(s"$lake2/_rejects").count() == 3)
+  }
+
   test("S22 cloud-lake bootstrap loads a drop URI through the s3a-ready path") {
     val conf = graft.sources.CloudLake.s3aConf(anonymous = true)
     assert(conf("spark.hadoop.fs.s3a.committer.name") == "magic")
