@@ -198,5 +198,31 @@ object BlockQueries {
           col("lz4_bytes"))
     })
 
-  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07, b08)
+  // Polymorphic-variant rollup (SURVEY §1.3 "hard" item 3): the
+  // tagged-struct action encoding aggregated per variant — null-gated
+  // counts prove the per-variant fields (deposit for Transfer,
+  // public_key/permission for AddKey) stay confined to their variant,
+  // and the Decimal38 deposit sum rides the exact-digits VARCHAR image
+  // (driver-harness type rules, cf. b01/b02).
+  private val b09 = Q(
+    "b09_action_variants",
+    (s, _) =>
+      Flatten
+        .txActions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
+        .groupBy("action_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("deposit")).cast(StringType).as("total_deposit"),
+          count(col("public_key")).as("n_with_key"),
+          count(col("access_key_permission")).as("n_with_permission")),
+    Some(s"""
+      SELECT action_type, count(*) AS n,
+             CAST(SUM(deposit) AS VARCHAR) AS total_deposit,
+             count(public_key) AS n_with_key,
+             count(access_key_permission) AS n_with_permission
+      FROM ${fx("tx_actions")}
+      GROUP BY action_type
+    """.trim))
+
+  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07, b08, b09)
 }
