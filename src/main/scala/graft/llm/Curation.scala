@@ -202,6 +202,42 @@ object Curation {
       FROM c GROUP BY doc_id
     """.trim))
 
+  // -- t07: unigram-surprisal scoring — the perplexity-filter stand-in
+  //    (docs whose tokens are uniformly high-frequency are boilerplate;
+  //    very high mean surprisal is gibberish). True -ln p needs a float
+  //    log whose last ulp differs between engines, so the score uses
+  //    integer floor-log2: surprisal(term) = floor(log2(total // cnt))
+  //    computed as length(bin(n)) - 1 — pure integer/string ops, exact
+  //    on both engines, order-invariant under aggregation. Monotone in
+  //    the true surprisal (1-bit granularity), which is all a filter
+  //    threshold needs.
+  private val t07 = Q(
+    "t07_surprisal_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(terms.agg(count(lit(1)).as("total"))))
+      terms.join(broadcast(freq), "term")
+        .withColumn("surprisal", expr("length(bin(total DIV cnt)) - 1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(avg(col("surprisal")), 6).as("mean_surprisal"),
+          max(col("surprisal")).cast(LongType).as("max_surprisal"))
+    },
+    Some("""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+      total AS (SELECT count(*) AS total FROM terms),
+      sc AS (SELECT t.doc_id, length(bin(total.total // f.cnt)) - 1 AS surprisal
+             FROM terms t JOIN freq f USING (term) CROSS JOIN total)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(surprisal), 6) AS mean_surprisal,
+             CAST(max(surprisal) AS BIGINT) AS max_surprisal
+      FROM sc GROUP BY doc_id
+    """.trim))
+
   /** words per dedup passage (d08) */
   val PassageWords = 10
 
@@ -438,5 +474,5 @@ object Curation {
       LEFT JOIN contam c ON c.doc_id = f.doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, d08, c01, v01, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, v01, x01)
 }
