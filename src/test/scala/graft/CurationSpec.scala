@@ -149,6 +149,20 @@ class CurationSpec extends AnyFunSuite {
     x.unpersist()
   }
 
+  test("t07: surprisal is monotone in rarity and exactly floor(log2(total//cnt))") {
+    val t = Catalog.byName("t07_surprisal_score").run(spark, sf)
+    assert(t.count() == docs.count())
+    val bounds = t.agg(min("mean_surprisal"), max("mean_surprisal")).collect()(0)
+    assert(bounds.getDouble(0) >= 0.0)
+    // exact-parity kernel: length(bin(n)) - 1 == floor(log2(n)) for longs
+    import spark.implicits._
+    val ns = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, (1L << 40) - 1, 1L << 40).toDF("n")
+    val bad = ns.filter(
+      expr("length(bin(n)) - 1") =!=
+        expr("cast(floor(log2(cast(n as double))) as int)")).count()
+    assert(bad == 0)
+  }
+
   test("d08: kept+shared accounting is consistent and dedup is lossless on uniques") {
     val d = Catalog.byName("d08_passage_dedup").run(spark, sf)
     // every doc appears; kept <= passages; ratios consistent
