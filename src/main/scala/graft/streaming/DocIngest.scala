@@ -71,4 +71,30 @@ object DocIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
+
+  /** Small-file compaction for the curated lake — the maintenance job
+    * every streaming parquet sink needs (each micro-batch appends a
+    * file per lang partition; at 100 TB the file count, not the byte
+    * count, is what kills the downstream readers' scan planning).
+    * Rewrites each lang partition in place to ~`targetFiles` files via
+    * a staging swap (write-new, delete-old, move — the same
+    * crash-recoverable order as BlockIngest.compact).
+    */
+  def compact(spark: SparkSession, lakeDir: String, targetFiles: Int = 1): Unit = {
+    val path = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val langDirs = fs.listStatus(path).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("lang="))
+    for (d <- langDirs) {
+      val files = fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      if (files > targetFiles) {
+        val staged = new org.apache.hadoop.fs.Path(s"$lakeDir/.compact-${d.getPath.getName}")
+        spark.read.parquet(d.getPath.toString)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(staged.toString)
+        fs.delete(d.getPath, true)
+        fs.rename(staged, d.getPath): Unit
+      }
+    }
+  }
 }

@@ -51,5 +51,15 @@ class DocIngestSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$lake/lang=de")))
     // gate columns present for downstream curation readers
     assert(lakeDf.columns.toSet == Set("doc_id", "text", "source", "n_tokens", "fp", "lang"))
+
+    // compaction: same rows, fewer files per lang partition
+    val before = lakeDf.collect().toSet
+    DocIngest.compact(spark, lake)
+    val after = spark.read.parquet(lake)
+    assert(after.collect().toSet == before)
+    import scala.jdk.CollectionConverters._
+    val enFiles = Files.list(Paths.get(s"$lake/lang=en")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(enFiles == 1, s"expected 1 compacted file, got $enFiles")
   }
 }
