@@ -398,6 +398,44 @@ object Curation {
       FROM agg
     """.trim))
 
+  // -- v02: BPE merge candidates — adjacent character-pair frequencies
+  //    over the corpus vocabulary (the first iteration of byte-pair
+  //    encoding, the tokenizer-training primitive). Pair counting runs
+  //    over the DISTINCT vocabulary weighted by word frequency, so the
+  //    explode is vocab-sized, not corpus-sized — at 100 TB the vocab
+  //    aggregate is the only corpus-wide pass; the per-word char loop
+  //    is a HOF over ≤ vocab rows.
+  private val v02 = Q(
+    "v02_bpe_top_pairs",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      val pairs = vocab
+        .select(col("wc"),
+          explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      pairs.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 20)
+    },
+    Some("""
+      WITH vocab AS (SELECT word, count(*) AS wc
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     GROUP BY word),
+      pairs AS (SELECT substr(word, i.i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS cnt
+                FROM vocab, (SELECT unnest(range(1, 1000)) AS i) i
+                WHERE len(word) >= 2 AND i.i <= len(word) - 1
+                GROUP BY 1)
+      SELECT * FROM (
+        SELECT pair, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+        FROM pairs)
+      WHERE rank <= 20
+    """.trim))
+
   /** x01 quality-gate thresholds */
   val MinTokens = 10L
   val MaxTokens = 10000L
@@ -474,5 +512,5 @@ object Curation {
       LEFT JOIN contam c ON c.doc_id = f.doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, v01, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, v01, v02, x01)
 }
