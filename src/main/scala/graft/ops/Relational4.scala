@@ -109,5 +109,62 @@ object Relational4 {
       GROUP BY 1
     """.trim))
 
-  val queries: Seq[Q] = Seq(q35, q39, q40)
+  // -- q41/q42: the SQL-parser surface. Every other catalog entry
+  //    declares its plan through the DataFrame API; these two go
+  //    through `spark.sql(...)` over temp views — correlated EXISTS and
+  //    a scalar subquery — proving the engine's full SQL path (parse →
+  //    analyze → Catalyst's subquery decorrelation into semi/broadcast
+  //    joins) end-to-end. Same executed plan shapes as the DataFrame
+  //    forms, so every 100 TB property carries over unchanged.
+  private val q41 = Q(
+    "q41_sql_exists",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("v_customer")
+      orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+    """.trim))
+
+  private val q42 = Q(
+    "q42_sql_scalar_subquery",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_above
+        FROM v_lineitem
+        WHERE CAST(l_quantity AS DECIMAL(18,4)) >
+              (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4))
+               FROM v_lineitem)
+        GROUP BY l_returnflag
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_above
+      FROM lineitem
+      WHERE CAST(l_quantity AS DECIMAL(18,4)) >
+            (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4))
+             FROM lineitem)
+      GROUP BY l_returnflag
+    """.trim))
+
+  val queries: Seq[Q] = Seq(q35, q39, q40, q41, q42)
 }
