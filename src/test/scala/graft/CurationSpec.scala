@@ -149,6 +149,32 @@ class CurationSpec extends AnyFunSuite {
     x.unpersist()
   }
 
+  test("p04: token shares sum to 1 and weights rebalance to uniform") {
+    val m = Catalog.byName("p04_source_mix").run(spark, sf).collect()
+    val shareSum = m.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    // weight * share == uniform target share for every stratum
+    val k = m.length.toDouble
+    m.foreach { r =>
+      val rebalanced = r.getAs[Double]("weight") * r.getAs[Double]("token_share")
+      assert(math.abs(rebalanced - 1.0 / k) < 1e-3)
+    }
+  }
+
+  test("v02: pair counts match a brute-force recount on a sample word") {
+    val pairs = Catalog.byName("v02_bpe_top_pairs").run(spark, sf).collect()
+    assert(pairs.length == 20)
+    val top = pairs.minBy(_.getAs[Long]("rank"))
+    // brute-force: recount the top pair across the corpus vocabulary
+    val pair = top.getAs[String]("pair")
+    val expected = docs.collect().iterator
+      .flatMap(_.getAs[String]("text").split(" "))
+      .toSeq.groupBy(identity).map { case (w, ws) =>
+        ws.size.toLong * w.sliding(2).count(_ == pair)
+      }.sum
+    assert(top.getAs[Long]("cnt") == expected)
+  }
+
   test("t07: surprisal is monotone in rarity and exactly floor(log2(total//cnt))") {
     val t = Catalog.byName("t07_surprisal_score").run(spark, sf)
     assert(t.count() == docs.count())
