@@ -66,6 +66,26 @@ object HashUtil {
     v >>> 4
   }
 
+  /** Bit-interleave the low 32 bits of x and y into a 64-bit Z-order
+    * (Morton) key: bit b of x lands at position 2b, bit b of y at
+    * 2b+1. Sorting/partitioning a lake by this key co-locates rows
+    * that are close in BOTH dimensions, so min/max parquet zone maps
+    * prune 2-D range predicates — the standard layout technique for
+    * 100 TB scans.
+    */
+  def zorder2(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var r = v & 0xffffffffL
+      r = (r | (r << 16)) & 0x0000ffff0000ffffL
+      r = (r | (r << 8)) & 0x00ff00ff00ff00ffL
+      r = (r | (r << 4)) & 0x0f0f0f0f0f0f0f0fL
+      r = (r | (r << 2)) & 0x3333333333333333L
+      r = (r | (r << 1)) & 0x5555555555555555L
+      r
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
   /** 48-bit SimHash over space-separated words — the single-pass native
     * form of the HOF pipeline `aggregate(transform(split(text,' '),
     * md5_prefix64), votes…)`: one MD5 per word, a 48-wide vote
@@ -141,6 +161,21 @@ case class SimHash48(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash48"
 }
 
+/** Native codegen Z-order (Morton) key over two long columns — the
+  * lake-clustering sort key (see [[HashUtil.zorder2]]).
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    HashUtil.zorder2(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.zorder2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(l, r)
+  override def prettyName: String = "zorder2"
+}
+
 /** Column-level entry points (the user-facing function surface). */
 object ColumnFns {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -156,6 +191,7 @@ object ColumnFns {
   def zstd_decompress(col: Column): Column = c(ZstdDecompress(e(col)))
   def md5_prefix64(col: Column): Column = c(Md5Prefix64(e(col)))
   def simhash48(col: Column): Column = c(SimHash48(e(col)))
+  def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
 
   /** Register the SQL-callable subset of these functions on a session
     * so `expr(...)` strings and HOF lambdas can use them (done by
@@ -164,5 +200,6 @@ object ColumnFns {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "md5_prefix64", args => Md5Prefix64(args.head))
     Bridge.registerFunction(spark, "simhash48", args => SimHash48(args.head))
+    Bridge.registerFunction(spark, "zorder2", args => ZOrder2(args(0), args(1)))
   }
 }

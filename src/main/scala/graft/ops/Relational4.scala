@@ -166,5 +166,36 @@ object Relational4 {
       GROUP BY l_returnflag
     """.trim))
 
-  val queries: Seq[Q] = Seq(q35, q39, q40, q41, q42)
+  // -- z01: Z-order (Morton) clustering key — the lake-layout operator:
+  //    sort/partition by the interleaved key and parquet min/max zone
+  //    maps prune 2-D range predicates. Native codegen ZOrder2
+  //    expression; the oracle expands the same 10-bit interleave as
+  //    integer bit math. DISTINCT before the top-k makes the z order
+  //    total (the key is bijective on distinct (x, y)), so LIMIT has no
+  //    tie ambiguity between engines.
+  private val z01 = Q(
+    "z01_zorder_key",
+    (s, d) =>
+      lineitem(s, d)
+        .select(
+          (col("l_orderkey") % 1024).as("x"),
+          (col("l_partkey") % 1024).as("y"))
+        .distinct()
+        .select(col("x"), col("y"),
+          graft.functions.ColumnFns.zorder2(col("x"), col("y")).as("z"))
+        .orderBy("z")
+        .limit(50),
+    Some {
+      val terms = (0 until 10).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})"))
+      s"""
+      SELECT x, y, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+      FROM (SELECT DISTINCT l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+            FROM lineitem)
+      ORDER BY z LIMIT 50
+      """.trim
+    })
+
+  val queries: Seq[Q] = Seq(q35, q39, q40, q41, q42, z01)
 }

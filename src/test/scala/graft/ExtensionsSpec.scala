@@ -35,6 +35,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("zorder2 interleaves bits exactly and is bijective on the grid") {
+    val z = graft.functions.HashUtil.zorder2(_, _)
+    assert(z(0L, 0L) == 0L)
+    assert(z(1L, 0L) == 1L) // x bit 0 -> position 0
+    assert(z(0L, 1L) == 2L) // y bit 0 -> position 1
+    assert(z(3L, 0L) == 5L) // 0b11 -> 0b0101
+    assert(z(0L, 3L) == 10L) // 0b11 -> 0b1010
+    assert(z(0xffffffffL, 0xffffffffL) == -1L) // all 64 bits set
+    // bijective on a 64x64 grid
+    val keys = for (x <- 0L until 64L; y <- 0L until 64L) yield z(x, y)
+    assert(keys.distinct.size == 64 * 64)
+    // locality: adjacent cells differ in few z-bits on average vs random pairs
+    val adj = (0L until 63L).map(x => java.lang.Long.bitCount(z(x, 7L) ^ z(x + 1, 7L)))
+    assert(adj.sum.toDouble / adj.size < 4.0, "adjacent cells should be z-close")
+  }
+
   test("the narrow pattern leaves other conv/md5 uses untouched") {
     import spark.implicits._
     // different substring bounds -> NOT our hash; must keep original semantics
