@@ -416,6 +416,37 @@ object LlmQueries {
       FROM cosp p LEFT JOIN jac j ON j.d1 = p.d1 AND j.d2 = p.d2
     """.trim))
 
+  // -- s05: quantized-first top-k — the fourth ANN flavor (brute s01,
+  //    LSH s02/s03, IVF s04): exact-integer int8 dot product over the
+  //    whole corpus (the quantized index is 4x smaller than floats —
+  //    e01's payoff), top-30 survivors re-ranked by exact cosine.
+  //    Integer first-pass scores are bit-identical across engines, so
+  //    the candidate cut is oracle-exact (no float-tie ambiguity).
+  private val s05 = Q(
+    "s05_quantized_topk",
+    (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 0L, 10, 30),
+    Some("""
+      WITH dims AS (SELECT unnest(range(64)) AS d),
+      qz AS (SELECT vec_id, label, embedding,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) *
+                      (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)) AS q
+             FROM embeddings),
+      qq AS (SELECT q, embedding AS qv FROM qz WHERE vec_id = 0),
+      scored AS (SELECT z.vec_id, z.label, z.embedding,
+                   (SELECT SUM(z.q[d.d+1] * qq.q[d.d+1]) FROM dims d, qq) AS qdot
+                 FROM qz z WHERE z.vec_id <> 0),
+      cand AS (SELECT vec_id, label, embedding FROM scored
+               QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id ASC) <= 30),
+      x AS (SELECT c.vec_id, c.label,
+              SUM(CAST(c.embedding[d.d+1] AS DOUBLE) * CAST(qq.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(c.embedding[d.d+1] AS DOUBLE) * CAST(c.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(qq.qv[d.d+1] AS DOUBLE) * CAST(qq.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM cand c, qq, dims d GROUP BY c.vec_id, c.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim))
+
   // -- s04: IVF-flat top-k — sampled coarse quantizer (vec_id < 16),
   //    4-probe posting-list search, exact cosine re-rank. The third ANN
   //    flavor next to brute force (s01) and LSH (s02/s03): scanned
@@ -657,5 +688,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, s01, s02, s03, s04, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, s01, s02, s03, s04, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

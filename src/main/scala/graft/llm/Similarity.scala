@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
   *
@@ -62,6 +63,36 @@ object Similarity {
     embeddings
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Quantized-first top-k: score EVERY vector with the exact-integer
+    * int8 dot product (4x less data to scan than floats — the payoff of
+    * e01's quantization when the index is stored quantized), keep the
+    * top `candidates` by quantized score, then exact-cosine re-rank the
+    * survivors to top `k`. At 100 TB the first pass is the only
+    * corpus-wide scan; re-ranking touches `candidates` rows.
+    */
+  def quantizedTopK(embeddings: DataFrame, queryId: Long, k: Int, candidates: Int): DataFrame = {
+    def qvec(c: Column) = {
+      val scale = lit(127.0) / array_max(transform(c, x => abs(x.cast(DoubleType))))
+      transform(c, x => floor(x.cast(DoubleType) * scale).cast(LongType))
+    }
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(qvec(col("embedding")).as("qq"), col("embedding").as("qv"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("qdot",
+        aggregate(zip_with(qvec(col("embedding")), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+      .limit(candidates)
       .select(
         col("vec_id"),
         col("label"),

@@ -97,6 +97,16 @@ class LlmSpec extends AnyFunSuite {
     assert(inc.except(crossing).count() == 0 && crossing.except(inc).count() == 0)
   }
 
+  test("s05: quantized-first top-k recalls most of the exact top-10") {
+    val exact = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Catalog.byName("s05_quantized_topk").run(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.7, s"int8 first-pass recall $recall too low — " +
+      "30 candidates for top-10 should survive quantization noise")
+  }
+
   test("cosine top-k is the true argmax set (vs full scan)") {
     val top = Catalog.byName("s01_cosine_topk").run(spark, sf).collect()
     assert(top.length == 10)
