@@ -52,17 +52,17 @@ object Clusters {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster").as("c2")), "d2")
         .groupBy("d1").agg(min("c2").as("nmin"))
+      // carry the previous label through the projection so convergence
+      // detection is a scan of the checkpointed frame, not another join
       val next = labels
         .join(nbrMin.select(col("d1").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
         .localCheckpoint() // truncate lineage: each round starts from materialized labels
-      val changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.drop("prev")
       converged = changed == 0
       round += 1
     }

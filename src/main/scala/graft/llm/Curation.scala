@@ -327,7 +327,13 @@ object Curation {
         .groupBy("train_doc", "test_doc")
         .agg(count(lit(1)).as("n_shared"))
     },
-    Some(s"""
+    Some(contamOracle))
+
+  /** Shared oracle for c01/c02: both compute the exact train×test
+    * shared-shingle counts (c02's bloom stage is a prefilter only — it
+    * never changes the result, just where the work happens).
+    */
+  private lazy val contamOracle = s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, $duckUnitHash AS u
                  FROM documents),
       sh AS (SELECT DISTINCT doc_id, u,
@@ -338,7 +344,39 @@ object Curation {
       FROM sh tr JOIN sh te USING (shingle)
       WHERE tr.u < 0.9 AND te.u >= 0.95
       GROUP BY 1, 2
-    """.trim))
+    """.trim
+
+  // -- c02: the 100-TB shape of c01. The test split is tiny but its
+  //    shingle *relation* is still too wide to broadcast-join against
+  //    every train shingle at full corpus scale, so: (1) sketch the
+  //    test shingles into a bloom filter (~1.8 MB at fpp 1e-3 for 2^20
+  //    items — constant-size no matter the corpus); (2) drop >99.9% of
+  //    train shingles MAP-SIDE against the broadcast sketch — no
+  //    shuffle touches the non-matching bulk; (3) exact-verify the
+  //    survivors with the same equi-join as c01. Bloom false positives
+  //    die in step 3, so the output is bit-identical to c01 (same
+  //    oracle) while the shuffled volume scales with the contamination
+  //    rate, not the corpus size.
+  private val c02 = Q(
+    "c02_contamination_bloom",
+    (s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), ContamN)
+        .withColumn("u", unitHash(col("doc_id")))
+      val testSh = sh.filter(col("u") >= 0.95)
+        .select(col("doc_id").as("test_doc"), col("shingle"))
+      val trainSh = sh.filter(col("u") < 0.9)
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      // two-pass by design: pass 1 aggregates the test shingles into a
+      // fixed-size sketch on the driver; pass 2 streams the train side
+      val bf = testSh.stat.bloomFilter("shingle", 1L << 20, 1e-3)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => x != null && bfB.value.mightContain(x))
+      trainSh.filter(mightContain(col("shingle")))
+        .join(broadcast(testSh), "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(contamOracle))
 
   // -- v01: corpus vocabulary — top-1000 terms by frequency (the
   //    tokenizer-training view). The window runs over the POST-agg
@@ -512,5 +550,5 @@ object Curation {
       LEFT JOIN contam c ON c.doc_id = f.doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, v01, v02, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, c02, v01, v02, x01)
 }

@@ -109,6 +109,15 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c02: bloom-prefiltered contamination is bit-identical to the exact c01") {
+    val exact = Catalog.byName("c01_contamination").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val bloom = Catalog.byName("c02_contamination_bloom").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(exact.nonEmpty) // the generator plants cross-split near-dups
+    assert(bloom.sameElements(exact))
+  }
+
   test("v01: vocabulary ranks are dense, counts non-increasing") {
     val v = Catalog.byName("v01_vocab_topk").run(spark, sf)
       .orderBy("rank").collect()
