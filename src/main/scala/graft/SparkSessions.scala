@@ -31,6 +31,11 @@ object SparkSessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store as the engine default: streaming state
+      // lives off-heap/on-disk instead of executor heap (the at-scale
+      // choice), and it is required by transformWithState (KeeperGate)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
