@@ -436,6 +436,62 @@ object Curation {
       FROM agg
     """.trim))
 
+  // -- p05: sequence-length bucketing — equal-population token-length
+  //    buckets (ntile semantics ordered by (n_tokens, doc_id)) plus the
+  //    per-bucket padding-waste fraction, the metric that says how much
+  //    batch compute padding burns if batches form within the bucket.
+  //    Scale design: NO global single-partition window. A doc's global
+  //    position decomposes as cum_before(its length) + rank within its
+  //    length: the rank window is key-partitioned by n_tokens, and the
+  //    cumulative window runs over the distinct-length frame (bounded by
+  //    max doc length, corpus-size-independent, broadcast back). The
+  //    bucket is then pure arithmetic on (pos, N) — exact ntile, zero
+  //    global sorts at any corpus size.
+  private val p05 = Q(
+    "p05_length_buckets",
+    (s, d) => {
+      val B = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val rn = toks.withColumn("rn",
+        row_number().over(Window.partitionBy("n_tokens").orderBy("doc_id")).cast(LongType))
+      val lenCum = toks.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before",
+          coalesce(sum("cnt").over(
+            Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("n_tokens", "cum_before")
+      val totals = toks.agg(count(lit(1)).as("n_total"))
+      rn.join(broadcast(lenCum), "n_tokens")
+        .crossJoin(broadcast(totals))
+        .withColumn("pos", col("cum_before") + col("rn") - 1)
+        // exact ntile(B): first (N % B) buckets hold (N DIV B)+1 rows
+        .withColumn("bucket", expr(
+          s"""CAST(CASE WHEN pos < (n_total % $B) * (n_total DIV $B + 1)
+                        THEN pos DIV (n_total DIV $B + 1)
+                        ELSE (n_total % $B) +
+                             (pos - (n_total % $B) * (n_total DIV $B + 1)) DIV (n_total DIV $B)
+                   END + 1 AS BIGINT)"""))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"),
+          round(lit(1.0) -
+            sum("n_tokens").cast(DoubleType) / (max("n_tokens") * count(lit(1))), 6)
+            .as("padding_frac"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+                   ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+            FROM toks)
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             round(1 - CAST(SUM(n_tokens) AS DOUBLE) / (MAX(n_tokens) * COUNT(*)), 6) AS padding_frac
+      FROM b GROUP BY 1
+    """.trim))
+
   // -- v02: BPE merge candidates — adjacent character-pair frequencies
   //    over the corpus vocabulary (the first iteration of byte-pair
   //    encoding, the tokenizer-training primitive). Pair counting runs
@@ -550,5 +606,5 @@ object Curation {
       LEFT JOIN contam c ON c.doc_id = f.doc_id
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, t05, t06, t07, d08, c01, c02, v01, v02, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, x01)
 }

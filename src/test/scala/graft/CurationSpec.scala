@@ -59,6 +59,22 @@ class CurationSpec extends AnyFunSuite {
     assert(nonMonotone == 0, "bin ids must be non-decreasing in packing order")
   }
 
+  test("p05: buckets are equal-population (±1) and length-ordered") {
+    val b = Catalog.byName("p05_length_buckets").run(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(b.map(_.getAs[Long]("bucket")).toSeq == (1L to 8L))
+    val sizes = b.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, s"uneven buckets: ${sizes.mkString(",")}")
+    // ntile order: bucket k's max length never exceeds bucket k+1's min
+    b.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("max_tokens") <= hi.getAs[Long]("min_tokens"))
+    }
+    b.foreach { r =>
+      val pf = r.getAs[Double]("padding_frac")
+      assert(pf >= 0.0 && pf < 1.0)
+    }
+  }
+
   test("t05: exactly top-3 terms per doc, ranked by tf-idf desc") {
     val t = Catalog.byName("t05_tfidf_terms").run(spark, sf)
     val perDoc = t.groupBy("doc_id").agg(count(lit(1)).as("n"),

@@ -44,4 +44,19 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name shuffles on raw text")
     }
   }
+
+  test("grouped top-k plans a PARTIAL WindowGroupLimit before the exchange") {
+    // q08 (rank<=k per brand): Spark 4 plans partial+final
+    // WindowGroupLimitExec, so the shuffle carries at most k rows per
+    // group per map partition instead of the whole fact table. A
+    // refactor that breaks the rank-filter pattern (e.g. computing rank
+    // in one select and filtering in a later, non-adjacent one) silently
+    // loses this — the 100x-scale difference between "shuffle k*groups
+    // rows" and "shuffle everything, sort, then filter".
+    val plan = planOf("q08_brand_topk")
+    val firstLimit = plan.indexOf("WindowGroupLimit")
+    assert(firstLimit >= 0, "no WindowGroupLimit planned for q08")
+    assert(plan.indexOf("WindowGroupLimit", firstLimit + 1) > 0,
+      "expected both partial and final WindowGroupLimit")
+  }
 }
