@@ -139,6 +139,52 @@ object LlmQueries {
       FROM bits GROUP BY doc_id
     """.trim))
 
+  // -- d12: exact hamming-neighbor pairs over the 48-bit SimHash.
+  //    Pigeonhole banding: split the signature into 4 x 12-bit bands —
+  //    a pair within hamming distance 3 has at most 3 flipped bits, so
+  //    it agrees EXACTLY on >= 1 band. The 4 band-equality self-joins
+  //    are therefore a lossless candidate generator (this is the
+  //    deterministic cousin of d03's probabilistic minhash bands), and
+  //    the bit_count verify makes the operator exact: ALL pairs at
+  //    hamming <= 3, no recall loss. 100 TB shape: each band join is
+  //    an equi-shuffle on a 12-bit-bucketed long key; candidates are
+  //    bounded by band-bucket occupancy (near-uniform for simhash),
+  //    never all-pairs.
+  private val d12 = Q(
+    "d12_simhash_neardup",
+    (s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash().as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 12) & 4095 AS v))")).as("bv"))
+        .select(col("doc_id"), col("sig"), col("bv.band").as("band"), col("bv.v").as("v"))
+      val l = bands.select(col("band"), col("v"), col("doc_id").as("d1"), col("sig").as("s1"))
+      val r = bands.select(col("band"), col("v"), col("doc_id").as("d2"), col("sig").as("s2"))
+      l.join(r, Seq("band", "v"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv FROM w),
+      bits AS (SELECT doc_id, b.b AS b,
+                 CASE WHEN SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                      THEN 1 ELSE 0 END AS bit
+               FROM h, (SELECT unnest(range(48)) AS b) b GROUP BY doc_id, b.b),
+      sig AS (SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
+              FROM bits GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 12)) & 4095 AS v
+                FROM sig, (SELECT unnest(range(4)) AS b) b),
+      cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2, l.sig AS s1, r.sig AS s2
+               FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """.trim))
+
   // -- d05: n-gram Jaccard pairs >= 0.5 — exact Jaccard computed only
   //    on LSH candidates (8 single-row bands: collision prob at jac j
   //    is 1-(1-j)^8, i.e. ~99.6% recall at the 0.5 threshold). The
@@ -688,5 +734,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, s01, s02, s03, s04, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, s01, s02, s03, s04, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

@@ -66,6 +66,19 @@ class LlmSpec extends AnyFunSuite {
     assert(maxHamDup <= 12, s"near-dups should be hamming-close, got $maxHamDup")
   }
 
+  test("d12: banded hamming pairs equal the brute-force all-pairs recount") {
+    val sigs = Catalog.byName("d04_simhash").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h.toLong)).toSet
+    val got = Catalog.byName("d12_simhash_neardup").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected) // pigeonhole banding is lossless at <= 3 flips
+    assert(expected.nonEmpty) // planted near-dups make this non-vacuous
+  }
+
   test("d10: semantic pairs are cos-verified; lexical near-dups among them carry high jaccard") {
     val sem = Catalog.byName("d10_semantic_dedup").run(spark, sf).cache()
     assert(sem.count() > 0)
