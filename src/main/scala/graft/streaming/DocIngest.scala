@@ -72,6 +72,40 @@ object DocIngest {
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /** Keeper-gated ingest: same stateless gates, but duplicate handling
+    * runs through [[KeeperGate]]'s transformWithState election instead
+    * of `dropDuplicatesWithinWatermark` — the BEST-quality document per
+    * fingerprint survives (first-wins vs best-wins is the semantic
+    * difference; see KeeperGate's scaladoc). Output is the append-only
+    * decision log; downstream compacts it by taking the last
+    * admit/supersede per fingerprint. State recovers from the
+    * checkpoint's RocksDB snapshot across restarts.
+    */
+  def startKeeper(
+      spark: SparkSession,
+      srcDir: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 64)
+      .json(srcDir)
+    val docs = gated(raw)
+      .filter(col("disposition") === "kept")
+      .select(col("fp"), col("doc_id"),
+        TextAnalysis.qualityScore.as("quality"))
+      .as[graft.streaming.KeeperGate.Doc]
+    KeeperGate(spark, docs)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeeperGate.Decision], _: Long) =>
+        batch.write.mode("append").parquet(decisionsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Small-file compaction for the curated lake — the maintenance job
     * every streaming parquet sink needs (each micro-batch appends a
     * file per lang partition; at 100 TB the file count, not the byte

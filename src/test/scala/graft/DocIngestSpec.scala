@@ -62,4 +62,34 @@ class DocIngestSpec extends AnyFunSuite {
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(enFiles == 1, s"expected 1 compacted file, got $enFiles")
   }
+
+  test("keeper-gated ingest elects the best-quality dup across a restart") {
+    val base = Files.createTempDirectory("graft_docs_keeper").toString
+    val src = s"$base/src"; val out = s"$base/decisions"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(src))
+
+    // two docs, same fingerprint-relevant content? No — keeper keys on
+    // fp, so use EXACT dup texts (same fp) with different doc_ids; and
+    // one distinct doc. Quality is identical for identical text, so the
+    // tie breaks toward the first-processed (lowest doc_id) incumbent.
+    Files.write(Paths.get(s"$src/a.jsonl"), Seq(
+      doc(1, longText),
+      doc(4, longText), // same fp as 1 -> tie -> incumbent (1) keeps
+      doc(2, longText + " unique tail here")
+    ).mkString("\n").getBytes("UTF-8"))
+    DocIngest.startKeeper(spark, src, out, ckpt).awaitTermination()
+
+    // restart with state recovered from the RocksDB checkpoint: another
+    // copy of fp(longText) must DROP (state remembers keeper 1)
+    Files.write(Paths.get(s"$src/b.jsonl"), Seq(
+      doc(7, longText)
+    ).mkString("\n").getBytes("UTF-8"))
+    DocIngest.startKeeper(spark, src, out, ckpt).awaitTermination()
+
+    val log = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("decision"))).toMap
+    assert(log.size == 4)
+    assert(log(1L) == "admit" && log(4L) == "drop" && log(2L) == "admit")
+    assert(log(7L) == "drop", "restart lost keeper state")
+  }
 }
