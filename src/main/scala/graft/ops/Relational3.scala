@@ -44,6 +44,23 @@ object Relational3 {
       FROM lineitem GROUP BY l_returnflag
     """.trim))
 
+  // -- q36b: sketch percentiles — approx_percentile (Greenwald-Khanna
+  //    with relative-error accuracy knob). The 100 TB path for q36:
+  //    exact `percentile` buffers every value per group; the GK sketch
+  //    is fixed-size per group, merges associatively across partitions,
+  //    and answers all three quantiles from one pass. Engine-specific
+  //    sketch => no SQL oracle (rows-only); rank-error bound vs the
+  //    exact q36 asserted in CatalogSpec.
+  private val q36b = Q(
+    "q36b_approx_percentiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price")))
+
   // -- q37: first/last/nth value navigation over full-partition frames.
   private val q37 = Q(
     "q37_value_windows",
@@ -119,5 +136,5 @@ object Relational3 {
       FROM m
     """.trim))
 
-  val queries: Seq[Q] = Seq(q36, q37, q38)
+  val queries: Seq[Q] = Seq(q36, q36b, q37, q38)
 }

@@ -123,4 +123,18 @@ class CatalogSpec extends AnyFunSuite {
     val a = approx.getAs[Long]("approx_parts").toDouble
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
+
+  test("q36b sketch percentiles land within 2% of the exact q36 values") {
+    def byFlag(name: String) = Catalog.byName(name).run(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val exact = byFlag("q36_percentiles")
+    val approx = byFlag("q36b_approx_percentiles")
+    assert(exact.keySet == approx.keySet)
+    for (flag <- exact.keySet; c <- Seq("median_qty", "p90_qty", "p25_price")) {
+      val e = exact(flag).getAs[Double](c)
+      val a = approx(flag).getAs[Double](c)
+      assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-9),
+        s"$flag/$c: approx=$a exact=$e")
+    }
+  }
 }
