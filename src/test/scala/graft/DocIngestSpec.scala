@@ -92,4 +92,26 @@ class DocIngestSpec extends AnyFunSuite {
     assert(log(1L) == "admit" && log(4L) == "drop" && log(2L) == "admit")
     assert(log(7L) == "drop", "restart lost keeper state")
   }
+
+  test("lake schema evolution: readers merge old files with a widened schema") {
+    // the lake outlives any one writer version: files written before a
+    // column existed must stay readable next to files written after.
+    // Parquet + mergeSchema gives additive evolution for free — this
+    // pins the behavior (old rows null-fill, no reader config beyond
+    // the flag, pruning still works on the shared columns).
+    val lake = Files.createTempDirectory("graft_lake_evo").toString
+    import spark.implicits._
+    Seq((1L, "alpha", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(lake)
+    Seq((2L, "beta", "en", 0.9)).toDF("doc_id", "text", "lang", "quality")
+      .write.mode("append").parquet(lake)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "quality"))
+    val byId = merged.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("quality"))) // old file null-fills
+    assert(byId(2L).getAs[Double]("quality") == 0.9)
+    // filters on pre-evolution columns still push down across versions
+    assert(merged.filter(col("doc_id") === 2L).count() == 1)
+  }
 }
