@@ -79,6 +79,22 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // planted near-dups make this non-vacuous
   }
 
+  test("x03: suite slices equal the standalone d03/d05 outputs") {
+    val suite = Catalog.byName("x03_dedup_suite").run(spark, sf).collect()
+      .groupBy(_.getAs[String]("family"))
+      .map { case (f, rs) =>
+        f -> rs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jac"))).toSet
+      }
+    def pairsOf(name: String) = Catalog.byName(name).run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jac"))).toSet
+    assert(suite("minhash08") == pairsOf("d03_minhash_lsh"))
+    assert(suite("jaccard05") == pairsOf("d05_ngram_jaccard"))
+    // exact slice: one pair row per duplicated fingerprint pair
+    val nDupPairs = Catalog.byName("d02_dedup_fingerprint").run(spark, sf).collect()
+      .map(_.getAs[Long]("n_copies")).map(n => n * (n - 1) / 2).sum
+    assert(suite.getOrElse("exact", Set.empty).size == nDupPairs)
+  }
+
   test("d10: semantic pairs are cos-verified; lexical near-dups among them carry high jaccard") {
     val sem = Catalog.byName("d10_semantic_dedup").run(spark, sf).cache()
     assert(sem.count() > 0)
