@@ -367,11 +367,24 @@ object Curation {
       val trainSh = sh.filter(col("u") < 0.9)
         .select(col("doc_id").as("train_doc"), col("shingle"))
       // two-pass by design: pass 1 aggregates the test shingles into a
-      // fixed-size sketch on the driver; pass 2 streams the train side
-      val bf = testSh.stat.bloomFilter("shingle", 1L << 20, 1e-3)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: String) => x != null && bfB.value.mightContain(x))
-      trainSh.filter(mightContain(col("shingle")))
+      // fixed-size sketch on the driver; pass 2 streams the train side.
+      // Both passes use Spark's native codegen bloom expressions (the
+      // same pair Catalyst's runtime-filter rewrite injects): the probe
+      // stays inside whole-stage codegen on the full train-side scan
+      // instead of breaking it with a per-row ScalaUDF.
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val nItems = 1L << 20
+      val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, 1e-3)
+      val bfAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("shingle"))),
+        Literal(nItems), Literal(nBits)).toAggregateExpression())
+      val bfBytes = testSh.select(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal.create(bfBytes, BinaryType),
+        Bridge.expression(xxhash64(col("shingle")))))
+      trainSh.filter(col("shingle").isNotNull && mightContain)
         .join(broadcast(testSh), "shingle")
         .groupBy("train_doc", "test_doc")
         .agg(count(lit(1)).as("n_shared"))

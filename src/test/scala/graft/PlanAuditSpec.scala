@@ -45,6 +45,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("c02's bloom prefilter is a codegen expression, not a ScalaUDF") {
+    // the probe runs on every train-side shingle — the hottest row path
+    // of the operator. A ScalaUDF there breaks whole-stage codegen for
+    // the entire scan+filter stage; Spark's native BloomFilterMightContain
+    // (what the runtime-filter rewrite itself injects) keeps it fused.
+    val plan = planOf("c02_contamination_bloom")
+    assert(!plan.contains("ScalaUDF"), "c02 plans a ScalaUDF on the probe path")
+    assert(plan.contains("might_contain"), "c02 lost its bloom prefilter")
+  }
+
   test("grouped top-k plans a PARTIAL WindowGroupLimit before the exchange") {
     // q08 (rank<=k per brand): Spark 4 plans partial+final
     // WindowGroupLimitExec, so the shuffle carries at most k rows per
