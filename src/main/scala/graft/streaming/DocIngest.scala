@@ -77,8 +77,8 @@ object DocIngest {
     * of `dropDuplicatesWithinWatermark` — the BEST-quality document per
     * fingerprint survives (first-wins vs best-wins is the semantic
     * difference; see KeeperGate's scaladoc). Output is the append-only
-    * decision log; downstream compacts it by taking the last
-    * admit/supersede per fingerprint. State recovers from the
+    * decision log, stamped with the micro-batch id; [[keeperCompact]]
+    * reads it back into the current keeper set. State recovers from the
     * checkpoint's RocksDB snapshot across restarts.
     */
   def startKeeper(
@@ -99,12 +99,35 @@ object DocIngest {
     KeeperGate(spark, docs)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeeperGate.Decision], _: Long) =>
-        batch.write.mode("append").parquet(decisionsDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeeperGate.Decision], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(decisionsDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Compaction reader for the keeper decision log — the lake half of
+    * the election: the LAST admit/supersede per fingerprint is the
+    * current keeper (drops never change ownership). "Last" is resolved
+    * by (batch_id, quality): within one micro-batch at most one non-drop
+    * decision per fingerprint exists (KeeperGate processes a batch's
+    * rows for a key in one call), and across batches a later admit —
+    * possible after TTL expiry — outranks an earlier higher-quality
+    * keeper, matching the state store's view.
+    *
+    * 100 TB shape: one partial+final aggregation over the log (max_by),
+    * no window, no sort — state per reducer is one row per distinct
+    * fingerprint, the same cardinality the election itself holds.
+    */
+  def keeperCompact(spark: SparkSession, decisionsDir: String): DataFrame =
+    spark.read.parquet(decisionsDir)
+      .filter(col("decision") =!= "drop")
+      .groupBy("fp")
+      .agg(max_by(
+        struct(col("doc_id"), col("quality")),
+        struct(col("batch_id"), col("quality"))).as("k"))
+      .select(col("fp"), col("k.doc_id").as("doc_id"), col("k.quality").as("quality"))
 
   /** Small-file compaction for the curated lake — the maintenance job
     * every streaming parquet sink needs (each micro-batch appends a

@@ -93,6 +93,46 @@ class DocIngestSpec extends AnyFunSuite {
     assert(log(7L) == "drop", "restart lost keeper state")
   }
 
+  test("keeperCompact folds the decision log into the current keeper set") {
+    val base = Files.createTempDirectory("graft_docs_compact").toString
+    val src = s"$base/src"; val out = s"$base/decisions"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(src))
+
+    // contentFingerprint lowercases, qualityScore does not (stopword
+    // match is exact): "The ..." and "the ..." share a fingerprint with
+    // different quality — so a later lowercase copy genuinely SUPERSEDES
+    // through the real ingest path, not a hand-fed decision log.
+    val tail = (1 to 40).map(i => s"word$i").mkString(" ")
+    Files.write(Paths.get(s"$src/a.jsonl"), Seq(
+      doc(1, s"The and of $tail"),      // admit (capital The: lower quality)
+      doc(2, tail + " standalone doc")  // admit (its own fp)
+    ).mkString("\n").getBytes("UTF-8"))
+    DocIngest.startKeeper(spark, src, out, ckpt).awaitTermination()
+    Files.write(Paths.get(s"$src/b.jsonl"), Seq(
+      doc(3, s"the and of $tail"),      // same fp as 1, better quality -> supersede
+      doc(4, s"The and of $tail")       // worse again -> drop
+    ).mkString("\n").getBytes("UTF-8"))
+    DocIngest.startKeeper(spark, src, out, ckpt).awaitTermination()
+
+    val keepers = DocIngest.keeperCompact(spark, out).collect()
+      .map(r => r.getAs[String]("fp") -> (r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+      .toMap
+
+    // batch recount over the same decision log: max-quality doc per fp
+    val expected = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+      .groupBy(_._1)
+      .map { case (fp, rows) => fp -> rows.maxBy(r => (r._3, -r._2)) }
+    assert(keepers.keySet == expected.keySet)
+    assert(keepers.size == 2)
+    expected.foreach { case (fp, (_, id, q)) =>
+      assert(keepers(fp) == ((id, q)), s"fp=$fp")
+    }
+    // and the supersede actually happened: doc 3 owns doc 1's fingerprint
+    assert(keepers.values.map(_._1).toSet == Set(3L, 2L))
+  }
+
   test("lake schema evolution: readers merge old files with a widened schema") {
     // the lake outlives any one writer version: files written before a
     // column existed must stay readable next to files written after.
