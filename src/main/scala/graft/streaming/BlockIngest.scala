@@ -9,8 +9,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (SURVEY §2 S1/S3/S4/S9/S13/S19, §3.1-3.3):
   *
   *  - file-drop source of JSON-lines block documents ≡ the NATS subject
-  *    (one blob per block, borealis-indexer/src/main.rs:362-379); any
-  *    Kafka-style source slots in by swapping `readStream.format`.
+  *    (one blob per block, borealis-indexer/src/main.rs:362-379); the
+  *    ingest is source-agnostic behind [[BlockIngest.startFrom]] — any
+  *    streaming frame with a `value: STRING` wire column slots in
+  *    (demonstrated with a live `rate` tail in StreamingSpec).
   *  - `checkpointLocation` ≡ JetStream durable consumer + explicit ack
   *    (consumer main.rs:640-669): offsets commit per micro-batch, restart
   *    resumes from interruption (SyncMode::FromInterruption,
@@ -94,20 +96,41 @@ object BlockIngest {
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /** the file-drop wire source: JSON-lines files appearing in a dir */
+  def fileLines(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 64) // backpressure ≡ the bounded mpsc(1000)
+      .text(srcDir)
+
   /** streaming tail with checkpointed resume + height dedup */
   def start(
       spark: SparkSession,
       srcDir: String,
       lakeDir: String,
       checkpointDir: String,
-      availableNow: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 64) // backpressure ≡ the bounded mpsc(1000)
-      .text(srcDir)
+      availableNow: Boolean = true): StreamingQuery =
+    startFrom(spark, fileLines(spark, srcDir), lakeDir, checkpointDir,
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds"))
+
+  /** Source-agnostic ingest: `lines` is ANY streaming frame with a
+    * `value: STRING` wire column — the file-drop source above, a rate /
+    * memory source adapter (StreamingSpec tails a `rate` source through
+    * this exact path), or a broker source such as Kafka via
+    * `readStream.format("kafka")....selectExpr("CAST(value AS STRING) AS value")`
+    * (the connector jar is not on this sandbox's classpath, so that swap
+    * is documented, not tested). Parse, watermarked height dedup, and
+    * the idempotent entity writes are identical for every source.
+    */
+  def startFrom(
+      spark: SparkSession,
+      lines: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val docs = Flatten
-      .parse(spark, raw)
+      .parse(spark, lines)
       .withColumn("height", col("block.header.height"))
       .withColumn("event_time", timestamp_micros((col("block.header.timestamp") / 1000L)
         .cast(org.apache.spark.sql.types.LongType)))
@@ -115,13 +138,13 @@ object BlockIngest {
       .dropDuplicatesWithinWatermark("height")
 
     val token = runToken(s"ckpt:$checkpointDir")
-    val writer = docs.writeStream
+    docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeEntities(batch.drop("event_time", "height"), lakeDir, s"$token-$batchId")
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+      .trigger(trigger)
+      .start()
   }
 
   /** The per-level debug projection (S19). Input is the RAW json-lines

@@ -61,6 +61,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDirs == 1, s"expected 1 compacted batch dir, got $batchDirs")
   }
 
+  test("live tail: a rate source drives the same ingest path as the file drop") {
+    // the source-agnostic half of S1/S12: BlockIngest.startFrom takes
+    // any streaming `value: STRING` frame. Here a continuously-ticking
+    // rate source synthesizes one wire-format block per tick and runs
+    // the UNMODIFIED parse -> dedup -> entity-write path under a
+    // ProcessingTime trigger (the live-tail mode, not AvailableNow).
+    val base = Files.createTempDirectory("graft_rate").toString
+    val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    val toWire = udf((i: Long) => Fixtures.blockJson(700000L + i))
+    val lines = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100")
+      .load()
+      .select(toWire(col("value")).as("value"))
+    val q = BlockIngest.startFrom(spark, lines, lake, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+
+    // poll the growing lake until >= 30 blocks have landed (live tail
+    // has no natural end; bounded wait, then stop)
+    val deadline = System.currentTimeMillis() + 90000
+    def landed(): Long =
+      try spark.read.parquet(s"$lake/blocks").count()
+      catch { case _: Throwable => 0L } // lake dir not created yet
+    while (landed() < 30 && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    q.stop()
+    q.awaitTermination()
+
+    val blocks = spark.read.parquet(s"$lake/blocks")
+    val n = blocks.count()
+    assert(n >= 30, s"live tail landed only $n blocks before the deadline")
+    // same contract as the file-drop path: distinct heights, parsed cols
+    assert(blocks.select("block_height").distinct().count() == n)
+    assert(blocks.filter(col("block_height").isNull).count() == 0)
+    assert(spark.read.parquet(s"$lake/transactions").count() > 0)
+  }
+
   test("malformed lines never reach the entity tables and land in the dead-letter dir") {
     val base = Files.createTempDirectory("graft_rejects").toString
     val src = s"$base/src"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
