@@ -595,6 +595,18 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
+  // -- s04b: IVF-flat top-k over the k-means-trained quantizer — the
+  //    production index build next to s04's sampled one; identical
+  //    probe path (ivfTopKWith). No oracle: Lloyd means are engine-
+  //    order float arithmetic; LlmSpec asserts recall@10 vs the exact
+  //    s01 top-k is at least the sampled quantizer's at equal nProbe.
+  private val s04b = Q(
+    "s04b_ivf_kmeans_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKWith(emb, 0L, 10, Similarity.kmeansCentroids(emb, 16, 2), 4)
+    })
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -803,5 +815,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
 }

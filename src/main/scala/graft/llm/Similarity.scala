@@ -167,22 +167,62 @@ object Similarity {
 
   /** IVF (inverted-file) coarse quantization: assign every vector to
     * its nearest centroid — the posting-list index of IVF-flat ANN.
-    *
-    * Centroids here are the deterministic sample `vec_id < nCentroids`
-    * (a sampled coarse quantizer, the oracle-reproducible flavor); a
-    * k-means quantizer is a drop-in replacement for `cents` — the
-    * assignment, posting lists, and probe path below are unchanged.
+    * Two quantizer flavors share one assignment/probe path:
+    * [[sampledCentroids]] (deterministic, oracle-reproducible — s04) and
+    * [[kmeansCentroids]] (Lloyd-refined, recall-tested — s04b).
     *
     * 100 TB shape: centroids broadcast (nCentroids ~ sqrt(corpus) rows),
     * assignment is one map-side scan computing nCentroids fused-codegen
     * cosines per row, then a per-vector argmax over nCentroids rows —
     * no corpus-sized shuffle beyond the argmax window keyed on vec_id.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = embeddings
+  /** the deterministic sampled coarse quantizer (oracle-reproducible) */
+  def sampledCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Spherical k-means coarse quantizer (Lloyd refinement of
+    * [[sampledCentroids]]) — the production IVF trainer. Per iteration:
+    *  - one corpus scan assigns every vector to its nearest centroid
+    *    (broadcast centroids, fused-codegen cosine argmax);
+    *  - one (cid, dim)-keyed partial+final MEAN — the only shuffle, with
+    *    map-side combine, output exactly nCentroids x Dims rows;
+    *  - the means (centroid-sized, never the corpus) collect to the
+    *    driver for the next round's broadcast. Cosine is scale-invariant
+    *    so means need no renormalization; empty clusters keep their
+    *    previous centroid.
+    * Seed-deterministic: init is `vec_id < nCentroids`; means are
+    * rounded to 9 dp so float summation order cannot flip an argmax.
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    var cents: DataFrame = sampledCentroids(embeddings, nCentroids)
+      .select(col("cid"), transform(col("cv"), _.cast(DoubleType)).as("cv"))
+    for (_ <- 1 to iters) {
+      val means = ivfAssignWith(embeddings, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("v").cast(DoubleType)), 9).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+      }
+      val prev = cents.collect()
+        .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+      val next = prev.map { case (cid, cv) => (cid, byCid.getOrElse(cid, cv)) }.toSeq
+      import spark.implicits._
+      cents = next.sortBy(_._1).toDF("cid", "cv")
+    }
+    cents
+  }
+
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(embeddings, sampledCentroids(embeddings, nCentroids))
+
+  /** assignment against an explicit centroid table (sampled or k-means) */
+  def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
     embeddings
       .crossJoin(broadcast(cents))
@@ -207,18 +247,27 @@ object Similarity {
       queryId: Long,
       k: Int,
       nCentroids: Int,
+      nProbe: Int): DataFrame =
+    ivfTopKWith(embeddings, queryId, k, sampledCentroids(embeddings, nCentroids), nProbe)
+
+  /** probe path against an explicit centroid table (shared by the
+    * sampled s04 and the k-means s04b flavors — index build differs,
+    * search is identical)
+    */
+  def ivfTopKWith(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      cents: DataFrame,
       nProbe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
-    val cents = embeddings
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val probes = cents
       .crossJoin(broadcast(q))
       .select(col("cid"), round(cosine(col("cv"), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("cid").asc)
       .limit(nProbe)
       .select("cid")
-    ivfAssign(embeddings, nCentroids)
+    ivfAssignWith(embeddings, cents)
       .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))

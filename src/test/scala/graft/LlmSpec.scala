@@ -162,6 +162,28 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.select("vec_id", "neighbor_id").except(directed).count() == 0)
   }
 
+  test("s04b: k-means quantizer recalls at least as well as the sampled one") {
+    val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    def recall(name: String): Int = {
+      val rows = Catalog.byName(name).run(spark, sf).collect()
+      assert(rows.length == 10, s"$name returned ${rows.length} rows")
+      (brute & rows.map(_.getAs[Long]("vec_id")).toSet).size
+    }
+    val sampled = recall("s04_ivf_topk")
+    val kmeans = recall("s04b_ivf_kmeans_topk")
+    assert(kmeans >= sampled,
+      s"Lloyd refinement lost recall: kmeans=$kmeans/10 sampled=$sampled/10")
+    // and the refined centroids actually moved off the seed vectors
+    val seed = graft.llm.Similarity.sampledCentroids(embs, 16)
+      .selectExpr("cid", "transform(cv, x -> cast(x as double)) as cv").collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+    val trained = graft.llm.Similarity.kmeansCentroids(embs, 16, 2).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+    assert(trained.keySet == seed.keySet)
+    assert(trained.exists { case (cid, cv) => cv != seed(cid) }, "centroids never moved")
+  }
+
   test("IVF top-k probes posting lists and recalls most of the brute-force top-10") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
