@@ -84,6 +84,57 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 
+  test("CBOR golden bytes: hand-assembled RFC 8949 encoding of a worked envelope payload") {
+    // The byte-parity fixture for the wire-format ops (b04/b05/b08 are
+    // rows-only under DuckDB forever): a miniature block envelope whose
+    // EXPECTED bytes are assembled token by token from RFC 8949 rules —
+    // never by calling the codec — then compared byte-for-byte against
+    // (a) the JVM encoder and (b) the Spark-side Envelope.wrap path.
+    val json =
+      """{"block":{"header":{"height":63596,"timestamp":1618497610803345000,""" +
+      """"hash":"5X37niQW","chunks_included":1,""" +
+      """"total_supply":2050206401403887985811862247311434}},""" +
+      """"shards":[0,1,null],"final":true}"""
+    val expectedHex = Seq(
+      "a3",                                 // map(3) {block, shards, final}
+      "65", "626c6f636b",                   // text(5) "block"
+      "a1",                                 //   map(1) {header}
+      "66", "686561646572",                 //   text(6) "header"
+      "a5",                                 //     map(5)
+      "66", "686569676874",                 //     text(6) "height"
+      "19", "f86c",                         //       uint16 63596
+      "69", "74696d657374616d70",           //     text(9) "timestamp"
+      "1b", "16760f0079c07668",             //       uint64 1618497610803345000
+      "64", "68617368",                     //     text(4) "hash"
+      "68", "355833376e695157",             //       text(8) "5X37niQW"
+      "6f", "6368756e6b735f696e636c75646564", //   text(15) "chunks_included"
+      "01",                                 //       uint 1
+      "6c", "746f74616c5f737570706c79",     //     text(12) "total_supply"
+      "c2", "4e", "65153e2af9312cd344b13afa084a", // tag(2) bignum, 14 bytes
+      "66", "736861726473",                 // text(6) "shards"
+      "83", "00", "01", "f6",               //   array(3) [0, 1, null]
+      "65", "66696e616c",                   // text(5) "final"
+      "f5"                                  //   true
+    ).mkString
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(hex(Cbor.jsonToCbor(json)) == expectedHex)
+    assert(mapper.readTree(Cbor.cborToJson(Cbor.jsonToCbor(json))) == mapper.readTree(json))
+
+    // the b04/b05 Spark path emits the identical wire bytes
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val env = graft.blocks.Envelope.wrap(Seq(json).toDF("value"), "cbor", None).collect()(0)
+    assert(env.getAs[Long]("seq_id") == 63596L)
+    assert(hex(env.getAs[Array[Byte]]("payload")) == expectedHex)
+
+    // b08: the compressed envelope round-trips to the exact source text
+    for (c <- Seq("lz4", "zstd")) {
+      val rt = graft.blocks.Envelope.unwrap(
+        graft.blocks.Envelope.wrap(Seq(json).toDF("value"), "cbor", Some(c))).collect()(0)
+      assert(rt.getAs[String]("value") == json, s"compression=$c")
+    }
+  }
+
   test("base58 known vectors") {
     assert(Base58.encode("Hello World!".getBytes("UTF-8")) == "2NEpo7TZRRrLZSi2U")
     assert(new String(Base58.decode("2NEpo7TZRRrLZSi2U"), "UTF-8") == "Hello World!")
