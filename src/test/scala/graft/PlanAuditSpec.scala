@@ -45,6 +45,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF flavors broadcast their centroid tables, never shuffle the corpus to them") {
+    // both quantizers feed the same probe path; the corpus-side scan
+    // must see the centroids as a broadcast (nCentroids ~ sqrt(corpus)
+    // rows), with the only corpus-wide exchange the vec_id argmax window
+    for (name <- Seq("s04_ivf_topk", "s04b_ivf_kmeans_topk")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$name does not broadcast its centroids")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+
   test("c02's bloom prefilter is a codegen expression, not a ScalaUDF") {
     // the probe runs on every train-side shingle — the hottest row path
     // of the operator. A ScalaUDF there breaks whole-stage codegen for
