@@ -583,7 +583,15 @@ object Curation {
         .select("doc_id", "split", "n_tokens", "disposition")
     },
     Some(s"""
-      WITH fp AS (SELECT doc_id, text,
+      WITH $dispCtes
+      SELECT doc_id, split, n_tokens, disposition FROM disp
+    """.trim))
+
+  /** x01's oracle body as a reusable CTE chain ending in
+    * `disp(doc_id, split, n_tokens, disposition)` — consumed by x01
+    * itself and composed further by x02's assembly oracle.
+    */
+  private lazy val dispCtes = s"""fp AS (SELECT doc_id, text,
                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
                   FROM documents),
       keepers AS (SELECT fp, MIN(doc_id) AS keeper_id FROM fp GROUP BY fp),
@@ -600,8 +608,8 @@ object Curation {
               WHERE len(toks) >= $ContamN AND i.i <= len(toks) - $ContamN),
       contam AS (SELECT DISTINCT tr.doc_id AS doc_id
                  FROM csh tr JOIN csh te USING (shingle)
-                 WHERE tr.u < 0.9 AND te.u >= 0.95)
-      SELECT f.doc_id,
+                 WHERE tr.u < 0.9 AND te.u >= 0.95),
+      disp AS (SELECT f.doc_id,
              CASE WHEN ${duckUnitHashOf("f")} < 0.9 THEN 'train'
                   WHEN ${duckUnitHashOf("f")} < 0.95 THEN 'val'
                   ELSE 'test' END AS split,
@@ -616,8 +624,66 @@ object Curation {
       FROM fp f
       JOIN keepers k USING (fp)
       LEFT JOIN qual q ON q.doc_id = f.doc_id
-      LEFT JOIN contam c ON c.doc_id = f.doc_id
+      LEFT JOIN contam c ON c.doc_id = f.doc_id)"""
+
+  // -- x02: the full training-data ASSEMBLY — documents in, packed
+  //    train sequences out, composed from already-verified operators:
+  //    x01's linear gates (split/dup/length/repetitive/contaminated),
+  //    the LSH near-dup cluster contraction (d03 pairs -> d09
+  //    components) as a drop-list, and p03's fixed-budget packing over
+  //    the survivors. The composition is what's under test here: a
+  //    reference user's end-to-end pipeline as ONE catalog entry.
+  //    100 TB shape: gates are broadcast/agg-shaped, the pair graph and
+  //    contraction touch only near-dup docs, packing is one window per
+  //    lang partition over the kept train split — no stage is new, so
+  //    no new scale risk.
+  private val x02 = Q(
+    "x02_training_assembly",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val disp = x01.run(s, d)
+      val clusters = Clusters.connectedComponents(
+        docs.select("doc_id"), LlmQueries.nearDupPairs(s, d))
+      val nd = clusters.filter(col("cluster") =!= col("doc_id"))
+        .select(col("doc_id")).withColumn("neardup", lit(1L))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      disp
+        .join(nd, Seq("doc_id"), "left")
+        .withColumn("final_disposition",
+          when(col("disposition") =!= "kept", col("disposition"))
+            .when(col("neardup") === 1L, "neardup")
+            .otherwise("kept"))
+        .filter(col("final_disposition") === "kept" && col("split") === "train")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget)).as("seq_bin"))
+    },
+    Some(s"""
+      WITH RECURSIVE $dispCtes,
+      ${LlmQueries.pairsCtes},
+      edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+      ),
+      cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+      train AS (SELECT dp.doc_id, dc.lang, dp.n_tokens
+                FROM disp dp
+                JOIN cl ON cl.doc_id = dp.doc_id
+                JOIN documents dc ON dc.doc_id = dp.doc_id
+                WHERE dp.split = 'train'
+                  AND dp.disposition = 'kept'
+                  AND cl.cluster = dp.doc_id)
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS seq_bin
+      FROM (SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM train)
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, x01)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, x01, x02)
 }
