@@ -42,4 +42,34 @@ class ClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graphs spanning the awkward shapes:
+    // long chains (diameter stress), dense blobs, isolated nodes
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 8
+      val ids = (1L to n.toLong).toSeq
+      val edges = (1 to n).flatMap { _ =>
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        if (a != b) Some((math.min(a, b), math.max(a, b))) else None
+      }.distinct ++ (1L until 6L).map(i => (i, i + 1)) // embedded 6-chain
+
+      // local union-find reference
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val expected = ids.map { i =>
+        val members = ids.filter(j => find(j) == find(i))
+        i -> members.min
+      }.toMap
+
+      val got = llm.Clusters.connectedComponents(
+          ids.toDF("doc_id"), edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial=$trial n=$n edges=${edges.size}")
+    }
+  }
 }
