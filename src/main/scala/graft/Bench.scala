@@ -68,15 +68,18 @@ object Bench {
     val blocksPerSec =
       try if (only.nonEmpty) 0.0 else streamingThroughput(spark)
       catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); 0.0 }
+    val docsPerSec =
+      try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
     // prints LAST so a bounded tail window always contains one complete,
     // parseable JSON object with the headline numbers.
     val summary =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"n_queries":${results.size},"queries_file":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"n_queries":${results.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -106,5 +109,29 @@ object Bench {
       .awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     nBlocks / secs
+  }
+
+  /** LLM-pipeline streaming metric: curation-gate docs/s through the
+    * full DocIngest path — JSON drop -> stateless quality gates ->
+    * watermarked fingerprint dedup -> lang-partitioned parquet lake.
+    * Input is the sf corpus streamed 4x with shifted doc_ids, so the
+    * dedup state carries real duplicate pressure (3 of every 4 copies
+    * share a fingerprint and must drop).
+    */
+  private def docThroughput(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_docs").toString
+    val src = s"$base/src"
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text", "lang", "source")
+    val n = docs.count() * 4
+    for (i <- 0 until 4)
+      docs.selectExpr(s"doc_id + ${i}000000 AS doc_id", "text", "lang", "source")
+        .write.mode("append").json(src)
+    val t0 = System.nanoTime()
+    graft.streaming.DocIngest
+      .start(spark, src, s"$base/lake", s"$base/ckpt")
+      .awaitTermination()
+    n / ((System.nanoTime() - t0) / 1e9)
   }
 }
