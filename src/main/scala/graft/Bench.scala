@@ -98,17 +98,19 @@ object Bench {
   private def streamingThroughput(spark: SparkSession, nBlocks: Int = 2000): Double = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_bench_stream").toString
-    val src = s"$base/src"
-    Files.createDirectories(Paths.get(src))
-    val groups = graft.blocks.Fixtures.blocksJson(1000000L, nBlocks).grouped(500).zipWithIndex
-    for ((g, i) <- groups)
-      Files.write(Paths.get(s"$src/blocks_$i.jsonl"), g.mkString("\n").getBytes("UTF-8"))
-    val t0 = System.nanoTime()
-    graft.streaming.BlockIngest
-      .start(spark, src, s"$base/lake", s"$base/ckpt")
-      .awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
-    nBlocks / secs
+    try {
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      val groups = graft.blocks.Fixtures.blocksJson(1000000L, nBlocks).grouped(500).zipWithIndex
+      for ((g, i) <- groups)
+        Files.write(Paths.get(s"$src/blocks_$i.jsonl"), g.mkString("\n").getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      graft.streaming.BlockIngest
+        .start(spark, src, s"$base/lake", s"$base/ckpt")
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      nBlocks / secs
+    } finally rmTree(base)
   }
 
   /** LLM-pipeline streaming metric: curation-gate docs/s through the
@@ -121,17 +123,31 @@ object Bench {
   private def docThroughput(spark: SparkSession, sfDir: String): Double = {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_bench_docs").toString
-    val src = s"$base/src"
-    val docs = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", "text", "lang", "source")
-    val n = docs.count() * 4
-    for (i <- 0 until 4)
-      docs.selectExpr(s"doc_id + ${i}000000 AS doc_id", "text", "lang", "source")
-        .write.mode("append").json(src)
-    val t0 = System.nanoTime()
-    graft.streaming.DocIngest
-      .start(spark, src, s"$base/lake", s"$base/ckpt")
-      .awaitTermination()
-    n / ((System.nanoTime() - t0) / 1e9)
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "text", "lang", "source")
+      val n = docs.count() * 4
+      for (i <- 0 until 4)
+        docs.selectExpr(s"doc_id + ${i}000000 AS doc_id", "text", "lang", "source")
+          .write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.DocIngest
+        .start(spark, src, s"$base/lake", s"$base/ckpt")
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** probes leave ~5x the corpus behind otherwise (JSON drop + lake +
+    * RocksDB checkpoint per run) — bounded /tmp is part of the contract
+    */
+  private def rmTree(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    try
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    catch { case e: Throwable => System.err.println(s"[bench] cleanup of $dir failed: $e") }
   }
 }

@@ -165,17 +165,6 @@ object Similarity {
       .select("vec_id", "neighbor_id", "cos")
   }
 
-  /** IVF (inverted-file) coarse quantization: assign every vector to
-    * its nearest centroid — the posting-list index of IVF-flat ANN.
-    * Two quantizer flavors share one assignment/probe path:
-    * [[sampledCentroids]] (deterministic, oracle-reproducible — s04) and
-    * [[kmeansCentroids]] (Lloyd-refined, recall-tested — s04b).
-    *
-    * 100 TB shape: centroids broadcast (nCentroids ~ sqrt(corpus) rows),
-    * assignment is one map-side scan computing nCentroids fused-codegen
-    * cosines per row, then a per-vector argmax over nCentroids rows —
-    * no corpus-sized shuffle beyond the argmax window keyed on vec_id.
-    */
   /** the deterministic sampled coarse quantizer (oracle-reproducible) */
   def sampledCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     embeddings
@@ -197,10 +186,18 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    var cents: DataFrame = sampledCentroids(embeddings, nCentroids)
-      .select(col("cid"), transform(col("cv"), _.cast(DoubleType)).as("cv"))
+    import spark.implicits._
+    def toDf(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      cents.sortBy(_._1).toDF("cid", "cv")
+    // seed collect is the ONLY corpus-touching collect (nCentroids rows);
+    // every later round keeps the centroids driver-local and only the
+    // (cid, dim) means come back
+    var cents: Seq[(Long, Seq[Double])] = sampledCentroids(embeddings, nCentroids)
+      .collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Float](1).map(_.toDouble))
+      .toSeq
     for (_ <- 1 to iters) {
-      val means = ivfAssignWith(embeddings, cents)
+      val means = ivfAssignWith(embeddings, toDf(cents))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(round(avg(col("v").cast(DoubleType)), 9).as("m"))
@@ -208,19 +205,26 @@ object Similarity {
       val byCid = means.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
         cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
       }
-      val prev = cents.collect()
-        .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
-      val next = prev.map { case (cid, cv) => (cid, byCid.getOrElse(cid, cv)) }.toSeq
-      import spark.implicits._
-      cents = next.sortBy(_._1).toDF("cid", "cv")
+      cents = cents.map { case (cid, cv) => (cid, byCid.getOrElse(cid, cv)) }
     }
-    cents
+    toDf(cents)
   }
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
     ivfAssignWith(embeddings, sampledCentroids(embeddings, nCentroids))
 
-  /** assignment against an explicit centroid table (sampled or k-means) */
+  /** IVF (inverted-file) coarse quantization against an explicit
+    * centroid table: assign every vector to its nearest centroid — the
+    * posting-list index of IVF-flat ANN. Two quantizer flavors share
+    * this one assignment/probe path: [[sampledCentroids]]
+    * (deterministic, oracle-reproducible — s04) and [[kmeansCentroids]]
+    * (Lloyd-refined, recall-tested — s04b).
+    *
+    * 100 TB shape: centroids broadcast (nCentroids ~ sqrt(corpus) rows),
+    * assignment is one map-side scan computing nCentroids fused-codegen
+    * cosines per row, then a per-vector argmax over nCentroids rows —
+    * no corpus-sized shuffle beyond the argmax window keyed on vec_id.
+    */
   def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)

@@ -78,13 +78,16 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
 
     // poll the growing lake until >= 30 blocks have landed (live tail
-    // has no natural end; bounded wait, then stop)
+    // has no natural end; bounded wait, then stop). A query failure must
+    // fail the test NOW, not after the full deadline reads as "no data".
     val deadline = System.currentTimeMillis() + 90000
     def landed(): Long =
       try spark.read.parquet(s"$lake/blocks").count()
       catch { case _: Throwable => 0L } // lake dir not created yet
-    while (landed() < 30 && System.currentTimeMillis() < deadline)
+    while (landed() < 30 && System.currentTimeMillis() < deadline) {
+      q.exception.foreach(e => fail(s"live-tail query died: $e"))
       Thread.sleep(500)
+    }
     q.stop()
     q.awaitTermination()
 
