@@ -64,4 +64,37 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select((leftCols ++ rightPayload).map(col): _*)
   }
+
+  /** Same semantics through the whole-operator Catalyst path: a custom
+    * [[graft.plans.AsOfJoinNode]] planned by the injected
+    * [[graft.plans.AsOfJoinStrategy]] into a sorted-merge
+    * [[graft.plans.AsOfJoinExec]] (one shuffle + sort per side, O(1)
+    * merge state). Unlike [[asofLeft]] this does not union the sides,
+    * carries no marker columns through the shuffle, and places no
+    * non-null contract on the payload (null payloads join exactly).
+    * Right rows must still be unique per (key, ts) for a deterministic
+    * winner. Rows with a null key or null ts never match.
+    */
+  def asofNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    // re-alias every right column: fresh exprIds so a self-join (both
+    // sides reading the same source) can't produce ambiguous references
+    val r = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      left.sparkSession,
+      graft.plans.AsOfJoinNode(
+        lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, ts), attr(rPlan, ts),
+        rightPayload.map(attr(rPlan, _))))
+  }
 }

@@ -50,5 +50,6 @@ object RewriteMd5Prefix64 extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteMd5Prefix64)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
