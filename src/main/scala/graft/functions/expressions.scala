@@ -129,6 +129,42 @@ object HashUtil {
   }
 }
 
+/** Unicode text-normalization kernel (see [[NfcNormalize]]). */
+object TextNorm {
+  /** NFC-normalize a UTF8String. Fast path: NFC is the identity on
+    * pure-ASCII input (the overwhelming majority of an English corpus),
+    * detectable from the raw UTF-8 bytes without decoding — so the
+    * common case is one byte scan, no String round-trip, no Normalizer
+    * call. Only rows with a high byte pay the decode+normalize cost.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0)
+        return UTF8String.fromString(
+          java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+      i += 1
+    }
+    s
+  }
+}
+
+/** Native codegen NFC normalization — canonical composition of combining
+  * sequences (e + U+0301 -> é), the first step of any text-curation
+  * pipeline (mixed-provenance corpora carry both encodings of the same
+  * visible text, which breaks exact dedup and fingerprinting). Spark has
+  * no builtin for this; DuckDB's `nfc_normalize` is the oracle.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextNorm.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Native codegen form of the dedup hash
   * `conv(substr(md5(s), 1, 15), 16, 10)` — same 60-bit value (oracle
   * parity preserved, property-tested in CodecSpec) without
@@ -192,6 +228,7 @@ object ColumnFns {
   def md5_prefix64(col: Column): Column = c(Md5Prefix64(e(col)))
   def simhash48(col: Column): Column = c(SimHash48(e(col)))
   def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
+  def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
 
   /** Register the SQL-callable subset of these functions on a session
     * so `expr(...)` strings and HOF lambdas can use them (done by
@@ -201,5 +238,6 @@ object ColumnFns {
     Bridge.registerFunction(spark, "md5_prefix64", args => Md5Prefix64(args.head))
     Bridge.registerFunction(spark, "simhash48", args => SimHash48(args.head))
     Bridge.registerFunction(spark, "zorder2", args => ZOrder2(args(0), args(1)))
+    Bridge.registerFunction(spark, "nfc_normalize", args => NfcNormalize(args.head))
   }
 }

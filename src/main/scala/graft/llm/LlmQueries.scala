@@ -697,6 +697,67 @@ object LlmQueries {
       FROM documents
     """.trim))
 
+  // -- t08: Unicode NFC normalization — native codegen expression with
+  //    an ASCII fast path (one byte scan, no decode) vs DuckDB's
+  //    nfc_normalize. The corpus is ASCII, so each row gets a
+  //    deterministic decomposed suffix (e + U+0301) appended by BOTH
+  //    engines; composition must shorten it by exactly one codepoint.
+  private val t08 = Q(
+    "t08_normalize_unicode",
+    (s, d) => {
+      val aug = concat(col("text"), lit(" café"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(aug).cast(LongType).as("n_chars_raw"),
+        length(graft.functions.ColumnFns.nfc_normalize(aug)).cast(LongType).as("n_chars_nfc"),
+        graft.functions.ColumnFns.nfc_normalize(aug).as("norm_text"))
+    },
+    Some("""
+      SELECT doc_id,
+        length(text || ' cafe' || chr(769)) AS n_chars_raw,
+        length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_nfc,
+        nfc_normalize(text || ' cafe' || chr(769)) AS norm_text
+      FROM documents
+    """.trim))
+
+  // -- t09: PII redaction — email/IPv4/phone scrub with per-category
+  //    counts. The corpus carries no PII, so each row is augmented with
+  //    deterministic doc_id-derived PII by BOTH engines, then redacted;
+  //    the oracle hash-checks the scrubbed text AND the counts. Pure
+  //    regexp chain: codegen'd, shuffle-free, scan-speed at 100 TB.
+  private val t09 = Q(
+    "t09_pii_redact",
+    (s, d) => {
+      val aug = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example or 10.0."), col("doc_id") % 200,
+        lit(".7 tel 555-867-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(aug, lit(TextAnalysis.EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(aug, lit(TextAnalysis.Ipv4Re)).cast(LongType).as("n_ips"),
+        regexp_count(aug, lit(TextAnalysis.PhoneRe)).cast(LongType).as("n_phones"),
+        TextAnalysis.piiRedact(aug).as("redacted"))
+    },
+    Some("""
+      WITH a AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example or 10.0.'
+               || (doc_id % 200) || '.7 tel 555-867-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(aug, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM a
+    """.trim))
+
   // -- m01: multimodal metadata (binary column + typed meta) —
   //    oracle-checkable half of the media pipeline.
   private val m01 = Q(
@@ -815,5 +876,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, e01, t01, t02, t03, t04, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
 }

@@ -80,4 +80,26 @@ object TextAnalysis {
     */
   def contentFingerprint: Column =
     md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** PII patterns, written in the common subset of Java regex and RE2
+    * (no lookaround, no backrefs) so the same pattern runs codegen'd in
+    * Spark and verbatim in the DuckDB oracle. Public-knowledge shapes:
+    * the usual email/IPv4/NANP-phone recipes every curation pipeline
+    * carries (e.g. the C4/RefinedWeb-style scrub step).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** redact emails, then IPv4s, then phones (order matters: the email
+    * rule consumes dotted digit runs inside addresses before the IP
+    * rule can see them). Pure `regexp_replace` chain — codegen'd,
+    * shuffle-free, embarrassingly parallel.
+    */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -27,6 +27,50 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize composes combining sequences, is idempotent, identity on ASCII") {
+    import spark.implicits._
+    val composed = "café" // U+00E9
+    val decomposed = "café" // e + U+0301
+    val rows = Seq(decomposed, composed, "plain ascii", "", "ÅB̈") // Å B̈
+      .toDF("s")
+      .select(
+        col("s"),
+        graft.functions.ColumnFns.nfc_normalize(col("s")).as("n1"),
+        graft.functions.ColumnFns.nfc_normalize(
+          graft.functions.ColumnFns.nfc_normalize(col("s"))).as("n2"),
+        length(col("s")).as("len_raw"),
+        length(graft.functions.ColumnFns.nfc_normalize(col("s"))).as("len_nfc"))
+      .collect()
+    assert(rows(0).getString(1) == composed && rows(0).getInt(3) == 5 && rows(0).getInt(4) == 4)
+    assert(rows(1).getString(1) == composed) // already-composed input unchanged
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "")
+    assert(rows(4).getString(1) == "ÅB̈" && rows(4).getInt(4) == 3)
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(0)}"))
+  }
+
+  test("pii redaction scrubs emails, IPs and phones; counts match; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at jo.doe+spam@sub.example.org thanks",
+      "server 192.168.001.1 then call 555-867-5309",
+      "nothing sensitive here 12.5 percent, v1.2.3.4.5 is a version",
+      "a@b.co and 1.2.3.4 and 800 555 1234").toDF("text")
+      .select(
+        graft.llm.TextAnalysis.piiRedact(col("text")).as("red"),
+        regexp_count(col("text"), lit(graft.llm.TextAnalysis.EmailRe)).as("ne"),
+        regexp_count(col("text"), lit(graft.llm.TextAnalysis.Ipv4Re)).as("ni"),
+        regexp_count(col("text"), lit(graft.llm.TextAnalysis.PhoneRe)).as("np"))
+      .collect()
+    assert(rows(0).getString(0) == "mail me at <EMAIL> thanks" && rows(0).getInt(1) == 1)
+    assert(rows(1).getString(0) == "server <IP> then call <PHONE>")
+    assert(rows(1).getInt(2) == 1 && rows(1).getInt(3) == 1)
+    // 1.2.3.4.5: the first 4 octets match the unanchored IPv4 shape —
+    // redaction is recall-biased by design; the decimal 12.5 survives
+    assert(rows(2).getString(0).contains("12.5 percent"))
+    assert(rows(3).getString(0) == "<EMAIL> and <IP> and <PHONE>")
+  }
+
   test("minhash-LSH finds the planted near-duplicates and nothing below threshold") {
     val pairs = Catalog.byName("d03_minhash_lsh").run(spark, sf).collect()
     assert(pairs.nonEmpty, "generator plants jaccard≈1.0 pairs; LSH must surface them")
