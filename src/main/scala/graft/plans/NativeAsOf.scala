@@ -89,7 +89,15 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val lKeyExpr = leftKey
@@ -160,6 +168,8 @@ case class AsOfJoinExec(
           }
           val hit = matchKey != null && !lk.isNullAt(0) &&
             keyOrdering.compare(matchKey, lk) == 0
+          numOutputRows += 1
+          if (hit) numMatched += 1
           resultProj(joined(l, if (hit) matchPayload else nullPayload))
         }
       }
