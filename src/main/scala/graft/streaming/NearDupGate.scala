@@ -1,0 +1,162 @@
+package graft.streaming
+
+import graft.llm.{Clusters, Dedup}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming NEAR-duplicate gate: the micro-batch form of the
+  * delta-vs-corpus LSH dedup (d11), run continuously. [[DocIngest]]
+  * dedups exact fingerprints in stream state; near-dup detection is
+  * corpus-relative by nature, so its streaming shape is a foreachBatch
+  * loop over a persisted signature index — each micro-batch is the
+  * "delta", everything admitted so far is the "corpus":
+  *
+  *   batch -> shingle/minhash/band (map-side, per batch)
+  *         -> band-join vs the persisted index   (corpus near-dups)
+  *         -> band self-join within the batch    (intra-batch near-dups)
+  *         -> exact-Jaccard verify >= threshold  (candidates only)
+  *         -> admit cluster keepers; append their signatures to the index
+  *
+  * State is the admitted-docs index (shingle hashes + band table), i.e.
+  * proportional to DISTINCT content — the same silver table x03
+  * documents for the batch pipeline, here grown incrementally. A doc is
+  * dropped iff it Jaccard-verifies against an already-ADMITTED doc or
+  * loses its intra-batch cluster election (min doc_id keeps, ≡ d09's
+  * keeper rule). Banding recall at the threshold matches d03/d11 (same
+  * k/r).
+  *
+  * Idempotence: every output (lake, index, decisions) lands in a
+  * batch-scoped `batch=<id>` partition with overwrite semantics — a
+  * replayed micro-batch rewrites its own directories instead of
+  * appending duplicates (same recipe as BlockIngest's S9 sink).
+  *
+  * 100 TB notes: the per-batch pipeline shuffles band keys and
+  * candidate shingles only (longs, candidate-bounded — see
+  * Dedup.jaccard); the index band-join is an equi-join on (band, bv)
+  * that prunes to colliding buckets. The index grows append-only in
+  * batch-partitioned parquet; DocIngest.compact-style maintenance
+  * applies when file counts matter.
+  */
+object NearDupGate {
+
+  final case class Config(
+      k: Int = 8,
+      r: Int = 2,
+      maxDf: Int = 1000,
+      threshold: Double = 0.8)
+
+  /** One incremental step: gate `batchDocs` against the index at
+    * `indexDir`, append admitted docs/signatures/decisions under
+    * batch-scoped partitions. Usable standalone for batch-incremental
+    * backfills; [[start]] drives it per micro-batch.
+    */
+  def step(
+      spark: SparkSession,
+      batchDocs: DataFrame,
+      batchId: Long,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String,
+      cfg: Config = Config()): Unit = {
+    val docs = batchDocs.cache()
+    try {
+      val sh = Dedup.shingleIndex(Dedup.shingles(docs), cfg.maxDf).cache()
+      val bands = Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r).cache()
+
+      val hasIndex = {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      // corpus-relative drops: band collision vs the admitted index,
+      // then exact-Jaccard verify over the union of shingle tables.
+      // Partner choice (for the audit log) is the min admitted doc_id
+      // among verified matches — deterministic across replays.
+      val corpusDropped: DataFrame =
+        if (!hasIndex) {
+          docs.select(col("doc_id")).limit(0)
+            .withColumn("partner", lit(null).cast("long"))
+            .withColumn("jac", lit(null).cast("double"))
+        } else {
+          // exclude this batch's own partition: a crash-replay runs
+          // AFTER a partial write may have landed the batch's own
+          // signatures — without the filter every replayed doc would
+          // "match" itself in the index and be dropped as a corpus dup
+          val corpusBands = spark.read.parquet(s"$indexDir/bands")
+            .filter(col("batch") =!= batchId)
+          val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+            .filter(col("batch") =!= batchId)
+          val cand = corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
+            .join(bands.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
+            .select("d1", "d2").distinct()
+          Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
+            .filter(col("jac") >= cfg.threshold)
+            .groupBy(col("d2").as("doc_id"))
+            .agg(min_by(struct(col("d1"), col("jac")), col("d1")).as("m"))
+            .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac"))
+        }
+      val cd = corpusDropped.cache()
+
+      // intra-batch near-dup clusters among the survivors: keeper =
+      // min doc_id per connected component (d09's election)
+      val rem = docs.join(cd.select("doc_id"), Seq("doc_id"), "left_anti").cache()
+      val remIds = rem.select("doc_id")
+      val candB = bands.join(broadcast(remIds), Seq("doc_id"), "leftsemi")
+      val pairsB = Dedup.jaccard(
+          candB.select(col("band"), col("bv"), col("doc_id").as("d1"))
+            .join(candB.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
+            .filter(col("d1") < col("d2"))
+            .select("d1", "d2").distinct(),
+          sh)
+        .filter(col("jac") >= cfg.threshold)
+      val comps = Clusters.connectedComponents(remIds, pairsB.select("d1", "d2"))
+      val batchDropped = comps.filter(col("cluster") =!= col("doc_id"))
+        .select(col("doc_id"), col("cluster").as("partner"))
+
+      val admittedIds = comps.filter(col("cluster") === col("doc_id")).select("doc_id")
+
+      def write(df: DataFrame, dir: String): Unit =
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+
+      write(rem.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), lakeDir)
+      write(sh.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), s"$indexDir/shingles")
+      write(bands.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), s"$indexDir/bands")
+      write(
+        admittedIds.withColumn("decision", lit("admit"))
+          .withColumn("partner", lit(null).cast("long"))
+          .withColumn("jac", lit(null).cast("double"))
+          .unionByName(cd.withColumn("decision", lit("drop_corpus"))
+            .select(col("doc_id"), col("decision"), col("partner"), col("jac")))
+          .unionByName(batchDropped.withColumn("decision", lit("drop_batch"))
+            .withColumn("jac", lit(null).cast("double"))
+            .select(col("doc_id"), col("decision"), col("partner"), col("jac"))),
+        decisionsDir)
+      cd.unpersist(); rem.unpersist(); sh.unpersist(); bands.unpersist()
+    } finally docs.unpersist(): Unit
+  }
+
+  /** Streaming entry point: JSON drop dir in, near-dup-gated lake out,
+    * checkpointed resume. Same source contract as [[DocIngest.start]].
+    */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(DocIngest.docSchema)
+      .option("maxFilesPerTrigger", 64)
+      .json(srcDir)
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(spark, batch, batchId, lakeDir, indexDir, decisionsDir, cfg)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}

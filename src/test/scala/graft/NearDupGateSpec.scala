@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.llm.Dedup
+import graft.streaming.NearDupGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup gate: planted near/exact duplicates across two
+  * micro-batches must drop against the growing admitted index; the
+  * admitted set must be pairwise near-dup-free; replays must not
+  * duplicate output (batch-scoped overwrite).
+  */
+class NearDupGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val vocab = (1 to 60).map(i => s"tok$i")
+  private def text(seed: Int, words: Int = 30): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(words)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+  /** near-dup: one word substituted -> ~25/31 shared 3-gram shingles */
+  private def mutate(t: String): String = {
+    val toks = t.split(" "); toks(10) = "MUTANT"; toks.mkString(" ")
+  }
+  private def doc(id: Long, t: String): String =
+    s"""{"doc_id":$id,"text":"$t","lang":"en","source":"crawl"}"""
+
+  test("cross-batch + intra-batch near-dups drop; admitted set is clean; replay-safe") {
+    val base = Files.createTempDirectory("graft_neardup").toString
+    val src = s"$base/src"; val lake = s"$base/lake"; val idx = s"$base/idx"
+    val dec = s"$base/dec"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(src))
+
+    val t1 = text(1); val t2 = text(2); val t3 = text(3); val t4 = text(4)
+    // batch 1: two distinct docs + an intra-batch near-dup pair (10~11)
+    Files.write(Paths.get(s"$src/a.jsonl"), Seq(
+      doc(10, t1), doc(11, mutate(t1)), doc(12, t2)
+    ).mkString("\n").getBytes("UTF-8"))
+    NearDupGate.start(spark, src, lake, idx, dec, ckpt).awaitTermination()
+
+    // batch 2: near-dup of an admitted batch-1 doc (20~12), an exact
+    // copy of a batch-1 DROPPED doc (21 = 11 -> still ~ admitted 10),
+    // and two fresh docs
+    Files.write(Paths.get(s"$src/b.jsonl"), Seq(
+      doc(20, mutate(t2)), doc(21, mutate(t1)), doc(22, t3), doc(23, t4)
+    ).mkString("\n").getBytes("UTF-8"))
+    NearDupGate.start(spark, src, lake, idx, dec, ckpt).awaitTermination()
+
+    val lakeDf = spark.read.parquet(lake).cache()
+    val decisions = spark.read.parquet(dec).cache()
+    val admitted = lakeDf.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(admitted == Set(10L, 12L, 22L, 23L), s"admitted = $admitted")
+
+    // decisions: every input doc decided exactly once, with the right verdicts
+    assert(decisions.count() == 7 && decisions.select("doc_id").distinct().count() == 7)
+    val byId = decisions.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("decision"), Option(r.getAs[java.lang.Long]("partner")))).toMap
+    assert(byId(11L)._1 == "drop_batch" && byId(11L)._2.contains(10L))
+    assert(byId(20L)._1 == "drop_corpus" && byId(20L)._2.contains(12L))
+    assert(byId(21L)._1 == "drop_corpus" && byId(21L)._2.contains(10L))
+    for (id <- Seq(10L, 12L, 22L, 23L)) assert(byId(id)._1 == "admit")
+
+    // drop_corpus audit rows carry a verified jaccard >= threshold
+    val corpusJacs = decisions.filter(col("decision") === "drop_corpus")
+      .select("jac").collect().map(_.getDouble(0))
+    assert(corpusJacs.nonEmpty && corpusJacs.forall(_ >= 0.8))
+
+    // the admitted set is pairwise near-dup-free under the same detector
+    val sh = Dedup.shingleIndex(Dedup.shingles(lakeDf.select("doc_id", "text")), 1000)
+    val pairs = Dedup.jaccard(
+        Dedup.lshCandidates(Dedup.minhashSigs(sh, 8), 8, 2), sh)
+      .filter(col("jac") >= 0.8)
+    assert(pairs.count() == 0, "admitted docs contain a near-dup pair")
+
+    // replaying a batch overwrites, never duplicates: re-run step 1's
+    // output dirs by re-invoking step with the same batch id
+    val batch1 = spark.read.json(s"$src/a.jsonl")
+      .selectExpr("doc_id", "text", "lang", "source")
+    NearDupGate.step(spark, batch1, 0L, lake, idx, dec)
+    val again = spark.read.parquet(lake)
+    assert(again.count() == again.select("doc_id").distinct().count(),
+      "replay duplicated lake rows")
+
+    // the index holds signatures for exactly the admitted docs
+    val idxDocs = spark.read.parquet(s"$idx/bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxDocs == admitted, s"index docs = $idxDocs")
+  }
+}
