@@ -67,6 +67,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), "c02 lost its bloom prefilter")
   }
 
+  test("per-row scan-shaped operators plan zero exchanges") {
+    // the per-row text/embedding/media family must stay map-only: any
+    // Exchange here means a refactor introduced a shuffle into an
+    // operator whose 100 TB contract is "runs at scan speed"
+    for (name <- Seq(
+        "t01_lang_id", "t02_quality_score", "t03_token_count", "t04_fingerprint",
+        "t08_normalize_unicode", "t09_pii_redact",
+        "e01_quantize_int8", "d04_simhash", "p01_split_assign", "m01_multimodal_meta")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n$plan")
+    }
+  }
+
   test("grouped top-k plans a PARTIAL WindowGroupLimit before the exchange") {
     // q08 (rank<=k per brand): Spark 4 plans partial+final
     // WindowGroupLimitExec, so the shuffle carries at most k rows per
