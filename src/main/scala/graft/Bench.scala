@@ -94,8 +94,22 @@ object Bench {
     * 8-table flatten -> checkpointed parquet lake. The reference's live
     * floor is ~1 block/s (NEAR cadence); backfill wants orders of
     * magnitude more.
+    *
+    * A small untimed pass runs first: the streaming path (micro-batch
+    * planner, state machinery, per-entity writers) JITs independently
+    * of the batch warmup, and a single cold pass reads ~3x low with
+    * run-to-run spread of 2x+ (measured in graft.tools.StreamProbe:
+    * cold 144 blocks/s vs steady 480-510). The metric's contract is
+    * steady-state throughput of a long-lived ingest job, same as the
+    * per-query times.
     */
   private def streamingThroughput(spark: SparkSession, nBlocks: Int = 2000): Double = {
+    ingestRun(spark, 200) // warmup: JIT the streaming path, untimed
+    ingestRun(spark, nBlocks)
+  }
+
+  /** one fixture-drop -> BlockIngest -> lake pass; returns blocks/s */
+  private def ingestRun(spark: SparkSession, nBlocks: Int): Double = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_bench_stream").toString
     try {
@@ -121,14 +135,20 @@ object Bench {
     * share a fingerprint and must drop).
     */
   private def docThroughput(spark: SparkSession, sfDir: String): Double = {
+    docRun(spark, WarmDir, copies = 1) // warmup: JIT the gate+dedup path
+    docRun(spark, sfDir, copies = 4)
+  }
+
+  /** one corpus-drop -> DocIngest -> lake pass; returns docs/s */
+  private def docRun(spark: SparkSession, sfDir: String, copies: Int): Double = {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_bench_docs").toString
     try {
       val src = s"$base/src"
       val docs = Tables.documents(spark, sfDir)
         .selectExpr("doc_id", "text", "lang", "source")
-      val n = docs.count() * 4
-      for (i <- 0 until 4)
+      val n = docs.count() * copies
+      for (i <- 0 until copies)
         docs.selectExpr(s"doc_id + ${i}000000 AS doc_id", "text", "lang", "source")
           .write.mode("append").json(src)
       val t0 = System.nanoTime()
