@@ -74,6 +74,11 @@ object AsOfJoin {
     * non-null contract on the payload (null payloads join exactly).
     * Right rows must still be unique per (key, ts) for a deterministic
     * winner. Rows with a null key or null ts never match.
+    *
+    * Catalyst treats the custom node as opaque — filters and column
+    * pruning do not push THROUGH it — so project/filter both inputs
+    * down to what the join needs before calling (as q22b does); the
+    * children's own scans still prune/push normally.
     */
   def asofNative(
       left: DataFrame,

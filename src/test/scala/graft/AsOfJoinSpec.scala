@@ -34,6 +34,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"expected a (key, ts) sort per side:\n$plan")
   }
 
+  test("q22b parity holds at sf0.01 (multi-partition, AQE)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val a = Catalog.byName("q22_asof_join").run(spark, sf01)
+    val b = Catalog.byName("q22b_asof_native").run(spark, sf01)
+    assert(a.count() == b.count() && a.count() > 1000)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("randomized parity with the union+window formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(87)
