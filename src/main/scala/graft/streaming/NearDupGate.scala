@@ -33,8 +33,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * 100 TB notes: the per-batch pipeline shuffles band keys and
   * candidate shingles only (longs, candidate-bounded — see
-  * Dedup.jaccard); the index band-join is an equi-join on (band, bv)
-  * that prunes to colliding buckets. The index grows append-only in
+  * Dedup.jaccard); the index probe broadcasts the micro-batch's band
+  * table, so it costs one columnar scan of the index per batch and no
+  * index shuffle. That scan-per-batch is the honest limit of a
+  * parquet-backed index: at corpus scale with tight batch cadence,
+  * store the band table bucketed by (bv) (bucket-pruned probe) or
+  * serve it from a key-value store — the gate's logic is unchanged,
+  * only the candidate lookup swaps. The index grows append-only in
   * batch-partitioned parquet; DocIngest.compact-style maintenance
   * applies when file counts matter.
   */
@@ -86,8 +91,11 @@ object NearDupGate {
             .filter(col("batch") =!= batchId)
           val corpusSh = spark.read.parquet(s"$indexDir/shingles")
             .filter(col("batch") =!= batchId)
+          // batch side is micro-batch-sized: broadcast it so the index
+          // probe is ONE scan of the band table with no index shuffle
           val cand = corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
-            .join(bands.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
+            .join(broadcast(bands.select(col("band"), col("bv"), col("doc_id").as("d2"))),
+              Seq("band", "bv"))
             .select("d1", "d2").distinct()
           Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
             .filter(col("jac") >= cfg.threshold)
