@@ -77,6 +77,10 @@ object NearDupGate {
       // then exact-Jaccard verify over the union of shingle tables.
       // Partner choice (for the audit log) is the min admitted doc_id
       // among verified matches — deterministic across replays.
+      // candidate frames passed to Dedup.jaccard get cached inside it;
+      // track them so a long-running stream unpersists per batch
+      // instead of accumulating one cache entry per micro-batch
+      var candFrames = List.empty[DataFrame]
       val corpusDropped: DataFrame =
         if (!hasIndex) {
           docs.select(col("doc_id")).limit(0)
@@ -97,6 +101,7 @@ object NearDupGate {
             .join(broadcast(bands.select(col("band"), col("bv"), col("doc_id").as("d2"))),
               Seq("band", "bv"))
             .select("d1", "d2").distinct()
+          candFrames ::= cand
           Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
             .filter(col("jac") >= cfg.threshold)
             .groupBy(col("d2").as("doc_id"))
@@ -110,12 +115,12 @@ object NearDupGate {
       val rem = docs.join(cd.select("doc_id"), Seq("doc_id"), "left_anti").cache()
       val remIds = rem.select("doc_id")
       val candB = bands.join(broadcast(remIds), Seq("doc_id"), "leftsemi")
-      val pairsB = Dedup.jaccard(
-          candB.select(col("band"), col("bv"), col("doc_id").as("d1"))
-            .join(candB.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
-            .filter(col("d1") < col("d2"))
-            .select("d1", "d2").distinct(),
-          sh)
+      val candBPairs = candB.select(col("band"), col("bv"), col("doc_id").as("d1"))
+        .join(candB.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      candFrames ::= candBPairs
+      val pairsB = Dedup.jaccard(candBPairs, sh)
         .filter(col("jac") >= cfg.threshold)
       val comps = Clusters.connectedComponents(remIds, pairsB.select("d1", "d2"))
       val batchDropped = comps.filter(col("cluster") =!= col("doc_id"))
@@ -140,6 +145,7 @@ object NearDupGate {
             .select(col("doc_id"), col("decision"), col("partner"), col("jac"))),
         decisionsDir)
       cd.unpersist(); rem.unpersist(); sh.unpersist(); bands.unpersist()
+      candFrames.foreach(_.unpersist())
     } finally docs.unpersist(): Unit
   }
 
