@@ -108,8 +108,11 @@ object Bench {
     ingestRun(spark, nBlocks)
   }
 
-  /** one fixture-drop -> BlockIngest -> lake pass; returns blocks/s */
-  private def ingestRun(spark: SparkSession, nBlocks: Int): Double = {
+  /** one fixture-drop -> BlockIngest -> lake pass; returns blocks/s
+    * (private[graft]: graft.tools.StreamProbe reuses it so the
+    * diagnostic measures the identical pipeline)
+    */
+  private[graft] def ingestRun(spark: SparkSession, nBlocks: Int): Double = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_bench_stream").toString
     try {

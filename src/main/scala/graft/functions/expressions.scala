@@ -138,10 +138,12 @@ object TextNorm {
     * call. Only rows with a high byte pay the decode+normalize cost.
     */
   def nfc(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
+    // scan in place via getByte: getBytes would memcpy the text out of
+    // its UnsafeRow buffer for every row, defeating the fast path
+    val n = s.numBytes()
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0x80) != 0)
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0)
         return UTF8String.fromString(
           java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
       i += 1

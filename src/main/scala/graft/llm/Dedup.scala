@@ -120,11 +120,11 @@ object Dedup {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
   }
 
-  /** LSH banding: rows of r signature values concatenated into band
-    * keys; returns candidate pairs (d1 < d2) colliding in >= 1 band
+  /** candidate pairs (d1 < d2) colliding in >= 1 band of a prebuilt
+    * (possibly filtered) band table — the canonical pair-generation
+    * step shared by the batch dedup family and the streaming gate
     */
-  def lshCandidates(sigs: DataFrame, k: Int, r: Int): DataFrame = {
-    val bands = bandTable(sigs, k, r)
+  def bandPairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"))
     val b = bands.select(col("band"), col("bv"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "bv"))
@@ -132,6 +132,12 @@ object Dedup {
       .select("d1", "d2")
       .distinct()
   }
+
+  /** LSH banding: rows of r signature values concatenated into band
+    * keys; returns candidate pairs (d1 < d2) colliding in >= 1 band
+    */
+  def lshCandidates(sigs: DataFrame, k: Int, r: Int): DataFrame =
+    bandPairs(bandTable(sigs, k, r))
 
   /** Exact Jaccard for given candidate pairs over the shingle sets:
     * candidate-bounded equi-join on the inverted index.

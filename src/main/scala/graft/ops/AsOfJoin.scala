@@ -79,6 +79,13 @@ object AsOfJoin {
     * pruning do not push THROUGH it — so project/filter both inputs
     * down to what the join needs before calling (as q22b does); the
     * children's own scans still prune/push normally.
+    *
+    * `rightPayload` names must not collide with `left` columns (the
+    * output schema is left ++ payload), and the key/ts columns must
+    * have the SAME data type on both sides — each side hash-partitions
+    * by its own expression, so e.g. an int-vs-long key would send equal
+    * keys to different partitions and silently lose matches. Both are
+    * validated here.
     */
   def asofNative(
       left: DataFrame,
@@ -86,6 +93,9 @@ object AsOfJoin {
       key: String,
       ts: String,
       rightPayload: Seq[String]): DataFrame = {
+    val collisions = rightPayload.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns: ${collisions.mkString(", ")}")
     // re-alias every right column: fresh exprIds so a self-join (both
     // sides reading the same source) can't produce ambiguous references
     val r = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
@@ -94,6 +104,10 @@ object AsOfJoin {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    for (c <- Seq(key, ts)) {
+      val (lt, rt) = (attr(lPlan, c).dataType, attr(rPlan, c).dataType)
+      require(lt == rt, s"as-of column $c type mismatch: left $lt vs right $rt")
+    }
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       left.sparkSession,
       graft.plans.AsOfJoinNode(

@@ -478,8 +478,14 @@ object Relational {
     """.trim))
 
   // -- q22: as-of join (see AsOfJoin scaladoc for the 100 TB-safe plan).
-  private val q22 = Q(
-    "q22_asof_join",
+  //    The body and oracle are shared with q22b (Relational4), which
+  //    runs the SAME question through the native physical operator —
+  //    one definition keeps the pair an exact A/B of the two
+  //    formulations.
+  private[ops] def asofQuery(
+      joinFn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Seq[String]) => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) => {
       val ev = events(s, d)
       val purchases = ev
@@ -489,15 +495,15 @@ object Relational {
         .filter(col("event_type") === "view")
         .groupBy("user_id", "ts")
         .agg(max("event_id").as("view_event_id"))
-      AsOfJoin
-        .asofLeft(purchases, views, "user_id", "ts", Seq("view_event_id"))
+      joinFn(purchases, views, "user_id", "ts", Seq("view_event_id"))
         .select(
           col("event_id"),
           col("user_id"),
           epochS(col("ts")).as("ts_s"),
           col("view_event_id"))
-    },
-    Some("""
+    }
+
+  private[ops] val asofOracle: String = """
       WITH v AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
            p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
@@ -505,7 +511,9 @@ object Relational {
         CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
         v.view_event_id
       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-    """.trim))
+    """.trim
+
+  private val q22 = Q("q22_asof_join", asofQuery(AsOfJoin.asofLeft), Some(asofOracle))
 
   // -- q23: tumbling time window (batch image of the streaming window op).
   private val q23 = Q(

@@ -206,32 +206,8 @@ object Relational4 {
   //    native ASOF JOIN.
   private val q22b = Q(
     "q22b_asof_native",
-    (s, d) => {
-      val ev = events(s, d)
-      val purchases = ev
-        .filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val views = ev
-        .filter(col("event_type") === "view")
-        .groupBy("user_id", "ts")
-        .agg(max("event_id").as("view_event_id"))
-      AsOfJoin
-        .asofNative(purchases, views, "user_id", "ts", Seq("view_event_id"))
-        .select(
-          col("event_id"),
-          col("user_id"),
-          epochS(col("ts")).as("ts_s"),
-          col("view_event_id"))
-    },
-    Some("""
-      WITH v AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
-                 FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
-           p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-      SELECT p.event_id, p.user_id,
-        CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
-        v.view_event_id
-      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-    """.trim))
+    Relational.asofQuery(AsOfJoin.asofNative),
+    Some(Relational.asofOracle))
 
   val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, z01)
 }

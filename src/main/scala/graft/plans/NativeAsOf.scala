@@ -155,16 +155,17 @@ case class AsOfJoinExec(
           val lt = lTsProj(l)
           // consume right rows at-or-before the left cursor; null keys
           // sort first and never match (SQL join semantics)
-          while (rKey != null && {
-              val c = keyOrdering.compare(rKey, lk)
-              c < 0 || (c == 0 && tsOrdering.compare(rTs, lt) <= 0)
-            }) {
-            if (!rKey.isNullAt(0) && !rTs.isNullAt(0) &&
-              keyOrdering.compare(rKey, lk) == 0) {
-              matchKey = rKey
-              matchPayload = rPay
-            }
-            advanceRight()
+          var advancing = rKey != null
+          while (advancing) {
+            val c = keyOrdering.compare(rKey, lk)
+            if (c < 0 || (c == 0 && tsOrdering.compare(rTs, lt) <= 0)) {
+              if (c == 0 && !rKey.isNullAt(0) && !rTs.isNullAt(0)) {
+                matchKey = rKey
+                matchPayload = rPay
+              }
+              advanceRight()
+              advancing = rKey != null
+            } else advancing = false
           }
           val hit = matchKey != null && !lk.isNullAt(0) &&
             keyOrdering.compare(matchKey, lk) == 0

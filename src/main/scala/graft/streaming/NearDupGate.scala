@@ -64,10 +64,16 @@ object NearDupGate {
       indexDir: String,
       decisionsDir: String,
       cfg: Config = Config()): Unit = {
-    val docs = batchDocs.cache()
+    // every cached frame (ours, plus the candidate frames Dedup.jaccard
+    // caches internally) is unpersisted in the finally: a long-running
+    // stream must not accumulate cache entries per micro-batch, and a
+    // batch that THROWS mid-write must not leak them either
+    var cached = List[DataFrame](batchDocs.cache())
+    def track(df: DataFrame): DataFrame = { cached ::= df; df }
+    val docs = batchDocs
     try {
-      val sh = Dedup.shingleIndex(Dedup.shingles(docs), cfg.maxDf).cache()
-      val bands = Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r).cache()
+      val sh = track(Dedup.shingleIndex(Dedup.shingles(docs), cfg.maxDf).cache())
+      val bands = track(Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r).cache())
 
       val hasIndex = {
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
@@ -77,10 +83,6 @@ object NearDupGate {
       // then exact-Jaccard verify over the union of shingle tables.
       // Partner choice (for the audit log) is the min admitted doc_id
       // among verified matches — deterministic across replays.
-      // candidate frames passed to Dedup.jaccard get cached inside it;
-      // track them so a long-running stream unpersists per batch
-      // instead of accumulating one cache entry per micro-batch
-      var candFrames = List.empty[DataFrame]
       val corpusDropped: DataFrame =
         if (!hasIndex) {
           docs.select(col("doc_id")).limit(0)
@@ -97,29 +99,24 @@ object NearDupGate {
             .filter(col("batch") =!= batchId)
           // batch side is micro-batch-sized: broadcast it so the index
           // probe is ONE scan of the band table with no index shuffle
-          val cand = corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
+          val cand = track(corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
             .join(broadcast(bands.select(col("band"), col("bv"), col("doc_id").as("d2"))),
               Seq("band", "bv"))
-            .select("d1", "d2").distinct()
-          candFrames ::= cand
+            .select("d1", "d2").distinct())
           Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
             .filter(col("jac") >= cfg.threshold)
             .groupBy(col("d2").as("doc_id"))
             .agg(min_by(struct(col("d1"), col("jac")), col("d1")).as("m"))
             .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac"))
         }
-      val cd = corpusDropped.cache()
+      val cd = track(corpusDropped.cache())
 
       // intra-batch near-dup clusters among the survivors: keeper =
       // min doc_id per connected component (d09's election)
-      val rem = docs.join(cd.select("doc_id"), Seq("doc_id"), "left_anti").cache()
+      val rem = track(docs.join(cd.select("doc_id"), Seq("doc_id"), "left_anti").cache())
       val remIds = rem.select("doc_id")
       val candB = bands.join(broadcast(remIds), Seq("doc_id"), "leftsemi")
-      val candBPairs = candB.select(col("band"), col("bv"), col("doc_id").as("d1"))
-        .join(candB.select(col("band"), col("bv"), col("doc_id").as("d2")), Seq("band", "bv"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      candFrames ::= candBPairs
+      val candBPairs = track(Dedup.bandPairs(candB))
       val pairsB = Dedup.jaccard(candBPairs, sh)
         .filter(col("jac") >= cfg.threshold)
       val comps = Clusters.connectedComponents(remIds, pairsB.select("d1", "d2"))
@@ -144,9 +141,7 @@ object NearDupGate {
             .withColumn("jac", lit(null).cast("double"))
             .select(col("doc_id"), col("decision"), col("partner"), col("jac"))),
         decisionsDir)
-      cd.unpersist(); rem.unpersist(); sh.unpersist(); bands.unpersist()
-      candFrames.foreach(_.unpersist())
-    } finally docs.unpersist(): Unit
+    } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
   }
 
   /** Streaming entry point: JSON drop dir in, near-dup-gated lake out,

@@ -88,6 +88,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(2).get(3) == null) // null left ts
   }
 
+  test("asofNative rejects key/ts type mismatches and payload name collisions") {
+    import spark.implicits._
+    val l = Seq((1, 10L, 1L)).toDF("k", "ts", "lid")
+    // int key on the left, long on the right: each side would hash-
+    // partition by its own type and silently lose matches — must throw
+    val rLong = Seq((1L, 5L, 7L)).toDF("k", "ts", "payload")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofNative(l, rLong, "k", "ts", Seq("payload"))
+    }
+    // payload name already present on the left -> ambiguous output
+    val r = Seq((1, 5L, 7L)).toDF("k", "ts", "lid")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofNative(l, r, "k", "ts", Seq("lid"))
+    }
+  }
+
   test("left rows with no right partner keep left semantics (null payload)") {
     import spark.implicits._
     val left = Seq((1, 10L, 100L), (2, 10L, 101L)).toDF("k", "ts", "lid")
