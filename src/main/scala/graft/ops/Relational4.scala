@@ -209,5 +209,37 @@ object Relational4 {
     Relational.asofQuery(AsOfJoin.asofNative),
     Some(Relational.asofOracle))
 
-  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, z01)
+  // -- q43: FULL OUTER join — the one join type the catalog lacked.
+  //    Daily order counts vs daily ship counts: the date ranges only
+  //    partly overlap (shipments trail orders), so both null sides are
+  //    genuinely exercised. Plan shape: two partial+final aggregations
+  //    then a sort-merge full join on the (already shuffled) date key —
+  //    agg-grain inputs, never a fact-fact outer blow-up.
+  private val q43 = Q(
+    "q43_full_outer",
+    (s, d) => {
+      val o = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("d"), "full")
+        .select(
+          col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+    },
+    Some("""
+      WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+                 FROM orders GROUP BY 1),
+           l AS (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+                 FROM lineitem GROUP BY 1)
+      SELECT COALESCE(o.d, l.d) AS d,
+             COALESCE(o.n_orders, 0) AS n_orders,
+             COALESCE(l.n_ships, 0) AS n_ships
+      FROM o FULL OUTER JOIN l ON o.d = l.d
+    """.trim))
+
+  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, z01)
 }

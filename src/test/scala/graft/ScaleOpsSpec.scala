@@ -65,4 +65,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(saltedCount.except(directCount).count() == 0 &&
       directCount.except(saltedCount).count() == 0)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one pathological key carrying ~all rows vs a uniform right side —
+    // the shape salting handles manually; this guards the AQE runtime
+    // path (skew-split must actually fire under our session config)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffled join
+      // key must be data-dependent or Catalyst folds the join away
+      // entirely (a literal key becomes filter + cartesian): ~99.9% of
+      // rows land on k=1, the rest on k=0
+      val left = spark.range(200000)
+        .select((col("id") % 1000).as("pad"), least(col("id") % 1000, lit(1L)).as("k"))
+      val right = spark.range(1000).select(col("id").as("k"), col("id").as("r"))
+      val joined = left.join(right, "k")
+      // execute THIS dataset's plan via collect (count()/foreach build
+      // separate QueryExecutions and would leave this one un-adapted)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
