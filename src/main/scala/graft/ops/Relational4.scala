@@ -241,5 +241,34 @@ object Relational4 {
       FROM o FULL OUTER JOIN l ON o.d = l.d
     """.trim))
 
-  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, z01)
+  // -- q44: LATERAL correlated subquery in FROM — the third SQL-parser
+  //    surface after EXISTS (q41) and scalar subqueries (q42). Catalyst
+  //    decorrelates the per-row lateral aggregate into a join +
+  //    aggregation, so the executed plan carries no per-row subquery
+  //    execution — the property that makes LATERAL safe at fact-table
+  //    cardinality.
+  private val q44 = Q(
+    "q44_sql_lateral",
+    (s, d) => {
+      nation(s, d).createOrReplaceTempView("v_nation")
+      customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT n.n_name, t.n_cust, t.total_bal
+        FROM v_nation n,
+        LATERAL (SELECT COUNT(*) AS n_cust,
+                        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+                 FROM v_customer c
+                 WHERE c.c_nationkey = n.n_nationkey) t
+      """)
+    },
+    Some("""
+      SELECT n.n_name, t.n_cust, t.total_bal
+      FROM nation n,
+      LATERAL (SELECT COUNT(*) AS n_cust,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey) t
+    """.trim))
+
+  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, q44, z01)
 }
