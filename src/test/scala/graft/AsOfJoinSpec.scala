@@ -44,18 +44,22 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("randomized parity with the union+window formulation") {
     import spark.implicits._
-    val rnd = new scala.util.Random(87)
-    // dense ties, missing keys on both sides, interleaved ts
-    val left = Seq.tabulate(400)(i => (rnd.nextInt(12), rnd.nextInt(40).toLong, i.toLong))
-      .toDF("k", "ts", "lid")
-    val right = Seq.tabulate(300)(i => (rnd.nextInt(16), rnd.nextInt(40).toLong, i.toLong))
-      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts), max wins
-      .toDF("k", "ts", "payload")
-    val viaWindow = AsOfJoin.asofLeft(left, right, "k", "ts", Seq("payload"))
-    val viaNative = AsOfJoin.asofNative(left, right, "k", "ts", Seq("payload"))
-    assert(viaWindow.count() == 400 && viaNative.count() == 400)
-    assert(viaWindow.except(viaNative).count() == 0 &&
-      viaNative.except(viaWindow).count() == 0)
+    // (seed, key range, ts range): dense ties, one-key pileups,
+    // disjoint key sets, sparse timelines — different merge-loop shapes
+    for ((seed, nKeys, nTs) <- Seq((87, 12, 40), (11, 1, 25), (52, 200, 5), (99, 30, 1000))) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(400)(i => (rnd.nextInt(nKeys), rnd.nextInt(nTs).toLong, i.toLong))
+        .toDF("k", "ts", "lid")
+      val right = Seq.tabulate(300)(i =>
+          (rnd.nextInt(nKeys + 4), rnd.nextInt(nTs).toLong, i.toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts), max wins
+        .toDF("k", "ts", "payload")
+      val viaWindow = AsOfJoin.asofLeft(left, right, "k", "ts", Seq("payload"))
+      val viaNative = AsOfJoin.asofNative(left, right, "k", "ts", Seq("payload"))
+      assert(viaNative.count() == 400, s"seed $seed")
+      assert(viaWindow.except(viaNative).count() == 0 &&
+        viaNative.except(viaWindow).count() == 0, s"seed $seed diverged")
+    }
   }
 
   test("null payloads join exactly (no forward-fill)") {
