@@ -133,13 +133,34 @@ object DocIngest {
     * every streaming parquet sink needs (each micro-batch appends a
     * file per lang partition; at 100 TB the file count, not the byte
     * count, is what kills the downstream readers' scan planning).
-    * Rewrites each lang partition in place to ~`targetFiles` files via
-    * a staging swap (write-new, delete-old, move — the same
-    * crash-recoverable order as BlockIngest.compact).
+    * Rewrites each lang partition in place to ~`targetFiles` files.
+    *
+    * Crash recovery without a table format: the rewrite lands in a
+    * dot-prefixed staging dir (invisible to Spark readers), gated by
+    * the `_SUCCESS` marker Spark writes on commit. The swap is
+    * delete-old -> rename-staged; a crash at ANY point is repaired at
+    * the next compact call: staging with `_SUCCESS` is the durable
+    * copy and the swap is finished (delete target if still present,
+    * rename in); staging without `_SUCCESS` is an incomplete write and
+    * is discarded with the original untouched. Run with the stream
+    * quiesced (appends racing the swap would be lost — the standard
+    * maintenance-window contract for file-based lakes).
     */
   def compact(spark: SparkSession, lakeDir: String, targetFiles: Int = 1): Unit = {
     val path = new org.apache.hadoop.fs.Path(lakeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // recovery pass: finish or discard any swap a previous run left
+    for (s <- fs.listStatus(path)
+        if s.isDirectory && s.getPath.getName.startsWith(".compact-")) {
+      val target = new org.apache.hadoop.fs.Path(
+        lakeDir, s.getPath.getName.stripPrefix(".compact-"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))) {
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(s.getPath, target): Unit
+      } else fs.delete(s.getPath, true): Unit
+    }
+
     val langDirs = fs.listStatus(path).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("lang="))
     for (d <- langDirs) {
@@ -148,7 +169,7 @@ object DocIngest {
         val staged = new org.apache.hadoop.fs.Path(s"$lakeDir/.compact-${d.getPath.getName}")
         spark.read.parquet(d.getPath.toString)
           .coalesce(targetFiles)
-          .write.mode("overwrite").parquet(staged.toString)
+          .write.mode("overwrite").parquet(staged.toString) // writes _SUCCESS on commit
         fs.delete(d.getPath, true)
         fs.rename(staged, d.getPath): Unit
       }
