@@ -220,73 +220,11 @@ object BlockIngest {
 
   /** Lake maintenance: fold an entity's accumulated batch=* directories
     * into a single compacted generation (long-running streams create one
-    * dir per micro-batch; listing cost grows without this). Readers
-    * racing the swap see duplicates at worst for the rename window,
-    * never loss. Run from a maintenance job, not the ingest path.
-    *
-    * Crash recovery without a table format — the staged-swap protocol:
-    *  1. the compacted copy lands in a dot-prefixed staging dir
-    *     (invisible to Spark readers);
-    *  2. an `_inputs.manifest` (one input batch dir name per line,
-    *     underscore-prefixed so readers skip it) is written LAST into
-    *     the staging dir — it is the commit gate;
-    *  3. the staging dir is renamed to its visible `batch=` name, THEN
-    *     the manifest's input dirs are deleted, then the manifest.
-    * A crash at any point is repaired by the recovery pass at the next
-    * call: staging without a manifest is an incomplete write and is
-    * discarded; staging with one is renamed in and its inputs removed;
-    * a visible batch dir still carrying a manifest (crash mid-delete)
-    * has its remaining inputs and the manifest removed. Without the
-    * staging dir, a crash mid-write would leave a PARTIAL visible
-    * batch= generation that re-compaction would bake in as real rows.
+    * dir per micro-batch; listing cost grows without this). Delegates
+    * to the shared crash-recoverable staged-swap protocol — see
+    * [[LakeCompact]]. Run from a maintenance job, not the ingest path.
     */
-  def compact(spark: SparkSession, lakeDir: String, entity: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$lakeDir/$entity")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Manifest = "_inputs.manifest"
-
-    def readManifest(dir: org.apache.hadoop.fs.Path): Seq[String] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, Manifest))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    }
-    def finishSwap(visible: org.apache.hadoop.fs.Path): Unit = {
-      for (name <- readManifest(visible)) {
-        val p = new org.apache.hadoop.fs.Path(path, name)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(visible, Manifest), false): Unit
-    }
-
-    // recovery pass: repair whatever a previous run left behind
-    if (fs.exists(path)) for (s <- fs.listStatus(path) if s.isDirectory) {
-      val name = s.getPath.getName
-      if (name.startsWith(".compact-")) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Manifest))) {
-          val visible = new org.apache.hadoop.fs.Path(path, "batch=" + name.stripPrefix(".compact-"))
-          fs.rename(s.getPath, visible)
-          finishSwap(visible)
-        } else fs.delete(s.getPath, true): Unit
-      } else if (name.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Manifest))) {
-        finishSwap(s.getPath)
-      }
-    }
-
-    val oldDirs = fs.listStatus(path).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch="))
-    if (oldDirs.length <= 1) return
-    val df = spark.read.parquet(path.toString).drop("batch")
-    val w = df.coalesce(math.max(1, oldDirs.length / 16)).write.mode("overwrite")
-    val compactTag = s"compact-${System.currentTimeMillis()}"
-    val staged = new org.apache.hadoop.fs.Path(path, s".compact-$compactTag")
-    (if (entity == "blocks") w.partitionBy("block_date") else w)
-      .parquet(staged.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(staged, Manifest), true)
-    try out.write(oldDirs.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val visible = new org.apache.hadoop.fs.Path(path, s"batch=$compactTag")
-    fs.rename(staged, visible)
-    finishSwap(visible)
-  }
+  def compact(spark: SparkSession, lakeDir: String, entity: String): Unit =
+    LakeCompact.foldGenerations(spark, s"$lakeDir/$entity",
+      partitionCols = if (entity == "blocks") Seq("block_date") else Nil)
 }

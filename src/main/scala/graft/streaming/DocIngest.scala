@@ -65,8 +65,16 @@ object DocIngest {
 
     val writer = curated.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("lang").parquet(lakeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-scoped OVERWRITE (same recipe as BlockIngest's S9 sink):
+        // a micro-batch replayed after a crash between this write and
+        // the checkpoint commit rewrites its own batch=<id> generation
+        // instead of appending duplicate docs; a plain mode("append")
+        // here would silently break the lake's no-dup guarantee. Lang
+        // partitioning nests inside each generation (batch=N/lang=X),
+        // so per-language readers still prune at the directory level.
+        batch.write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$lakeDir/batch=$batchId")
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
@@ -130,49 +138,13 @@ object DocIngest {
       .select(col("fp"), col("k.doc_id").as("doc_id"), col("k.quality").as("quality"))
 
   /** Small-file compaction for the curated lake — the maintenance job
-    * every streaming parquet sink needs (each micro-batch appends a
-    * file per lang partition; at 100 TB the file count, not the byte
-    * count, is what kills the downstream readers' scan planning).
-    * Rewrites each lang partition in place to ~`targetFiles` files.
-    *
-    * Crash recovery without a table format: the rewrite lands in a
-    * dot-prefixed staging dir (invisible to Spark readers), gated by
-    * the `_SUCCESS` marker Spark writes on commit. The swap is
-    * delete-old -> rename-staged; a crash at ANY point is repaired at
-    * the next compact call: staging with `_SUCCESS` is the durable
-    * copy and the swap is finished (delete target if still present,
-    * rename in); staging without `_SUCCESS` is an incomplete write and
-    * is discarded with the original untouched. Run with the stream
-    * quiesced (appends racing the swap would be lost — the standard
-    * maintenance-window contract for file-based lakes).
+    * every streaming parquet sink needs (each micro-batch writes its
+    * own batch=N generation with lang dirs inside; at 100 TB the file
+    * count, not the byte count, is what kills the downstream readers'
+    * scan planning). Folds the generations into one, lang-partitioned,
+    * via the shared crash-recoverable staged-swap protocol — see
+    * [[LakeCompact]]. Run with the stream quiesced.
     */
-  def compact(spark: SparkSession, lakeDir: String, targetFiles: Int = 1): Unit = {
-    val path = new org.apache.hadoop.fs.Path(lakeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    // recovery pass: finish or discard any swap a previous run left
-    for (s <- fs.listStatus(path)
-        if s.isDirectory && s.getPath.getName.startsWith(".compact-")) {
-      val target = new org.apache.hadoop.fs.Path(
-        lakeDir, s.getPath.getName.stripPrefix(".compact-"))
-      if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))) {
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(s.getPath, target): Unit
-      } else fs.delete(s.getPath, true): Unit
-    }
-
-    val langDirs = fs.listStatus(path).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("lang="))
-    for (d <- langDirs) {
-      val files = fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
-      if (files > targetFiles) {
-        val staged = new org.apache.hadoop.fs.Path(s"$lakeDir/.compact-${d.getPath.getName}")
-        spark.read.parquet(d.getPath.toString)
-          .coalesce(targetFiles)
-          .write.mode("overwrite").parquet(staged.toString) // writes _SUCCESS on commit
-        fs.delete(d.getPath, true)
-        fs.rename(staged, d.getPath): Unit
-      }
-    }
-  }
+  def compact(spark: SparkSession, lakeDir: String): Unit =
+    LakeCompact.foldGenerations(spark, lakeDir, partitionCols = Seq("lang"))
 }

@@ -19,48 +19,42 @@ class CompactionSpec extends AnyFunSuite {
   private def rows(dir: String): Set[Long] =
     spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet
 
-  // ---- DocIngest.compact: per-lang staged swap, _SUCCESS-gated ----
+  // ---- DocIngest.compact: generation fold preserving lang dirs ----
 
   private def mkDocLake(): String = {
     val lake = Files.createTempDirectory("graft_doc_compact").toString
     for (i <- 0 until 3)
-      spark.range(i * 10, i * 10 + 10).selectExpr("id", "'x' AS text")
-        .write.mode("append").parquet(s"$lake/lang=en")
+      spark.range(i * 10, i * 10 + 10)
+        .selectExpr("id", "'x' AS text", "if(id % 2 = 0, 'en', 'de') AS lang")
+        .write.partitionBy("lang").parquet(s"$lake/batch=$i")
     lake
   }
 
-  test("doc lake: staged dir WITH _SUCCESS but target deleted (crash pre-rename) is renamed in") {
+  test("doc lake: fold preserves rows and lang partitioning in one generation") {
     val lake = mkDocLake()
-    val expect = rows(s"$lake/lang=en")
-    // simulate: previous run wrote the staging copy (incl. _SUCCESS),
-    // deleted lang=en, then died before the rename
-    spark.read.parquet(s"$lake/lang=en").coalesce(1)
-      .write.parquet(s"$lake/.compact-lang=en")
-    fs.delete(new Path(s"$lake/lang=en"), true)
+    val expect = rows(lake)
     DocIngest.compact(spark, lake)
-    assert(rows(s"$lake/lang=en") == expect)
-    assert(!fs.exists(new Path(s"$lake/.compact-lang=en")))
+    assert(rows(lake) == expect)
+    val gens = fs.listStatus(new Path(lake))
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath)
+    assert(gens.length == 1 && gens.head.getName.startsWith("batch=compact-"))
+    // per-language readers must still prune at the directory level
+    assert(fs.exists(new Path(gens.head, "lang=en")) &&
+      fs.exists(new Path(gens.head, "lang=de")))
   }
 
-  test("doc lake: staged dir WITH _SUCCESS and target present (crash pre-delete) is swapped in") {
+  test("doc lake: staged fold WITH manifest (crash pre-rename) is recovered through compact") {
     val lake = mkDocLake()
-    val expect = rows(s"$lake/lang=en")
-    spark.read.parquet(s"$lake/lang=en").coalesce(1)
-      .write.parquet(s"$lake/.compact-lang=en")
+    val expect = rows(lake)
+    spark.read.parquet(lake).drop("batch").coalesce(1)
+      .write.partitionBy("lang").parquet(s"$lake/.compact-5")
+    val out = fs.create(new Path(s"$lake/.compact-5/_inputs.manifest"), true)
+    out.write("batch=0\nbatch=1\nbatch=2".getBytes("UTF-8")); out.close()
     DocIngest.compact(spark, lake)
-    assert(rows(s"$lake/lang=en") == expect, "swap must not duplicate or lose rows")
-    assert(!fs.exists(new Path(s"$lake/.compact-lang=en")))
-  }
-
-  test("doc lake: staged dir WITHOUT _SUCCESS (crash mid-write) is discarded, original intact") {
-    val lake = mkDocLake()
-    val expect = rows(s"$lake/lang=en")
-    spark.read.parquet(s"$lake/lang=en").coalesce(1)
-      .write.parquet(s"$lake/.compact-lang=en")
-    fs.delete(new Path(s"$lake/.compact-lang=en/_SUCCESS"), false)
-    DocIngest.compact(spark, lake)
-    assert(rows(s"$lake/lang=en") == expect)
-    assert(!fs.exists(new Path(s"$lake/.compact-lang=en")), "incomplete staging must be discarded")
+    assert(rows(lake) == expect, "recovery must not duplicate or lose rows")
+    assert(fs.exists(new Path(s"$lake/batch=5")) &&
+      !fs.exists(new Path(s"$lake/.compact-5")))
+    for (i <- 0 until 3) assert(!fs.exists(new Path(s"$lake/batch=$i")))
   }
 
   // ---- BlockIngest.compact: batch-generation fold, manifest-gated ----

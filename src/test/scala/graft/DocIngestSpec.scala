@@ -47,18 +47,25 @@ class DocIngestSpec extends AnyFunSuite {
     assert(ids.contains(2L) && ids.contains(5L))
     // fingerprints unique in the curated lake
     assert(lakeDf.select("fp").distinct().count() == lakeDf.count())
-    // lang partitioning materialized on disk
-    assert(Files.exists(Paths.get(s"$lake/lang=de")))
-    // gate columns present for downstream curation readers
-    assert(lakeDf.columns.toSet == Set("doc_id", "text", "source", "n_tokens", "fp", "lang"))
-
-    // compaction: same rows, fewer files per lang partition
-    val before = lakeDf.collect().toSet
-    DocIngest.compact(spark, lake)
-    val after = spark.read.parquet(lake)
-    assert(after.collect().toSet == before)
+    // lang partitioning materialized on disk inside each batch-scoped
+    // generation (batch=N/lang=X — the idempotent-replay layout)
     import scala.jdk.CollectionConverters._
-    val enFiles = Files.list(Paths.get(s"$lake/lang=en")).iterator().asScala
+    def langDirs() = Files.walk(Paths.get(lake)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("lang=")).toList
+    assert(langDirs().exists(_.getFileName.toString == "lang=de"))
+    // gate columns (+ the batch generation partition col) present for
+    // downstream curation readers
+    assert(lakeDf.columns.toSet == Set("doc_id", "text", "source", "n_tokens", "fp", "lang", "batch"))
+
+    // compaction: same rows (modulo the folded batch column), one
+    // generation, one file per lang partition
+    val before = lakeDf.drop("batch").collect().toSet
+    DocIngest.compact(spark, lake)
+    assert(spark.read.parquet(lake).drop("batch").collect().toSet == before)
+    val gens = Files.list(Paths.get(lake)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("batch=")).toList
+    assert(gens.size == 1 && gens.head.getFileName.toString.startsWith("batch=compact-"))
+    val enFiles = Files.list(gens.head.resolve("lang=en")).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(enFiles == 1, s"expected 1 compacted file, got $enFiles")
   }
