@@ -108,8 +108,12 @@ object DocIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeeperGate.Decision], batchId: Long) =>
+        // batch-scoped overwrite: a replayed micro-batch re-emits the
+        // same decisions from the rewound state store; overwriting its
+        // own batch=<id> generation keeps the log duplicate-free
+        // instead of appending the replay a second time
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(decisionsDir)
+          .write.mode("overwrite").parquet(s"$decisionsDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()
