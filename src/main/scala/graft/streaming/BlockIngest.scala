@@ -64,10 +64,13 @@ object BlockIngest {
     val docs = Flatten.parse(spark, raw)
     writeEntities(docs, lakeDir, s"${runToken(s"backfill:$srcDir")}--1")
     // dead-letter the unparseable lines next to the lake (never silently
-    // dropped, never poisoning the entity tables)
+    // dropped, never poisoning the entity tables); same deterministic
+    // batch-scoped overwrite as the entity writes, so re-running the
+    // backfill rewrites rather than duplicates
     val bad = Flatten.rejects(spark, raw)
     if (!bad.isEmpty)
-      bad.write.mode("append").parquet(s"$lakeDir/_rejects")
+      bad.write.mode("overwrite")
+        .parquet(s"$lakeDir/_rejects/batch=${runToken(s"backfill:$srcDir")}--1")
   }
 
   /** Dead-letter companion stream to [[start]]: tails the same drop dir
@@ -89,8 +92,10 @@ object BlockIngest {
       .text(srcDir)
     val writer = Flatten.rejects(spark, raw).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) batch.write.mode("append").parquet(s"$lakeDir/_rejects")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-scoped overwrite: replays rewrite their own generation
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$lakeDir/_rejects/batch=$batchId")
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

@@ -115,11 +115,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(blocks.count() == 8)
     assert(blocks.filter(col("block_height").isNull).count() == 0)
 
-    // dead-letter companion: exactly the 3 bad lines, raw
+    // dead-letter companion: exactly the 3 bad lines, raw, in
+    // batch-scoped generations (replays rewrite, never duplicate)
     BlockIngest.startRejects(spark, src, lake, s"$ckpt/rejects").awaitTermination()
     val rejects = spark.read.parquet(s"$lake/_rejects")
     assert(rejects.count() == 3)
-    assert(rejects.columns.toSeq == Seq("raw"))
+    assert(rejects.columns.toSeq == Seq("raw", "batch"))
 
     // batch backfill honors the same contract
     val lake2 = s"$base/lake2"
