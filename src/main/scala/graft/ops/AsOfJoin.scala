@@ -34,12 +34,24 @@ object AsOfJoin {
     * an older row), and duplicate (key, ts) right rows would tie-break
     * arbitrarily.
     */
+  /** shared precondition: the output schema is left ++ payload, so a
+    * payload name already on the left would produce ambiguous columns
+    * (asofNative) or be silently nulled-and-refilled (asofLeft's
+    * alignment loop) — reject it up front on both paths
+    */
+  private def requireNoCollision(left: DataFrame, rightPayload: Seq[String]): Unit = {
+    val collisions = rightPayload.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns: ${collisions.mkString(", ")}")
+  }
+
   def asofLeft(
       left: DataFrame,
       right: DataFrame,
       key: String,
       ts: String,
       rightPayload: Seq[String]): DataFrame = {
+    requireNoCollision(left, rightPayload)
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
     var r = right
@@ -93,9 +105,7 @@ object AsOfJoin {
       key: String,
       ts: String,
       rightPayload: Seq[String]): DataFrame = {
-    val collisions = rightPayload.intersect(left.columns.toSeq)
-    require(collisions.isEmpty,
-      s"rightPayload collides with left columns: ${collisions.mkString(", ")}")
+    requireNoCollision(left, rightPayload)
     // re-alias every right column: fresh exprIds so a self-join (both
     // sides reading the same source) can't produce ambiguous references
     val r = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)

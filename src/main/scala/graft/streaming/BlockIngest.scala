@@ -55,14 +55,15 @@ object BlockIngest {
     * dirs), while a DIFFERENT checkpoint over the same lake gets fresh
     * batch dirs instead of clobbering a previous run's
     */
-  private def runToken(seed: String): String =
+  private[streaming] def runToken(seed: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(seed.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   def backfill(spark: SparkSession, srcDir: String, lakeDir: String): Unit = {
     val raw = spark.read.text(srcDir)
     val docs = Flatten.parse(spark, raw)
-    writeEntities(docs, lakeDir, s"${runToken(s"backfill:$srcDir")}--1")
+    val token = runToken(s"backfill:$srcDir")
+    writeEntities(docs, lakeDir, s"$token--1")
     // dead-letter the unparseable lines next to the lake (never silently
     // dropped, never poisoning the entity tables); same deterministic
     // batch-scoped overwrite as the entity writes, so re-running the
@@ -70,7 +71,7 @@ object BlockIngest {
     val bad = Flatten.rejects(spark, raw)
     if (!bad.isEmpty)
       bad.write.mode("overwrite")
-        .parquet(s"$lakeDir/_rejects/batch=${runToken(s"backfill:$srcDir")}--1")
+        .parquet(s"$lakeDir/_rejects/batch=$token--1")
   }
 
   /** Dead-letter companion stream to [[start]]: tails the same drop dir
@@ -90,12 +91,15 @@ object BlockIngest {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
       .option("maxFilesPerTrigger", 64)
       .text(srcDir)
+    val token = runToken(s"ckpt:$checkpointDir")
     val writer = Flatten.rejects(spark, raw).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-scoped overwrite: replays rewrite their own generation
+        // batch-scoped overwrite keyed by the checkpoint-lineage token:
+        // replays rewrite their own generation, a FRESH checkpoint over
+        // the same lake gets new dirs instead of clobbering old ones
         if (!batch.isEmpty)
-          batch.write.mode("overwrite").parquet(s"$lakeDir/_rejects/batch=$batchId")
+          batch.write.mode("overwrite").parquet(s"$lakeDir/_rejects/batch=$token-$batchId")
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

@@ -63,18 +63,21 @@ object DocIngest {
       .dropDuplicatesWithinWatermark("fp")
       .drop("disposition", "ingest_time")
 
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
     val writer = curated.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-scoped OVERWRITE (same recipe as BlockIngest's S9 sink):
-        // a micro-batch replayed after a crash between this write and
-        // the checkpoint commit rewrites its own batch=<id> generation
-        // instead of appending duplicate docs; a plain mode("append")
-        // here would silently break the lake's no-dup guarantee. Lang
-        // partitioning nests inside each generation (batch=N/lang=X),
-        // so per-language readers still prune at the directory level.
+        // batch-scoped OVERWRITE keyed by the checkpoint-lineage token
+        // (same recipe as BlockIngest's S9 sink): a micro-batch replayed
+        // after a crash between this write and the checkpoint commit
+        // rewrites its own generation instead of appending duplicate
+        // docs, and a FRESH checkpoint over the same lake (batch ids
+        // restart at 0) gets new dirs instead of clobbering a previous
+        // run's. Lang partitioning nests inside each generation
+        // (batch=tok-N/lang=X), so per-language readers still prune at
+        // the directory level.
         batch.write.mode("overwrite").partitionBy("lang")
-          .parquet(s"$lakeDir/batch=$batchId")
+          .parquet(s"$lakeDir/batch=$token-$batchId")
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
@@ -104,16 +107,17 @@ object DocIngest {
       .select(col("fp"), col("doc_id"),
         TextAnalysis.qualityScore.as("quality"))
       .as[graft.streaming.KeeperGate.Doc]
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
     KeeperGate(spark, docs)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeeperGate.Decision], batchId: Long) =>
-        // batch-scoped overwrite: a replayed micro-batch re-emits the
-        // same decisions from the rewound state store; overwriting its
-        // own batch=<id> generation keeps the log duplicate-free
-        // instead of appending the replay a second time
+        // batch-scoped overwrite keyed by the checkpoint-lineage token:
+        // a replayed micro-batch re-emits the same decisions from the
+        // rewound state store and rewrites its own generation; a fresh
+        // checkpoint gets new dirs instead of clobbering the log
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$decisionsDir/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$decisionsDir/batch=$token-$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -72,18 +72,35 @@ object LakeCompact {
       }
     }
 
-    val oldDirs = fs.listStatus(path).filter(s => s.isDirectory &&
+    val gens = fs.listStatus(path).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("batch="))
-    if (oldDirs.length <= 1) return
-    val df = spark.read.parquet(root).drop("batch")
-    val w = df.coalesce(math.max(1, oldDirs.length / shrink)).write.mode("overwrite")
+    // NEVER fold the newest generation: it may be a written-but-
+    // uncommitted tail whose micro-batch the stream will REPLAY after
+    // restart — folding it would resurrect its rows as duplicates when
+    // the replay recreates the dir ("quiesced" does not mean "cleanly
+    // committed"). Steady state is therefore two generations: the
+    // compacted fold plus the live tail.
+    val foldable = gens.sortBy(_.getModificationTime).dropRight(1)
+    if (foldable.length <= 1) return
+    // basePath keeps partition discovery rooted at the lake while the
+    // scan reads ONLY the foldable generations (never the live tail)
+    val df = spark.read.option("basePath", root)
+      .parquet(foldable.map(_.getPath.toString).toIndexedSeq: _*)
+      .drop("batch")
+    val w = df.coalesce(math.max(1, foldable.length / shrink)).write.mode("overwrite")
     val compactTag = s"compact-${System.currentTimeMillis()}"
     val staged = new org.apache.hadoop.fs.Path(path, s".compact-$compactTag")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staged.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(staged, Manifest), true)
-    try out.write(oldDirs.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    // the manifest is the commit gate, so its write must be atomic: a
+    // crash mid-write would otherwise leave a TRUNCATED input list that
+    // recovery honors, renaming the fold in while unlisted inputs
+    // survive as permanent duplicates. Write-then-rename commits it.
+    val tmp = new org.apache.hadoop.fs.Path(staged, Manifest + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(foldable.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(staged, Manifest))
     val visible = new org.apache.hadoop.fs.Path(path, s"batch=$compactTag")
     fs.rename(staged, visible)
     finishSwap(visible)

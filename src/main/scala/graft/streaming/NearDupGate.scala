@@ -53,13 +53,14 @@ object NearDupGate {
 
   /** One incremental step: gate `batchDocs` against the index at
     * `indexDir`, append admitted docs/signatures/decisions under
-    * batch-scoped partitions. Usable standalone for batch-incremental
-    * backfills; [[start]] drives it per micro-batch.
+    * batch-scoped partitions named by `batchTag` (a checkpoint-lineage
+    * token + micro-batch id from [[start]], or any unique run label for
+    * standalone batch-incremental backfills).
     */
   def step(
       spark: SparkSession,
       batchDocs: DataFrame,
-      batchId: Long,
+      batchTag: String,
       lakeDir: String,
       indexDir: String,
       decisionsDir: String,
@@ -94,9 +95,9 @@ object NearDupGate {
           // signatures — without the filter every replayed doc would
           // "match" itself in the index and be dropped as a corpus dup
           val corpusBands = spark.read.parquet(s"$indexDir/bands")
-            .filter(col("batch") =!= batchId)
+            .filter(col("batch") =!= batchTag)
           val corpusSh = spark.read.parquet(s"$indexDir/shingles")
-            .filter(col("batch") =!= batchId)
+            .filter(col("batch") =!= batchTag)
           // batch side is micro-batch-sized: broadcast it so the index
           // probe is ONE scan of the band table with no index shuffle
           val cand = track(corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
@@ -126,7 +127,7 @@ object NearDupGate {
       val admittedIds = comps.filter(col("cluster") === col("doc_id")).select("doc_id")
 
       def write(df: DataFrame, dir: String): Unit =
-        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
 
       write(rem.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), lakeDir)
       write(sh.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), s"$indexDir/shingles")
@@ -160,10 +161,17 @@ object NearDupGate {
       .schema(DocIngest.docSchema)
       .option("maxFilesPerTrigger", 64)
       .json(srcDir)
+    // checkpoint-lineage token: replays rewrite their own generation;
+    // a fresh checkpoint over the same lake/index gets new dirs instead
+    // of clobbering a previous run's (and the string tag keeps the
+    // index-exclusion filter a string comparison — a bare numeric id
+    // would cast a compacted generation's 'batch=compact-T' value to
+    // null and silently drop the whole corpus from the probe)
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(spark, batch, batchId, lakeDir, indexDir, decisionsDir, cfg)
+        step(spark, batch, s"$token-$batchId", lakeDir, indexDir, decisionsDir, cfg)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

@@ -30,17 +30,20 @@ class CompactionSpec extends AnyFunSuite {
     lake
   }
 
-  test("doc lake: fold preserves rows and lang partitioning in one generation") {
+  test("doc lake: fold preserves rows and lang partitioning, protecting the newest tail") {
     val lake = mkDocLake()
     val expect = rows(lake)
     DocIngest.compact(spark, lake)
     assert(rows(lake) == expect)
     val gens = fs.listStatus(new Path(lake))
       .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath)
-    assert(gens.length == 1 && gens.head.getName.startsWith("batch=compact-"))
+    val fold = gens.filter(_.getName.startsWith("batch=compact-"))
+    // newest generation is never folded (it may be an uncommitted tail
+    // the stream will replay); steady state = fold + live tail
+    assert(gens.length == 2 && fold.length == 1, s"got ${gens.map(_.getName).toList}")
     // per-language readers must still prune at the directory level
-    assert(fs.exists(new Path(gens.head, "lang=en")) &&
-      fs.exists(new Path(gens.head, "lang=de")))
+    assert(fs.exists(new Path(fold.head, "lang=en")) &&
+      fs.exists(new Path(fold.head, "lang=de")))
   }
 
   test("doc lake: staged fold WITH manifest (crash pre-rename) is recovered through compact") {
@@ -78,8 +81,8 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows(s"$lake/transactions") == expect)
     val gens = fs.listStatus(new Path(s"$lake/transactions"))
       .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath.getName).toSet
-    assert(gens.size == 1 && gens.head.startsWith("batch=compact-"),
-      s"expected one fresh compacted generation, got $gens")
+    assert(gens.size == 2 && gens.count(_.startsWith("batch=compact-")) == 1,
+      s"expected fold + protected newest generation, got $gens")
   }
 
   test("block lake: staged dir WITH manifest (crash pre-rename) is renamed in, inputs removed") {

@@ -57,15 +57,20 @@ class DocIngestSpec extends AnyFunSuite {
     // downstream curation readers
     assert(lakeDf.columns.toSet == Set("doc_id", "text", "source", "n_tokens", "fp", "lang", "batch"))
 
-    // compaction: same rows (modulo the folded batch column), one
-    // generation, one file per lang partition
-    val before = lakeDf.drop("batch").collect().toSet
+    // third generation, then compaction: same rows (modulo the folded
+    // batch column), fold + protected newest tail, one file per lang
+    // partition inside the fold
+    Files.write(Paths.get(s"$src/c.jsonl"),
+      doc(8, longText + " third batch doc").getBytes("UTF-8"))
+    DocIngest.start(spark, src, lake, ckpt).awaitTermination()
+    val before = spark.read.parquet(lake).drop("batch").collect().toSet
     DocIngest.compact(spark, lake)
     assert(spark.read.parquet(lake).drop("batch").collect().toSet == before)
     val gens = Files.list(Paths.get(lake)).iterator().asScala
       .filter(_.getFileName.toString.startsWith("batch=")).toList
-    assert(gens.size == 1 && gens.head.getFileName.toString.startsWith("batch=compact-"))
-    val enFiles = Files.list(gens.head.resolve("lang=en")).iterator().asScala
+    val fold = gens.filter(_.getFileName.toString.startsWith("batch=compact-"))
+    assert(gens.size == 2 && fold.size == 1, s"got ${gens.map(_.getFileName)}")
+    val enFiles = Files.list(fold.head.resolve("lang=en")).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(enFiles == 1, s"expected 1 compacted file, got $enFiles")
   }

@@ -76,10 +76,14 @@ class NearDupGateSpec extends AnyFunSuite {
     assert(pairs.count() == 0, "admitted docs contain a near-dup pair")
 
     // replaying a batch overwrites, never duplicates: re-run step 1's
-    // output dirs by re-invoking step with the same batch id
+    // output dirs by re-invoking step with the same batch tag the
+    // stream used (checkpoint token + micro-batch id, read back from
+    // the decision log's partition dirs)
+    val tag0 = decisions.select("batch").distinct().collect()
+      .map(_.getString(0)).find(_.endsWith("-0")).get
     val batch1 = spark.read.json(s"$src/a.jsonl")
       .selectExpr("doc_id", "text", "lang", "source")
-    NearDupGate.step(spark, batch1, 0L, lake, idx, dec)
+    NearDupGate.step(spark, batch1, tag0, lake, idx, dec)
     val again = spark.read.parquet(lake)
     assert(again.count() == again.select("doc_id").distinct().count(),
       "replay duplicated lake rows")

@@ -49,16 +49,21 @@ class StreamingSpec extends AnyFunSuite {
     // blocks lake is date-partitioned (pruning layout)
     assert(Files.list(Paths.get(s"$lake/blocks")).iterator().hasNext)
 
-    // compaction folds the per-micro-batch dirs into one generation
-    // with identical content
+    // third generation, then compaction folds the per-micro-batch dirs,
+    // protecting the newest (a possibly-uncommitted tail the stream
+    // could replay): identical content, steady state = fold + live tail
+    writeBatch(src, 1100, 10, "c")
+    BlockIngest.start(spark, src, lake, ckpt).awaitTermination()
+    val expectedTx3 = (1000L until 1110L).count(_ % 5 != 0)
     BlockIngest.compact(spark, lake, "transactions")
     val txAfter = spark.read.parquet(s"$lake/transactions")
-    assert(txAfter.count() == expectedTx)
-    assert(txAfter.select(countDistinct(col("tx_hash"))).collect()(0).getLong(0) == expectedTx)
+    assert(txAfter.count() == expectedTx3)
+    assert(txAfter.select(countDistinct(col("tx_hash"))).collect()(0).getLong(0) == expectedTx3)
     import scala.jdk.CollectionConverters._
     val batchDirs = Files.list(Paths.get(s"$lake/transactions")).iterator().asScala
-      .count(_.getFileName.toString.startsWith("batch="))
-    assert(batchDirs == 1, s"expected 1 compacted batch dir, got $batchDirs")
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toList
+    assert(batchDirs.length == 2 && batchDirs.count(_.startsWith("batch=compact-")) == 1,
+      s"expected fold + protected tail, got $batchDirs")
   }
 
   test("live tail: a rate source drives the same ingest path as the file drop") {
