@@ -543,6 +543,69 @@ object Curation {
       WHERE rank <= 20
     """.trim))
 
+  // -- v03: collocation extraction — adjacent-bigram LIFT over unigram
+  //    frequencies (observed/expected co-occurrence), the standard
+  //    measure behind multi-word-token and tokenizer-merge decisions.
+  //    Lift instead of PMI keeps the oracle bit-exact: PMI's ln()
+  //    differs in the last ulp across engines' libm, while lift is one
+  //    double multiply+divide over exact integer counts. 100 TB shape:
+  //    two hash aggregations (bigram + unigram counts) and a broadcast
+  //    of the unigram table slice the candidates touch; the explode is
+  //    map-side.
+  private val v03 = Q(
+    "v03_collocations",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+      val uni = toks
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("uc"))
+      val bi = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("pc"))
+        .filter(col("pc") >= 25)
+        .cache() // feeds both the m total and the ranked output
+      // 1-row total frames broadcast into the candidate set (the house
+      // scalar pattern — no driver collect on the query path)
+      val nDf = uni.agg(sum(col("uc")).as("n"))
+      val mDf = bi.agg(sum(col("pc")).as("m"))
+      val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+      bi
+        .join(broadcast(uni.select(col("w").as("w1"), col("uc").as("uc1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("uc").as("uc2"))), "w2")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(mDf))
+        .withColumn("lift",
+          round(col("pc").cast(DoubleType) * (col("n") * col("n")).cast(DoubleType) /
+            (col("m") * col("uc1") * col("uc2")).cast(DoubleType), 6))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 20)
+        .select("rank", "w1", "w2", "pc", "lift")
+    },
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT w, count(*) AS uc
+              FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      bi AS (SELECT toks[i.i+1] AS w1, toks[i.i+2] AS w2, count(*) AS pc
+             FROM t, (SELECT unnest(range(10000)) AS i) i
+             WHERE len(toks) >= 2 AND i.i <= len(toks) - 2
+             GROUP BY 1, 2
+             HAVING count(*) >= 25),
+      n AS (SELECT SUM(uc) AS n FROM uni),
+      m AS (SELECT SUM(pc) AS m FROM bi)
+      SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank,
+               w1, w2, pc, lift
+        FROM (SELECT bi.w1, bi.w2, bi.pc,
+                     round(CAST(bi.pc AS DOUBLE) * (n.n * n.n)
+                           / CAST(m.m * u1.uc * u2.uc AS DOUBLE), 6) AS lift
+              FROM bi, n, m
+              JOIN uni u1 ON u1.w = bi.w1
+              JOIN uni u2 ON u2.w = bi.w2))
+      WHERE rank <= 20
+    """.trim))
+
   /** x01 quality-gate thresholds */
   val MinTokens = 10L
   val MaxTokens = 10000L
@@ -685,5 +748,5 @@ object Curation {
             FROM train)
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, x01, x02)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, v03, x01, x02)
 }
