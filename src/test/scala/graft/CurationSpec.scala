@@ -231,4 +231,18 @@ class CurationSpec extends AnyFunSuite {
       .select(md5(col("passage"))).distinct().count()
     assert(kept == distinctFps, "one keeper per distinct passage fingerprint")
   }
+
+  test("v03: reported collocations beat chance and meet the count floor") {
+    val rows = Catalog.byName("v03_collocations").run(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      // lift > 1 means the pair co-occurs more than independent words
+      // would by chance — the definition of a collocation
+      assert(r.getAs[Double]("lift") > 1.0, s"chance-level pair reported: $r")
+      assert(r.getAs[Long]("pc") >= 25, s"below the count floor: $r")
+    }
+    // ranks are 1..20 in lift order
+    val lifts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
 }
