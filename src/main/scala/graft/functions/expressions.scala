@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -158,7 +158,8 @@ object TextNorm {
   * visible text, which breaks exact dedup and fingerprinting). Spark has
   * no builtin for this; DuckDB's `nfc_normalize` is the oracle.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = TextNorm.nfc(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -174,7 +175,8 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * radix re-parse per row. This sits in the innermost loop of
   * shingle/minhash pipelines (one call per distinct shingle).
   */
-case class Md5Prefix64(child: Expression) extends UnaryExpression {
+case class Md5Prefix64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashUtil.md5Prefix64(v.asInstanceOf[UTF8String].getBytes)
@@ -189,7 +191,8 @@ case class Md5Prefix64(child: Expression) extends UnaryExpression {
   * vote fold → bit pack) with one static call per row. Same signature
   * bits, oracle parity verified by the d04 gate.
   */
-case class SimHash48(child: Expression) extends UnaryExpression {
+case class SimHash48(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashUtil.simhash48(v.asInstanceOf[UTF8String])
@@ -203,7 +206,8 @@ case class SimHash48(child: Expression) extends UnaryExpression {
   * lake-clustering sort key (see [[HashUtil.zorder2]]).
   */
 case class ZOrder2(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(x: Any, y: Any): Any =
     HashUtil.zorder2(x.asInstanceOf[Long], y.asInstanceOf[Long])

@@ -547,8 +547,10 @@ object Curation {
   //    frequencies (observed/expected co-occurrence), the standard
   //    measure behind multi-word-token and tokenizer-merge decisions.
   //    Lift instead of PMI keeps the oracle bit-exact: PMI's ln()
-  //    differs in the last ulp across engines' libm, while lift is one
-  //    double multiply+divide over exact integer counts. 100 TB shape:
+  //    differs in the last ulp across engines' libm, while lift is a
+  //    chain of double multiplies in the same association order on both
+  //    engines (each count cast to double individually BEFORE the
+  //    product, so nothing overflows Long at corpus scale). 100 TB shape:
   //    two hash aggregations (bigram + unigram counts) and a broadcast
   //    of the unigram table slice the candidates touch; the explode is
   //    map-side.
@@ -561,6 +563,10 @@ object Curation {
         .select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("uc"))
       val bi = toks
+        // single-token docs would make sequence(0, -1) yield [0, -1] and
+        // toks[i+1] trap under ANSI — guard exactly like the oracle's
+        // WHERE len(toks) >= 2
+        .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -576,9 +582,15 @@ object Curation {
         .join(broadcast(uni.select(col("w").as("w1"), col("uc").as("uc1"))), "w1")
         .join(broadcast(uni.select(col("w").as("w2"), col("uc").as("uc2"))), "w2")
         .crossJoin(broadcast(nDf)).crossJoin(broadcast(mDf))
+        // cast each factor to double BEFORE multiplying: long products
+        // n*n and m*uc1*uc2 overflow past ~3e9 total tokens (tens of GB
+        // of text), far below the 100 TB target; the ~1e-16 relative
+        // error of double factors is invisible at the 6-decimal round
         .withColumn("lift",
-          round(col("pc").cast(DoubleType) * (col("n") * col("n")).cast(DoubleType) /
-            (col("m") * col("uc1") * col("uc2")).cast(DoubleType), 6))
+          round(col("pc").cast(DoubleType) *
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType)) /
+            (col("m").cast(DoubleType) * col("uc1").cast(DoubleType) *
+              col("uc2").cast(DoubleType)), 6))
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 20)
         .select("rank", "w1", "w2", "pc", "lift")
@@ -588,7 +600,7 @@ object Curation {
       uni AS (SELECT w, count(*) AS uc
               FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
       bi AS (SELECT toks[i.i+1] AS w1, toks[i.i+2] AS w2, count(*) AS pc
-             FROM t, (SELECT unnest(range(10000)) AS i) i
+             FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
              WHERE len(toks) >= 2 AND i.i <= len(toks) - 2
              GROUP BY 1, 2
              HAVING count(*) >= 25),
@@ -598,8 +610,8 @@ object Curation {
         SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank,
                w1, w2, pc, lift
         FROM (SELECT bi.w1, bi.w2, bi.pc,
-                     round(CAST(bi.pc AS DOUBLE) * (n.n * n.n)
-                           / CAST(m.m * u1.uc * u2.uc AS DOUBLE), 6) AS lift
+                     round(CAST(bi.pc AS DOUBLE) * (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+                           / (CAST(m.m AS DOUBLE) * CAST(u1.uc AS DOUBLE) * CAST(u2.uc AS DOUBLE)), 6) AS lift
               FROM bi, n, m
               JOIN uni u1 ON u1.w = bi.w1
               JOIN uni u2 ON u2.w = bi.w2))

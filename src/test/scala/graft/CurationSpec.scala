@@ -232,6 +232,21 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == distinctFps, "one keeper per distinct passage fingerprint")
   }
 
+  test("v03: tolerates single-token and empty documents under ANSI mode") {
+    // regression: size(toks)=1 made sequence(0, -1) yield [0, -1] and
+    // toks[i+1] trap with INVALID_ARRAY_INDEX before the len>=2 guard
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v03_edge").toString
+    Seq(
+      (1L, "one", "en", "web", 3L),
+      (2L, "", "en", "web", 0L),
+      (3L, "two words here", "en", "web", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // nothing reaches the pc >= 25 floor — empty result, but no crash
+    assert(Catalog.byName("v03_collocations").run(spark, dir).count() == 0)
+  }
+
   test("v03: reported collocations beat chance and meet the count floor") {
     val rows = Catalog.byName("v03_collocations").run(spark, sf).collect()
     assert(rows.length == 20)

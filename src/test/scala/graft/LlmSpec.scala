@@ -49,6 +49,21 @@ class LlmSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(0)}"))
   }
 
+  test("graft expressions reject wrong-typed input at analysis time, not runtime") {
+    // ExpectsInputTypes: a mistyped call through the SQL-registered name
+    // must fail with a clean DATATYPE_MISMATCH during analysis instead of
+    // a ClassCastException inside eval/codegen
+    import spark.implicits._
+    val df = Seq(1).toDF("i")
+    for (bad <- Seq("nfc_normalize(i)", "simhash48(i)", "md5_prefix64(i)",
+        "zorder2(cast(i as string), cast(i as bigint))")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(bad)).collect()
+      }
+      assert(ex.getMessage.toLowerCase.contains("mismatch"), s"$bad: ${ex.getMessage}")
+    }
+  }
+
   test("pii redaction scrubs emails, IPs and phones; counts match; clean text untouched") {
     import spark.implicits._
     val rows = Seq(
