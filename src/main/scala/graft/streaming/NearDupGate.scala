@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.llm.{Clusters, Dedup}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -33,15 +33,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * 100 TB notes: the per-batch pipeline shuffles band keys and
   * candidate shingles only (longs, candidate-bounded — see
-  * Dedup.jaccard); the index probe broadcasts the micro-batch's band
-  * table, so it costs one columnar scan of the index per batch and no
-  * index shuffle. That scan-per-batch is the honest limit of a
-  * parquet-backed index: at corpus scale with tight batch cadence,
-  * store the band table bucketed by (bv) (bucket-pruned probe) or
-  * serve it from a key-value store — the gate's logic is unchanged,
-  * only the candidate lookup swaps. The index grows append-only in
-  * batch-partitioned parquet; DocIngest.compact-style maintenance
-  * applies when file counts matter.
+  * Dedup.jaccard). The persisted index carries a
+  * `bucket = hash(key) mod indexBuckets` partition column (band table
+  * keyed by (band, bv), shingle table by doc_id), so the per-batch
+  * probe partition-prunes to ONLY the bucket directories the
+  * micro-batch's keys touch — probe cost follows the delta, not the
+  * admitted corpus (NearDupGateSpec asserts the file-subset scan). The
+  * batch side is broadcast into the probe, so there is no index shuffle
+  * either; the only driver materialization is the touched-bucket list,
+  * bounded by indexBuckets. The index grows append-only in
+  * batch-partitioned parquet; [[LakeCompact.foldGenerations]] with
+  * `partitionCols = Seq("bucket")` folds its generations without
+  * losing the bucketed layout.
   */
 object NearDupGate {
 
@@ -49,7 +52,44 @@ object NearDupGate {
       k: Int = 8,
       r: Int = 2,
       maxDf: Int = 1000,
-      threshold: Double = 0.8)
+      threshold: Double = 0.8,
+      indexBuckets: Int = 64)
+
+  /** index partition key of a band row: which `bucket=` directory the
+    * (band, bv) signature lives in
+    */
+  private[graft] def bandBucket(nb: Int, band: Column, bv: Column): Column =
+    pmod(hash(band, bv), lit(nb))
+
+  /** index partition key of a shingle row (keyed by owning doc) */
+  private[graft] def docBucket(nb: Int, id: Column): Column =
+    pmod(hash(id), lit(nb))
+
+  /** The corpus-side probe scan: the admitted band index restricted to
+    * `buckets` (partition-pruned — only those `bucket=` directories are
+    * read) and excluding this batch's own `batch=` partition (a
+    * crash-replay runs AFTER a partial write may have landed the batch's
+    * own signatures — without the exclusion every replayed doc would
+    * "match" itself and be dropped as a corpus dup).
+    */
+  private[graft] def probeBands(
+      spark: SparkSession,
+      indexDir: String,
+      batchTag: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$indexDir/bands")
+      .filter(col("batch") =!= batchTag && col("bucket").isin(buckets: _*))
+
+  /** Same pruned shape for the shingle side: only the buckets owning the
+    * candidate corpus docs are read for Jaccard verification.
+    */
+  private[graft] def probeShingles(
+      spark: SparkSession,
+      indexDir: String,
+      batchTag: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$indexDir/shingles")
+      .filter(col("batch") =!= batchTag && col("bucket").isin(buckets: _*))
 
   /** One incremental step: gate `batchDocs` against the index at
     * `indexDir`, append admitted docs/signatures/decisions under
@@ -90,20 +130,25 @@ object NearDupGate {
             .withColumn("partner", lit(null).cast("long"))
             .withColumn("jac", lit(null).cast("double"))
         } else {
-          // exclude this batch's own partition: a crash-replay runs
-          // AFTER a partial write may have landed the batch's own
-          // signatures — without the filter every replayed doc would
-          // "match" itself in the index and be dropped as a corpus dup
-          val corpusBands = spark.read.parquet(s"$indexDir/bands")
-            .filter(col("batch") =!= batchTag)
-          val corpusSh = spark.read.parquet(s"$indexDir/shingles")
-            .filter(col("batch") =!= batchTag)
-          // batch side is micro-batch-sized: broadcast it so the index
-          // probe is ONE scan of the band table with no index shuffle
-          val cand = track(corpusBands.select(col("band"), col("bv"), col("doc_id").as("d1"))
+          // which index buckets does this batch touch? ≤ indexBuckets
+          // ints — the one driver-side materialization of the probe
+          val batchBuckets = bands
+            .select(bandBucket(cfg.indexBuckets, col("band"), col("bv")).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+          // batch side is micro-batch-sized: broadcast it so the
+          // bucket-pruned index probe is one partial scan of the band
+          // table with no index shuffle
+          val cand = track(probeBands(spark, indexDir, batchTag, batchBuckets)
+            .select(col("band"), col("bv"), col("doc_id").as("d1"))
             .join(broadcast(bands.select(col("band"), col("bv"), col("doc_id").as("d2"))),
               Seq("band", "bv"))
-            .select("d1", "d2").distinct())
+            .select("d1", "d2").distinct().cache())
+          // shingles are only needed for the corpus docs that actually
+          // collided — prune to their owning buckets
+          val candBuckets = cand
+            .select(docBucket(cfg.indexBuckets, col("d1")).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+          val corpusSh = probeShingles(spark, indexDir, batchTag, candBuckets)
           Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
             .filter(col("jac") >= cfg.threshold)
             .groupBy(col("d2").as("doc_id"))
@@ -128,10 +173,23 @@ object NearDupGate {
 
       def write(df: DataFrame, dir: String): Unit =
         df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
+      // index writes carry the bucket partition key; repartitioning by
+      // it first keeps the file count at one per non-empty bucket
+      // instead of (tasks x buckets) splinters per micro-batch
+      def writeBucketed(df: DataFrame, dir: String): Unit =
+        df.repartition(col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$dir/batch=$batchTag")
 
       write(rem.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), lakeDir)
-      write(sh.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), s"$indexDir/shingles")
-      write(bands.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), s"$indexDir/bands")
+      writeBucketed(
+        sh.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi")
+          .withColumn("bucket", docBucket(cfg.indexBuckets, col("doc_id"))),
+        s"$indexDir/shingles")
+      writeBucketed(
+        bands.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi")
+          .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("bv"))),
+        s"$indexDir/bands")
       write(
         admittedIds.withColumn("decision", lit("admit"))
           .withColumn("partner", lit(null).cast("long"))

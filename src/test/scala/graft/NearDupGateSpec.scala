@@ -92,5 +92,25 @@ class NearDupGateSpec extends AnyFunSuite {
     val idxDocs = spark.read.parquet(s"$idx/bands").select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(idxDocs == admitted, s"index docs = $idxDocs")
+
+    // the probe is bucket-pruned: probing with one doc's band buckets
+    // must scan a strict subset of the index's band files (this is the
+    // scan `step` issues — probeBands IS its corpus read)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+        .selectedPartitions.totalNumberOfFiles
+    }
+    val fullBands = spark.read.parquet(s"$idx/bands")
+    val oneDocBuckets = fullBands.filter(col("doc_id") === 22L)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val probe = NearDupGate.probeBands(spark, idx, "no-such-batch", oneDocBuckets)
+    val (probeFiles, allFiles) = (scannedFiles(probe), scannedFiles(fullBands))
+    assert(probeFiles > 0 && probeFiles < allFiles,
+      s"probe scanned $probeFiles of $allFiles band files — not pruned")
+    // pruning loses nothing: every band row of the probed doc is visible
+    assert(probe.filter(col("doc_id") === 22L).count() ==
+      fullBands.filter(col("doc_id") === 22L).count())
   }
 }
