@@ -98,8 +98,10 @@ object BlockIngest {
         // batch-scoped overwrite keyed by the checkpoint-lineage token:
         // replays rewrite their own generation, a FRESH checkpoint over
         // the same lake gets new dirs instead of clobbering old ones
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          LakeCompact.assertNoLease(spark, s"$lakeDir/_rejects") // quiesce contract
           batch.write.mode("overwrite").parquet(s"$lakeDir/_rejects/batch=$token-$batchId")
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
@@ -215,6 +217,9 @@ object BlockIngest {
     val cached = docs.cache()
     cached.count(): Unit // materialize once before the parallel writers
     val entities = Flatten.all(cached)
+    // quiesce contract: refuse while any entity root is being compacted
+    entities.keys.foreach(name =>
+      LakeCompact.assertNoLease(cached.sparkSession, s"$lakeDir/$name"))
     try {
       val jobs = entities.toSeq.map { case (name, df) =>
         Future {

@@ -76,6 +76,7 @@ object DocIngest {
         // run's. Lang partitioning nests inside each generation
         // (batch=tok-N/lang=X), so per-language readers still prune at
         // the directory level.
+        LakeCompact.assertNoLease(spark, lakeDir) // quiesce contract
         batch.write.mode("overwrite").partitionBy("lang")
           .parquet(s"$lakeDir/batch=$token-$batchId")
       }
@@ -116,6 +117,7 @@ object DocIngest {
         // a replayed micro-batch re-emits the same decisions from the
         // rewound state store and rewrites its own generation; a fresh
         // checkpoint gets new dirs instead of clobbering the log
+        LakeCompact.assertNoLease(spark, decisionsDir) // quiesce contract
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$decisionsDir/batch=$token-$batchId")
       }

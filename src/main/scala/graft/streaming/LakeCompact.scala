@@ -24,12 +24,93 @@ import org.apache.spark.sql.SparkSession
   * dir, a crash mid-write would leave a PARTIAL visible generation
   * that re-compaction would bake in as real rows. Readers racing a
   * healthy swap see duplicates at worst for the rename window, never
-  * loss; run compaction with the stream quiesced (appends racing the
-  * input deletes would be lost — the standard maintenance-window
-  * contract for file-based lakes).
+  * loss.
+  *
+  * The quiesce contract is MECHANICAL, not advisory: `foldGenerations`
+  * holds an exclusive `_maintenance.lock` lease for its duration
+  * ([[withLease]]), and every batch-scoped sink (BlockIngest, DocIngest,
+  * NearDupGate) calls [[assertNoLease]] before writing a generation —
+  * an append racing a compaction fails loudly and is replayed by the
+  * stream after the window, never silently lost to the input deletes.
   */
 object LakeCompact {
   private val Manifest = "_inputs.manifest"
+
+  /** Maintenance lease file name — underscore-prefixed so parquet
+    * readers skip it like the manifest.
+    */
+  val LockName = "_maintenance.lock"
+
+  /** A lock older than this is a crashed compactor's leftover and may
+    * be broken by the next acquirer. Compactions are single Spark jobs
+    * far shorter than this; if yours are not, raise `staleMs`.
+    */
+  val DefaultStaleMs: Long = 15 * 60 * 1000L
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Is a live maintenance lease held on `root`? (Stale locks from a
+    * crashed compactor don't count.)
+    */
+  def leaseHeld(spark: SparkSession, root: String,
+      staleMs: Long = DefaultStaleMs): Boolean = {
+    val (fs, p) = fsOf(spark, root)
+    val lock = new org.apache.hadoop.fs.Path(p, LockName)
+    try fs.exists(lock) &&
+      System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime <= staleMs
+    catch { case _: java.io.FileNotFoundException => false } // lost a race with release
+  }
+
+  /** Sink-side half of the quiesce contract: every batch-scoped sink
+    * calls this before writing a generation, so an append racing a
+    * compaction fails LOUDLY (the stream errors and replays after the
+    * maintenance window) instead of silently losing rows to the
+    * compactor's input deletes.
+    */
+  def assertNoLease(spark: SparkSession, root: String,
+      staleMs: Long = DefaultStaleMs): Unit =
+    if (leaseHeld(spark, root, staleMs))
+      throw new IllegalStateException(
+        s"maintenance lease held on $root ($LockName): compaction in " +
+          "progress — the sink refuses to append until it completes")
+
+  /** Compactor-side half: exclusive create-fail-if-exists lock held for
+    * the duration of `body`, released in finally. A second compactor
+    * (or any `withLease` user) fails loudly; a crashed holder's lock is
+    * broken once it is `staleMs` old.
+    *
+    * The lease closes the operational race the staged-swap protocol
+    * documents (appends racing the compactor's input deletes): sinks
+    * check the lease before writing, the compactor takes it before
+    * listing. A sink write already in flight when the lease is taken
+    * still commits safely — it either lands as the NEWEST generation
+    * (never folded, see foldGenerations) or rewrites a batch dir the
+    * recovery pass treats as input only if listed in the manifest,
+    * which was written after the lease was held.
+    */
+  def withLease[T](spark: SparkSession, root: String,
+      staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    val (fs, p) = fsOf(spark, root)
+    val lock = new org.apache.hadoop.fs.Path(p, LockName)
+    if (fs.exists(lock) &&
+        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs)
+      fs.delete(lock, false): Unit
+    val out =
+      try fs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"maintenance lease on $root already held ($LockName exists); " +
+            "another compaction is running (or break a stale lock after " +
+            s"$staleMs ms)")
+      }
+    try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    try body
+    finally fs.delete(lock, false): Unit
+  }
 
   /** Fold `root`'s batch=* generations into one, re-partitioned inside
     * the compacted generation by `partitionCols` (e.g. lang for the
@@ -56,8 +137,9 @@ object LakeCompact {
       fs.delete(new org.apache.hadoop.fs.Path(visible, Manifest), false): Unit
     }
 
-    // recovery pass: repair whatever a previous run left behind
     if (!fs.exists(path)) return
+    withLease(spark, root) {
+    // recovery pass: repair whatever a previous run left behind
     for (s <- fs.listStatus(path) if s.isDirectory) {
       val name = s.getPath.getName
       if (name.startsWith(".compact-")) {
@@ -104,5 +186,6 @@ object LakeCompact {
     val visible = new org.apache.hadoop.fs.Path(path, s"batch=$compactTag")
     fs.rename(staged, visible)
     finishSwap(visible)
+    }
   }
 }

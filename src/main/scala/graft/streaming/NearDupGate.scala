@@ -105,6 +105,10 @@ object NearDupGate {
       indexDir: String,
       decisionsDir: String,
       cfg: Config = Config()): Unit = {
+    // refuse (loudly) while a compaction holds the maintenance lease on
+    // any of our output roots — see LakeCompact's quiesce contract
+    Seq(lakeDir, s"$indexDir/bands", s"$indexDir/shingles", decisionsDir)
+      .foreach(LakeCompact.assertNoLease(spark, _))
     // every cached frame (ours, plus the candidate frames Dedup.jaccard
     // caches internally) is unpersisted in the finally: a long-running
     // stream must not accumulate cache entries per micro-batch, and a

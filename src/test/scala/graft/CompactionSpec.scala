@@ -99,6 +99,63 @@ class CompactionSpec extends AnyFunSuite {
     for (i <- 0 until 3) assert(!fs.exists(new Path(s"$lake/transactions/batch=$i")))
   }
 
+  test("maintenance lease: a concurrent append fails loudly, a second compactor is refused, stale locks break") {
+    import graft.streaming.LakeCompact
+    val lake = mkDocLake()
+    val expect = rows(lake)
+    // while the lease is held, the sink-side check throws — an append
+    // racing a compaction can never be silently folded away
+    LakeCompact.withLease(spark, lake) {
+      assert(LakeCompact.leaseHeld(spark, lake))
+      intercept[IllegalStateException] { LakeCompact.assertNoLease(spark, lake) }
+      // a second compactor is refused outright
+      intercept[IllegalStateException] {
+        LakeCompact.withLease(spark, lake) { fail("second lease granted") }
+      }
+    }
+    // released: sinks admit again, and a full fold works under its own lease
+    LakeCompact.assertNoLease(spark, lake)
+    DocIngest.compact(spark, lake)
+    assert(rows(lake) == expect)
+    assert(!fs.exists(new Path(lake, LakeCompact.LockName)), "lease leaked after fold")
+    // a crashed compactor's lock (older than staleMs) is broken, not fatal
+    val lock = new Path(lake, LakeCompact.LockName)
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    assert(!LakeCompact.leaseHeld(spark, lake), "stale lock treated as live")
+    LakeCompact.assertNoLease(spark, lake) // stale => sinks not blocked
+    LakeCompact.withLease(spark, lake)(()) // stale => acquirable
+    assert(!fs.exists(lock))
+  }
+
+  test("the streaming sink itself refuses while its lake is leased") {
+    // end-to-end form of the contract: a live DocIngest micro-batch
+    // against a leased lake must error, not lose rows
+    import graft.streaming.{DocIngest, LakeCompact}
+    val base = Files.createTempDirectory("graft_lease_sink").toString
+    val src = s"$base/src"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      (1 to 5).map(i =>
+        s"""{"doc_id":$i,"text":"${("tok" + i + " ") * 12}","lang":"en","source":"crawl"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    new java.io.File(lake).mkdirs()
+    LakeCompact.withLease(spark, lake) {
+      val q = DocIngest.start(spark, src, lake, ckpt)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[IllegalStateException]),
+        s"stream failed for another reason: $ex")
+    }
+    // after the maintenance window the replay lands every row exactly once
+    DocIngest.start(spark, src, lake, ckpt).awaitTermination()
+    assert(spark.read.parquet(lake).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == (1L to 5L).toSet)
+  }
+
   test("block lake: visible generation still carrying its manifest (crash mid-delete) is finished") {
     val lake = mkBlockLake()
     val expect = rows(s"$lake/transactions")
