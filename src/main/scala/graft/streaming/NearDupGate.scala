@@ -207,6 +207,27 @@ object NearDupGate {
     } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
   }
 
+  /** Lake maintenance for the gate's four batch-scoped outputs: fold
+    * the doc lake, the decision log, and BOTH signature-index tables.
+    * The index folds keep `bucket` as the partition layout, so the
+    * pruned probe works identically over a compacted corpus — a
+    * compacted generation's `batch=compact-T` tag is just another
+    * string to the probe's `batch =!= batchTag` self-exclusion filter
+    * (which is why the tag is a string, never a numeric id). Run from a
+    * maintenance window; the [[LakeCompact]] lease makes a racing
+    * micro-batch fail loudly rather than lose rows.
+    */
+  def compact(
+      spark: SparkSession,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String): Unit = {
+    LakeCompact.foldGenerations(spark, lakeDir)
+    LakeCompact.foldGenerations(spark, decisionsDir)
+    LakeCompact.foldGenerations(spark, s"$indexDir/bands", partitionCols = Seq("bucket"))
+    LakeCompact.foldGenerations(spark, s"$indexDir/shingles", partitionCols = Seq("bucket"))
+  }
+
   /** Streaming entry point: JSON drop dir in, near-dup-gated lake out,
     * checkpointed resume. Same source contract as [[DocIngest.start]].
     */

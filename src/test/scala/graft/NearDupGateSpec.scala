@@ -113,4 +113,90 @@ class NearDupGateSpec extends AnyFunSuite {
     assert(probe.filter(col("doc_id") === 22L).count() ==
       fullBands.filter(col("doc_id") === 22L).count())
   }
+
+  test("maintenance round-trip: compacting lake + signature index changes no decision") {
+    // gate 4 batches through two identical pipelines; the 'maint' one is
+    // compacted mid-run (folding the index generations, bucket layout
+    // preserved), the 'control' one never is — every decision, the lake,
+    // and the admitted index must come out identical
+    import graft.streaming.LakeCompact
+    def mkDirs() = {
+      val b = Files.createTempDirectory("graft_ndg_maint").toString
+      (s"$b/lake", s"$b/idx", s"$b/dec")
+    }
+    val (lakeC, idxC, decC) = mkDirs() // control
+    val (lakeM, idxM, decM) = mkDirs() // maintained
+    val t1 = text(101); val t2 = text(102); val t3 = text(103)
+
+    def batchDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+    }
+    val batches = Seq(
+      "b1" -> Seq(1L -> t1, 2L -> t2, 3L -> t3),
+      "b2" -> Seq(20L -> mutate(t1), 21L -> text(104)),
+      "b3" -> Seq(30L -> mutate(t2), 31L -> text(105)),
+      // 40 must drop against doc 1, whose signatures live in the
+      // COMPACTED generation by now; 41 drops against tail-gen doc 31;
+      // 42/43 are an intra-batch pair; 44 is fresh
+      // 43 appends one word to 42's text: 28 of 29 shingles shared
+      // (jac ~0.97 for ANY seed — a substituted middle word can dip
+      // under the 0.8 threshold depending on the drawn tokens)
+      "b4" -> Seq(40L -> mutate(t1), 41L -> mutate(text(105)),
+        42L -> text(106), 43L -> (text(106) + " extraterm"), 44L -> text(107)))
+
+    for ((tag, rows) <- batches) {
+      if (tag == "b4") // maintenance window between b3 and b4
+        NearDupGate.compact(spark, lakeM, idxM, decM)
+      NearDupGate.step(spark, batchDf(rows), tag, lakeC, idxC, decC)
+      NearDupGate.step(spark, batchDf(rows), tag, lakeM, idxM, decM)
+    }
+
+    def decisionsOf(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "decision", "partner", "jac").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[java.lang.Long](2)),
+        Option(r.getAs[java.lang.Double](3)))).toSet
+    def docsOf(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(decisionsOf(decM) == decisionsOf(decC), "decisions diverged after compaction")
+    assert(docsOf(lakeM) == docsOf(lakeC), "lake diverged after compaction")
+    for (side <- Seq("bands", "shingles"))
+      assert(spark.read.parquet(s"$idxM/$side").select("doc_id").distinct().collect()
+          .map(_.getLong(0)).toSet ==
+        spark.read.parquet(s"$idxC/$side").select("doc_id").distinct().collect()
+          .map(_.getLong(0)).toSet, s"$side index diverged")
+
+    // the planted verdicts actually happened (guards against a vacuous
+    // pass where everything was admitted on both sides)
+    val dec = decisionsOf(decM).map(d => d._1 -> d._2).toMap
+    assert(dec(40L) == "drop_corpus" && dec(41L) == "drop_corpus" &&
+      dec(43L) == "drop_batch" && dec(42L) == "admit" && dec(44L) == "admit",
+      s"verdicts: $dec")
+
+    // the fold really happened and kept the bucketed layout...
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandGens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idxM/bands"))
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath)
+    val folded = bandGens.filter(_.getName.startsWith("batch=compact-"))
+    assert(folded.length == 1, s"gens: ${bandGens.map(_.getName).toList}")
+    assert(fs.listStatus(folded.head).exists(_.getPath.getName.startsWith("bucket=")),
+      "compacted generation lost the bucket partition layout")
+    // ...and the probe still partition-prunes over the compacted index
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+        .selectedPartitions.totalNumberOfFiles
+    }
+    val full = spark.read.parquet(s"$idxM/bands")
+    val bks = full.filter(col("doc_id") === 1L).select("bucket").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val pr = NearDupGate.probeBands(spark, idxM, "none", bks)
+    assert(scanned(pr) > 0 && scanned(pr) < scanned(full),
+      "probe no longer pruned after compaction")
+  }
 }
