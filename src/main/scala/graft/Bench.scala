@@ -39,6 +39,13 @@ object Bench {
     // keep single-run noise out of round-over-round regression diffs.
     val only = args.filterNot(_.forall(_.isDigit)).toSet
     val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+    // contention sentinel: a bench sharing the box with compiles/tests
+    // reads 3-5x high (round-5 postmortem). Record the 1-min load
+    // average at start and end so a contaminated run is self-identifying
+    // in the committed artifact, and warn per query when rep spread
+    // exceeds 2x (steady-state reps of an uncontended box are tight).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val all = Catalog.all
       .filter(q => only.isEmpty || only(q.name))
       .map(q => q.name -> q.run)
@@ -46,14 +53,22 @@ object Bench {
     for ((_, fn) <- all)
       try materialize(fn(spark, WarmDir)) catch { case _: Throwable => () }
 
+    var spreadWarnings = 0
     val results = all.sortBy(_._1).map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      val best = times.min
+      // sub-50ms queries flap on scheduler noise alone — don't flag them
+      if (reps > 1 && best > 0.05 && times.max / best > 2.0) {
+        spreadWarnings += 1
+        System.err.println(f"[bench] WARN $name rep spread ${times.max / best}%.1fx " +
+          s"(${times.map(t => f"$t%.3f").mkString(", ")}) — is the box contended?")
+      }
       name -> best
     }
     val qs = results
@@ -65,9 +80,13 @@ object Bench {
     // machinery that inflates every subsequent batch query 3-15x).
     // Placement after the timed loop keeps the query timings clean and
     // the probe JIT-warm.
-    val blocksPerSec =
-      try if (only.nonEmpty) 0.0 else streamingThroughput(spark)
-      catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); 0.0 }
+    // both probe sizes are committed: 2k blocks is micro-batch-overhead
+    // bound (~500 blk/s), 8k amortizes it (~1700 blk/s) — recording the
+    // pair makes the scaling claim reproducible instead of prose
+    val (blocksPerSec, blocksPerSec8k) =
+      try if (only.nonEmpty) (0.0, 0.0)
+        else (streamingThroughput(spark), ingestRun(spark, 8000))
+      catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); (0.0, 0.0) }
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
@@ -76,10 +95,13 @@ object Bench {
     // its own line AND into bench_full.json, then a short summary line
     // prints LAST so a bounded tail window always contains one complete,
     // parseable JSON object with the headline numbers.
+    val loadEnd = osBean.getSystemLoadAverage
+    val sentinel =
+      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings"""
     val summary =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"n_queries":${results.size},"queries_file":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},$sentinel,"n_queries":${results.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},$sentinel,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
