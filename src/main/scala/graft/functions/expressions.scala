@@ -236,14 +236,33 @@ object ColumnFns {
   def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
   def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
 
-  /** Register the SQL-callable subset of these functions on a session
-    * so `expr(...)` strings and HOF lambdas can use them (done by
+  /** name -> builder for every SQL-callable engine function: the ONE
+    * list both [[register]] (temp functions on an existing session) and
+    * [[graft.plans.GraftExtensions]] (`injectFunction`, so a SQL-only
+    * user configuring `spark.sql.extensions=graft.plans.GraftExtensions`
+    * gets the full surface with zero graft API calls) draw from.
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "md5_prefix64" -> ((args: Seq[Expression]) => Md5Prefix64(args.head)),
+    "simhash48" -> ((args: Seq[Expression]) => SimHash48(args.head)),
+    "zorder2" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
+    "cosine_similarity" -> ((args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    "to_cbor" -> ((args: Seq[Expression]) => JsonToCbor(args.head)),
+    "from_cbor" -> ((args: Seq[Expression]) => CborToJson(args.head)),
+    "base58_encode" -> ((args: Seq[Expression]) => Base58Encode(args.head)),
+    "base58_decode" -> ((args: Seq[Expression]) => Base58Decode(args.head)),
+    "lz4_compress" -> ((args: Seq[Expression]) => Lz4Compress(args.head)),
+    "lz4_decompress" -> ((args: Seq[Expression]) => Lz4Decompress(args.head)),
+    "zstd_compress" -> ((args: Seq[Expression]) => ZstdCompress(args.head)),
+    "zstd_decompress" -> ((args: Seq[Expression]) => ZstdDecompress(args.head)))
+
+  /** Register the SQL-callable functions on a session so `expr(...)`
+    * strings and HOF lambdas can use them (done by
     * `SparkSessions.local` for every engine entry point).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "md5_prefix64", args => Md5Prefix64(args.head))
-    Bridge.registerFunction(spark, "simhash48", args => SimHash48(args.head))
-    Bridge.registerFunction(spark, "zorder2", args => ZOrder2(args(0), args(1)))
-    Bridge.registerFunction(spark, "nfc_normalize", args => NfcNormalize(args.head))
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -51,5 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteMd5Prefix64)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the engine's SQL function surface rides the same extension entry
+    // point: any session (including newSession() forks and pure-SQL
+    // users who never touch the Scala API) can call simhash48,
+    // md5_prefix64, cosine_similarity, zorder2, from_cbor/to_cbor, ...
+    // by name
+    for ((name, builder) <- graft.functions.ColumnFns.sqlFunctions)
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.ColumnFns", name),
+        builder))
   }
 }

@@ -35,6 +35,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("injected SQL functions resolve in a session that never called register") {
+    // newSession() builds a FRESH function registry (temp functions
+    // registered by ColumnFns.register do NOT carry over) but re-applies
+    // spark.sql.extensions — so resolution here proves the
+    // injectFunction path a pure-SQL user depends on
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      """SELECT md5_prefix64('graft')                          AS h,
+                simhash48('a b c')                             AS sh,
+                zorder2(cast(5 as bigint), cast(9 as bigint))  AS z,
+                nfc_normalize('café')                    AS n,
+                round(cosine_similarity(array(cast(1.0 as double), cast(0.0 as double)),
+                                        array(cast(0.6 as double), cast(0.8 as double))), 6) AS cos,
+                from_cbor(to_cbor('{"a":1}'))                  AS rt,
+                base58_encode(base58_decode('StV1DL6CwTryKyV')) AS b58
+      """).collect().head
+    import graft.functions.HashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(r.getAs[Long]("h") ==
+      HashUtil.md5Prefix64("graft".getBytes("UTF-8")))
+    assert(r.getAs[Long]("sh") == HashUtil.simhash48(UTF8String.fromString("a b c")))
+    assert(r.getAs[Long]("z") == HashUtil.zorder2(5L, 9L))
+    assert(r.getAs[String]("n") == "café", "not composed to NFC")
+    assert(r.getAs[Double]("cos") == 0.6)
+    assert(r.getAs[String]("rt") == """{"a":1}""")
+    assert(r.getAs[String]("b58") == "StV1DL6CwTryKyV")
+    // and the injected functions type-check like the registered ones
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT simhash48(42)").collect()
+    }
+  }
+
   test("zorder2 interleaves bits exactly and is bijective on the grid") {
     val z = graft.functions.HashUtil.zorder2(_, _)
     assert(z(0L, 0L) == 0L)
