@@ -11,21 +11,21 @@ import org.apache.spark.sql.functions._
   * a~b~c must collapse to one survivor even though (a,c) was never
   * emitted as a pair).
   *
-  * Implementation: iterative min-label propagation to a fixpoint.
-  * Each round is one shuffle join + aggregation (label := min over self
-  * and neighbors); rounds needed = component diameter, which for
-  * near-dup clusters is tiny in practice (dup clusters are dense).
-  * At 100 TB the same loop holds — each round is a pair of
-  * key-partitioned shuffles, nothing driver-side grows with the corpus
-  * — with two standard upgrades documented inline: alternating
-  * large-star/small-star contraction (halves round count on skewed
-  * graphs) and periodic checkpointing (lineage truncation, done here
-  * via localCheckpoint).
+  * Implementation: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — O(log^2 n) alternations on ANY graph shape, each
+  * alternation two groupBy shuffles over the directed edge set of the
+  * near-dup subgraph, nothing driver-side growing with the corpus.
+  * The previous min-label propagation (one shuffle per round but
+  * component-DIAMETER rounds — a path-shaped component outruns any
+  * fixed bound) is retained as [[labelPropagation]] and cross-checked
+  * against the star form in ClustersSpec.
   */
 object Clusters {
 
-  /** max propagation rounds — a safety bound, not a tuning knob: the
-    * loop exits as soon as a round changes no label (diameter reached).
+  /** max contraction alternations — a safety bound, not a tuning knob:
+    * the loop exits as soon as the edge set reaches its fixpoint
+    * (log-bounded, so 20 covers components far past any real corpus).
     */
   val MaxRounds = 20
 
@@ -34,14 +34,71 @@ object Clusters {
     * Singletons keep themselves as cluster root.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // at the fixpoint every component is a star centered on its min
+    // node: children label from their out-edge, roots label themselves
+    val (stars, _) = starContraction(pairs)
+    val labels = stars.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(stars.select(col("v").as("doc_id"), col("v").as("cluster")))
+      .distinct()
+    // untouched docs are singletons and join back at the end, so the
+    // contraction loop never touches the full node set — only the
+    // near-dup subgraph, a vanishing fraction of the corpus at scale
+    val singletons = nodes
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.union(singletons)
+  }
+
+  /** The contraction loop over canonical directed edges (u -> v with
+    * u > v, "points to smaller"). Returns the star edge set and the
+    * alternation count (exposed for ClustersSpec's round-count
+    * assertion: a 64-chain collapses in ~log n alternations where
+    * propagation needs 63 rounds).
+    */
+  private[graft] def starContraction(pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < MaxRounds) {
+      // large-star: each node's strictly-larger neighbors attach to the
+      // min of its full neighborhood (m <= u < v keeps the orientation)
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // small-star: each node's smaller neighbors — and the node — attach
+      // to the min among them
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixpoint = the directed edge set is unchanged by an alternation
+      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      round += 1
+    }
+    (edges, round)
+  }
+
+  /** Min-label propagation to a fixpoint — the diameter-bound
+    * formulation [[connectedComponents]] replaced; kept as the
+    * independent implementation the property tests cross-check the
+    * star contraction against.
+    */
+  private[graft] def labelPropagation(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // both directions once, materialized once: every round re-reads it
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
-    // propagate only over the near-dup subgraph (docs that appear in at
-    // least one pair) — a vanishing fraction of the corpus at any scale.
-    // Untouched docs are singletons and join back at the end, so the
-    // per-round joins never touch the full node set.
     val touched = edges.select(col("d1").as("doc_id")).distinct()
     var labels = touched
       .select(col("doc_id"), col("doc_id").as("cluster"))

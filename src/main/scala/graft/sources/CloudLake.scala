@@ -27,6 +27,40 @@ object CloudLake {
     *  - 128 MB blocks so Spark's split planning matches typical archive
     *    object sizes.
     *
+    * Auth matrix (doc-level parity with the reference consumer's
+    * six-arm TLS/creds matrix, borealis-consumer/src/main.rs:421-536 —
+    * on Spark each arm is a provider-chain config, not code). Layer the
+    * chosen arm over this map before building the session:
+    *
+    *  - anonymous (public archive buckets) — the `anonymous = true`
+    *    default below: `AnonymousAWSCredentialsProvider`.
+    *  - instance/pod role (the common cluster case) — the
+    *    `anonymous = false` default: `IAMInstanceCredentialsProvider`
+    *    resolves EC2/EKS metadata credentials, nothing to distribute.
+    *  - static keys from a credentials FILE (the reference's
+    *    `creds = <path>` arm): leave the provider default and set
+    *    `spark.hadoop.fs.s3a.access.key` / `...s3a.secret.key` from the
+    *    profile, or point `AWS_SHARED_CREDENTIALS_FILE` at the file and
+    *    use `com.amazonaws.auth.profile.ProfileCredentialsProvider`.
+    *    Never inline secrets in job args — they land in event logs.
+    *  - session token (the reference's token arm): the two keys above
+    *    plus `spark.hadoop.fs.s3a.session.token` with
+    *    `TemporaryAWSCredentialsProvider`.
+    *  - assume-role (cross-account archives):
+    *    `spark.hadoop.fs.s3a.aws.credentials.provider` ->
+    *    `org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider`,
+    *    `spark.hadoop.fs.s3a.assumed.role.arn` -> role ARN, optionally
+    *    `...assumed.role.session.duration`; the base credentials that
+    *    perform the STS call come from
+    *    `...assumed.role.credentials.provider` (instance role by
+    *    default).
+    *  - custom endpoint / non-AWS object store (the reference's
+    *    TLS-to-custom-server arms): `spark.hadoop.fs.s3a.endpoint` ->
+    *    https URL (TLS verification follows the JVM truststore — add
+    *    private CAs there, the `rootCert` analog) and
+    *    `spark.hadoop.fs.s3a.path.style.access` -> `true` for MinIO-
+    *    style stores.
+    *
     * @param anonymous public-bucket reads (the chain archives are
     *                  public) skip the credential chain entirely
     */

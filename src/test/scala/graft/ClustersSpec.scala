@@ -70,6 +70,27 @@ class ClustersSpec extends AnyFunSuite {
           ids.toDF("doc_id"), edges.toDF("d1", "d2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial=$trial n=$n edges=${edges.size}")
+      // the retained label-propagation implementation is an independent
+      // algorithm — both must agree with the reference and each other
+      val lp = llm.Clusters.labelPropagation(
+          ids.toDF("doc_id"), edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lp == expected, s"labelProp diverged: trial=$trial")
     }
+  }
+
+  test("star contraction collapses a 64-chain in O(log n) alternations") {
+    import spark.implicits._
+    // the shape that motivated the upgrade: diameter 63 means min-label
+    // propagation needs 63 rounds (past MaxRounds = 20), while
+    // large-star/small-star halves path lengths every alternation
+    val n = 64L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (_, rounds) = llm.Clusters.starContraction(pairs)
+    assert(rounds <= 10, s"took $rounds alternations for a 64-chain")
+    val got = llm.Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
   }
 }
