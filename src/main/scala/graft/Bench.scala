@@ -90,6 +90,9 @@ object Bench {
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
+    val nearDupDocsPerSec =
+      try if (only.nonEmpty) 0.0 else nearDupThroughput(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] neardup probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -99,9 +102,9 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings"""
     val summary =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},$sentinel,"n_queries":${results.size},"queries_file":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},$sentinel,"n_queries":${results.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},$sentinel,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},$sentinel,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -179,6 +182,37 @@ object Bench {
       val t0 = System.nanoTime()
       graft.streaming.DocIngest
         .start(spark, src, s"$base/lake", s"$base/ckpt")
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Streaming near-dup gate docs/s: the sf corpus streamed twice, the
+    * second pass with remapped doc_ids — every pass-2 doc collides with
+    * pass-1's admitted index, so the probe pays the gate's full
+    * steady-state path (shingle/minhash per batch, bucket-pruned corpus
+    * probe, Jaccard verify, intra-batch election, index append) under
+    * maximum duplicate pressure.
+    */
+  private def nearDupThroughput(spark: SparkSession, sfDir: String): Double = {
+    nearDupRun(spark, WarmDir) // JIT the LSH/probe/gate path, untimed
+    nearDupRun(spark, sfDir)
+  }
+
+  private def nearDupRun(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_ndg").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "text", "lang", "source")
+      val n = docs.count() * 2
+      docs.write.mode("append").json(src)
+      docs.selectExpr("doc_id + 1000000 AS doc_id", "text", "lang", "source")
+        .write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.NearDupGate
+        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)
