@@ -169,7 +169,16 @@ object LakeCompact {
     val df = spark.read.option("basePath", root)
       .parquet(foldable.map(_.getPath.toString).toIndexedSeq: _*)
       .drop("batch")
-    val w = df.coalesce(math.max(1, foldable.length / shrink)).write.mode("overwrite")
+    val n = math.max(1, foldable.length / shrink)
+    // with a partition layout, hash-cluster on the layout keys so each
+    // partition dir gets ~one file — a plain coalesce would make every
+    // task write every dir, splintering the fold into (tasks x dirs)
+    // small files, the exact problem compaction exists to fix
+    val shrunk =
+      if (partitionCols.nonEmpty)
+        df.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(n)
+    val w = shrunk.write.mode("overwrite")
     val compactTag = s"compact-${System.currentTimeMillis()}"
     val staged = new org.apache.hadoop.fs.Path(path, s".compact-$compactTag")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -44,6 +44,13 @@ class CompactionSpec extends AnyFunSuite {
     // per-language readers must still prune at the directory level
     assert(fs.exists(new Path(fold.head, "lang=en")) &&
       fs.exists(new Path(fold.head, "lang=de")))
+    // the fold is clustered on the layout keys: each partition dir holds
+    // ~one data file, not (tasks x dirs) splinters
+    for (lang <- Seq("lang=en", "lang=de")) {
+      val files = fs.listStatus(new Path(fold.head, lang))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"$lang has $files files after fold")
+    }
   }
 
   test("doc lake: staged fold WITH manifest (crash pre-rename) is recovered through compact") {
