@@ -86,6 +86,13 @@ object Clusters {
       edges = small
       round += 1
     }
+    // never hand back labels from a half-contracted graph: MaxRounds
+    // alternations cover ~2^MaxRounds-diameter components, so hitting
+    // the bound means the input is not a near-dup graph — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $MaxRounds alternations; " +
+          "component diameter is astronomically large — raise MaxRounds")
     (edges, round)
   }
 
@@ -124,6 +131,10 @@ object Clusters {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $MaxRounds rounds " +
+          "(component diameter exceeds the bound) — use connectedComponents")
     val singletons = nodes
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))

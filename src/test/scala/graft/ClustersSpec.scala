@@ -92,5 +92,10 @@ class ClustersSpec extends AnyFunSuite {
     val got = llm.Clusters.connectedComponents(nodes, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n).map(_ -> 0L).toMap)
+    // the diameter-bound form cannot finish this chain within MaxRounds
+    // — and must say so instead of returning half-propagated labels
+    intercept[IllegalStateException] {
+      llm.Clusters.labelPropagation(nodes, pairs).collect()
+    }
   }
 }
