@@ -65,6 +65,31 @@ object NearDupGate {
   private[graft] def docBucket(nb: Int, id: Column): Column =
     pmod(hash(id), lit(nb))
 
+  /** The bucket count is a LAYOUT constant, not a tuning knob: the
+    * admitted index is physically partitioned by it, so probing with a
+    * different value would silently miss candidates and re-admit
+    * duplicates. The first step records it in `indexDir/_buckets`
+    * (underscore-prefixed — parquet readers skip it); every later step
+    * refuses a mismatched Config loudly.
+    */
+  private def assertBucketLayout(spark: SparkSession, indexDir: String, nb: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(stored == nb,
+        s"index at $indexDir is laid out with indexBuckets=$stored but the " +
+          s"gate is configured with $nb — the pruned probe would silently " +
+          "miss candidates; rebuild the index or match the config")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(s"$nb\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The corpus-side probe scan: the admitted band index restricted to
     * `buckets` (partition-pruned — only those `bucket=` directories are
     * read) and excluding this batch's own `batch=` partition (a
@@ -109,6 +134,7 @@ object NearDupGate {
     // any of our output roots — see LakeCompact's quiesce contract
     Seq(lakeDir, s"$indexDir/bands", s"$indexDir/shingles", decisionsDir)
       .foreach(LakeCompact.assertNoLease(spark, _))
+    assertBucketLayout(spark, indexDir, cfg.indexBuckets)
     // every cached frame (ours, plus the candidate frames Dedup.jaccard
     // caches internally) is unpersisted in the finally: a long-running
     // stream must not accumulate cache entries per micro-batch, and a

@@ -114,6 +114,24 @@ class NearDupGateSpec extends AnyFunSuite {
       fullBands.filter(col("doc_id") === 22L).count())
   }
 
+  test("a mismatched indexBuckets config is refused, not silently mis-probed") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graft_ndg_buckets").toString
+    def docs(id: Long) = Seq((id, text(id.toInt))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+    NearDupGate.step(spark, docs(1), "b1", s"$b/lake", s"$b/idx", s"$b/dec",
+      NearDupGate.Config(indexBuckets = 64))
+    val ex = intercept[IllegalArgumentException] {
+      NearDupGate.step(spark, docs(2), "b2", s"$b/lake", s"$b/idx", s"$b/dec",
+        NearDupGate.Config(indexBuckets = 32))
+    }
+    assert(ex.getMessage.contains("indexBuckets=64"), ex.getMessage)
+    // matching config proceeds
+    NearDupGate.step(spark, docs(2), "b2", s"$b/lake", s"$b/idx", s"$b/dec",
+      NearDupGate.Config(indexBuckets = 64))
+    assert(spark.read.parquet(s"$b/lake").count() == 2)
+  }
+
   test("maintenance round-trip: compacting lake + signature index changes no decision") {
     // gate 4 batches through two identical pipelines; the 'maint' one is
     // compacted mid-run (folding the index generations, bucket layout
