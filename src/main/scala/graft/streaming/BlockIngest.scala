@@ -69,9 +69,11 @@ object BlockIngest {
     // batch-scoped overwrite as the entity writes, so re-running the
     // backfill rewrites rather than duplicates
     val bad = Flatten.rejects(spark, raw)
-    if (!bad.isEmpty)
+    if (!bad.isEmpty) {
+      LakeCompact.assertNoLease(spark, s"$lakeDir/_rejects") // quiesce contract
       bad.write.mode("overwrite")
         .parquet(s"$lakeDir/_rejects/batch=$token--1")
+    }
   }
 
   /** Dead-letter companion stream to [[start]]: tails the same drop dir
