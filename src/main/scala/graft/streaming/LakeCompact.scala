@@ -82,6 +82,12 @@ object LakeCompact {
     * (or any `withLease` user) fails loudly; a crashed holder's lock is
     * broken once it is `staleMs` old.
     *
+    * FS contract: create-fail-if-exists is atomic on HDFS-like
+    * filesystems (and local fs). Plain S3 gives no such primitive —
+    * there, run compaction from a single maintenance scheduler (the
+    * usual arrangement) or put the lock on a consistent store; the
+    * sink-side check still works unchanged since it only reads.
+    *
     * The lease closes the operational race the staged-swap protocol
     * documents (appends racing the compactor's input deletes): sinks
     * check the lease before writing, the compactor takes it before

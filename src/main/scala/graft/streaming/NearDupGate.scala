@@ -174,16 +174,25 @@ object NearDupGate {
               Seq("band", "bv"))
             .select("d1", "d2").distinct().cache())
           // shingles are only needed for the corpus docs that actually
-          // collided — prune to their owning buckets
+          // collided — prune to their owning buckets; the common
+          // steady-state batch (no collisions at all) short-circuits
+          // past the whole verify stage instead of running ~5 jobs over
+          // empty frames
           val candBuckets = cand
             .select(docBucket(cfg.indexBuckets, col("d1")).as("bucket"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          val corpusSh = probeShingles(spark, indexDir, batchTag, candBuckets)
-          Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
-            .filter(col("jac") >= cfg.threshold)
-            .groupBy(col("d2").as("doc_id"))
-            .agg(min_by(struct(col("d1"), col("jac")), col("d1")).as("m"))
-            .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac"))
+          if (candBuckets.isEmpty)
+            docs.select(col("doc_id")).limit(0)
+              .withColumn("partner", lit(null).cast("long"))
+              .withColumn("jac", lit(null).cast("double"))
+          else {
+            val corpusSh = probeShingles(spark, indexDir, batchTag, candBuckets)
+            Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
+              .filter(col("jac") >= cfg.threshold)
+              .groupBy(col("d2").as("doc_id"))
+              .agg(min_by(struct(col("d1"), col("jac")), col("d1")).as("m"))
+              .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac"))
+          }
         }
       val cd = track(corpusDropped.cache())
 
