@@ -65,6 +65,17 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT simhash48(42)").collect()
     }
+    // the compression codecs ride the same injection: SQL round-trips
+    // recover the input and the compressed forms actually differ
+    val c = s2.sql(
+      """SELECT cast(lz4_decompress(lz4_compress(b)) as string)   AS lz4_rt,
+                cast(zstd_decompress(zstd_compress(b)) as string) AS zstd_rt,
+                lz4_compress(b) = zstd_compress(b)                AS same_wire
+         FROM (SELECT cast(repeat('graft wire ', 64) as binary) AS b)
+      """).collect().head
+    assert(c.getAs[String]("lz4_rt") == "graft wire " * 64)
+    assert(c.getAs[String]("zstd_rt") == "graft wire " * 64)
+    assert(!c.getAs[Boolean]("same_wire"))
   }
 
   test("zorder2 interleaves bits exactly and is bijective on the grid") {

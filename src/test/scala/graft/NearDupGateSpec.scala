@@ -132,6 +132,39 @@ class NearDupGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$b/lake").count() == 2)
   }
 
+  test("bucket pruning is lossless: 64-bucket and 1-bucket gates decide identically") {
+    // indexBuckets=1 degenerates to an unpruned probe (every key in the
+    // one bucket); any candidate the 64-way layout's pruning lost would
+    // show up as a decision difference
+    import spark.implicits._
+    def mkDirs() = {
+      val b = Files.createTempDirectory("graft_ndg_prune").toString
+      (s"$b/lake", s"$b/idx", s"$b/dec")
+    }
+    val (lake1, idx1, dec1) = mkDirs()
+    val (lake64, idx64, dec64) = mkDirs()
+    val t1 = text(201); val t2 = text(202)
+    val batches = Seq(
+      "b1" -> Seq(1L -> t1, 2L -> t2, 3L -> text(203)),
+      "b2" -> Seq(10L -> mutate(t1), 11L -> (t2 + " extraterm"), 12L -> text(204)))
+    for ((tag, rows) <- batches) {
+      val df = rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+      NearDupGate.step(spark, df, tag, lake1, idx1, dec1,
+        NearDupGate.Config(indexBuckets = 1))
+      NearDupGate.step(spark, df, tag, lake64, idx64, dec64,
+        NearDupGate.Config(indexBuckets = 64))
+    }
+    def decisionsOf(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "decision", "partner").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[java.lang.Long](2)))).toSet
+    val (d1, d64) = (decisionsOf(dec1), decisionsOf(dec64))
+    assert(d1 == d64, s"pruned gate diverged:\n1-bucket: $d1\n64-bucket: $d64")
+    // and the planted cross-batch dups were caught (not vacuously equal)
+    assert(d64.exists(d => d._1 == 10L && d._2 == "drop_corpus" && d._3.contains(1L)))
+    assert(d64.exists(d => d._1 == 11L && d._2 == "drop_corpus" && d._3.contains(2L)))
+  }
+
   test("maintenance round-trip: compacting lake + signature index changes no decision") {
     // gate 4 batches through two identical pipelines; the 'maint' one is
     // compacted mid-run (folding the index generations, bucket layout
