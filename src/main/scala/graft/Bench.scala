@@ -63,10 +63,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val best = times.min
-      // sub-50ms queries flap on scheduler noise alone — don't flag them
-      if (reps > 1 && best > 0.05 && times.max / best > 2.0) {
+      // spread is judged over the STEADY reps only: rep 1 legitimately
+      // pays one-off page-cache/codegen costs 2x+ on a clean box (the
+      // documented methodology), so including it would make the
+      // sentinel cry wolf on every uncontended run. Sub-50ms queries
+      // flap on scheduler noise alone — don't flag them either.
+      val steady = if (times.length > 2) times.drop(1) else times
+      if (steady.length > 1 && best > 0.05 && steady.max / steady.min > 2.0) {
         spreadWarnings += 1
-        System.err.println(f"[bench] WARN $name rep spread ${times.max / best}%.1fx " +
+        System.err.println(f"[bench] WARN $name steady-rep spread ${steady.max / steady.min}%.1fx " +
           s"(${times.map(t => f"$t%.3f").mkString(", ")}) — is the box contended?")
       }
       name -> best
@@ -83,10 +88,14 @@ object Bench {
     // both probe sizes are committed: 2k blocks is micro-batch-overhead
     // bound (~500 blk/s), 8k amortizes it (~1700 blk/s) — recording the
     // pair makes the scaling claim reproducible instead of prose
-    val (blocksPerSec, blocksPerSec8k) =
-      try if (only.nonEmpty) (0.0, 0.0)
-        else (streamingThroughput(spark), ingestRun(spark, 8000))
-      catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); (0.0, 0.0) }
+    val blocksPerSec =
+      try if (only.nonEmpty) 0.0 else streamingThroughput(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); 0.0 }
+    // separate catch: an 8k failure (e.g. /tmp pressure from the larger
+    // fixture) must not discard the already-measured 2k number
+    val blocksPerSec8k =
+      try if (only.nonEmpty) 0.0 else ingestRun(spark, 8000)
+      catch { case e: Throwable => System.err.println(s"[bench] 8k streaming probe failed: $e"); 0.0 }
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
@@ -207,8 +216,13 @@ object Bench {
       val docs = Tables.documents(spark, sfDir)
         .selectExpr("doc_id", "text", "lang", "source")
       val n = docs.count() * 2
+      // remap offset derived from the corpus: a fixed constant would
+      // collide pass-2 ids with real pass-1 ids at scale factors whose
+      // doc_ids exceed it, merging distinct texts under one key
+      val off = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head.getLong(0) + 1
       docs.write.mode("append").json(src)
-      docs.selectExpr("doc_id + 1000000 AS doc_id", "text", "lang", "source")
+      docs.selectExpr(s"doc_id + $off AS doc_id", "text", "lang", "source")
         .write.mode("append").json(src)
       val t0 = System.nanoTime()
       graft.streaming.NearDupGate

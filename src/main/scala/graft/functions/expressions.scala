@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -206,7 +206,11 @@ case class SimHash48(child: Expression) extends UnaryExpression with ExpectsInpu
   * lake-clustering sort key (see [[HashUtil.zorder2]]).
   */
 case class ZOrder2(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  // ImplicitCast (not bare ExpectsInputTypes): SQL integer literals —
+  // `zorder2(5, 9)`, the common spelling — widen int -> bigint like any
+  // numeric builtin, while string inputs still fail analysis under ANSI
   override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(x: Any, y: Any): Any =
@@ -242,20 +246,34 @@ object ColumnFns {
     * user configuring `spark.sql.extensions=graft.plans.GraftExtensions`
     * gets the full surface with zero graft API calls) draw from.
     */
+  // arity-checked builders: a wrong-arity SQL call gets a clean
+  // "<name> expects N arguments" instead of a raw NoSuchElementException
+  // out of args.head during resolution
+  private def unary(name: String, f: Expression => Expression) =
+    name -> ((args: Seq[Expression]) => {
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      f(args.head)
+    })
+  private def binary(name: String, f: (Expression, Expression) => Expression) =
+    name -> ((args: Seq[Expression]) => {
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      f(args(0), args(1))
+    })
+
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "md5_prefix64" -> ((args: Seq[Expression]) => Md5Prefix64(args.head)),
-    "simhash48" -> ((args: Seq[Expression]) => SimHash48(args.head)),
-    "zorder2" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))),
-    "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
-    "cosine_similarity" -> ((args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
-    "to_cbor" -> ((args: Seq[Expression]) => JsonToCbor(args.head)),
-    "from_cbor" -> ((args: Seq[Expression]) => CborToJson(args.head)),
-    "base58_encode" -> ((args: Seq[Expression]) => Base58Encode(args.head)),
-    "base58_decode" -> ((args: Seq[Expression]) => Base58Decode(args.head)),
-    "lz4_compress" -> ((args: Seq[Expression]) => Lz4Compress(args.head)),
-    "lz4_decompress" -> ((args: Seq[Expression]) => Lz4Decompress(args.head)),
-    "zstd_compress" -> ((args: Seq[Expression]) => ZstdCompress(args.head)),
-    "zstd_decompress" -> ((args: Seq[Expression]) => ZstdDecompress(args.head)))
+    unary("md5_prefix64", Md5Prefix64.apply),
+    unary("simhash48", SimHash48.apply),
+    binary("zorder2", ZOrder2.apply),
+    unary("nfc_normalize", NfcNormalize.apply),
+    binary("cosine_similarity", CosineSimilarity.apply),
+    unary("to_cbor", JsonToCbor.apply),
+    unary("from_cbor", CborToJson.apply),
+    unary("base58_encode", Base58Encode.apply),
+    unary("base58_decode", Base58Decode.apply),
+    unary("lz4_compress", Lz4Compress.apply),
+    unary("lz4_decompress", Lz4Decompress.apply),
+    unary("zstd_compress", ZstdCompress.apply),
+    unary("zstd_decompress", ZstdDecompress.apply))
 
   /** Register the SQL-callable functions on a session so `expr(...)`
     * strings and HOF lambdas can use them (done by

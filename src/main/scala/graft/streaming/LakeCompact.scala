@@ -104,19 +104,65 @@ object LakeCompact {
     if (fs.exists(lock) &&
         System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs)
       fs.delete(lock, false): Unit
+    val token = java.util.UUID.randomUUID().toString
     val out =
       try fs.create(lock, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
-          s"maintenance lease on $root already held ($LockName exists); " +
-            "another compaction is running (or break a stale lock after " +
-            s"$staleMs ms)")
+      catch {
+        // only already-exists means "held"; disk-full/permissions/
+        // transient FS errors must surface as themselves, not send the
+        // operator hunting for a phantom concurrent compactor
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+              Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+          throw new IllegalStateException(
+            s"maintenance lease on $root already held ($LockName exists); " +
+              "another compaction is running (or break a stale lock after " +
+              s"$staleMs ms)")
       }
-    try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    try out.write(s"$token\n".getBytes("UTF-8"))
     finally out.close()
+    // heartbeat: a fold that outlives staleMs must not start LOOKING
+    // stale — sinks would resume appending and a second compactor would
+    // break the live lock. A daemon thread refreshes the mtime at a
+    // third of the staleness horizon for as long as the body runs.
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(1000L, staleMs / 3))
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => () case _: java.io.IOException => () }
+    }, s"graft-lease-heartbeat-$root")
+    beat.setDaemon(true)
+    beat.start()
     try body
-    finally fs.delete(lock, false): Unit
+    finally {
+      beat.interrupt()
+      // release only OUR lease: if a (genuinely stale) lock was broken
+      // and re-acquired by someone else mid-body, deleting theirs would
+      // reopen the window they think is closed
+      try {
+        val in = fs.open(lock)
+        val owner =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (owner == token) fs.delete(lock, false): Unit
+        else System.err.println(
+          s"[lease] $root lock now owned by another holder; leaving it")
+      } catch { case _: java.io.IOException => () } // lock already gone
+    }
   }
+
+  /** Acquire leases on SEVERAL roots for one maintenance window (roots
+    * are acquired in sorted order; all released in reverse). Use when a
+    * maintenance operation spans multiple lakes a sink checks together
+    * — per-root sequential leases would leave gaps a racing micro-batch
+    * could start inside (see [[graft.streaming.NearDupGate.compact]]).
+    */
+  def withLeases[T](spark: SparkSession, roots: Seq[String],
+      staleMs: Long = DefaultStaleMs)(body: => T): T =
+    roots.sorted.foldRight(() => body) { (root, inner) =>
+      () => withLease(spark, root, staleMs)(inner())
+    }()
 
   /** Fold `root`'s batch=* generations into one, re-partitioned inside
     * the compacted generation by `partitionCols` (e.g. lang for the
@@ -126,7 +172,8 @@ object LakeCompact {
       spark: SparkSession,
       root: String,
       partitionCols: Seq[String] = Nil,
-      shrink: Int = 16): Unit = {
+      shrink: Int = 16,
+      assumeLeased: Boolean = false): Unit = {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -144,7 +191,11 @@ object LakeCompact {
     }
 
     if (!fs.exists(path)) return
-    withLease(spark, root) {
+    // assumeLeased: the caller already holds this root's lease for a
+    // wider maintenance window (withLeases) — re-acquiring would deadlock
+    def leased[T](body: => T): T =
+      if (assumeLeased) body else withLease(spark, root)(body)
+    leased {
     // recovery pass: repair whatever a previous run left behind
     for (s <- fs.listStatus(path) if s.isDirectory) {
       val name = s.getPath.getName

@@ -257,10 +257,19 @@ object NearDupGate {
       lakeDir: String,
       indexDir: String,
       decisionsDir: String): Unit = {
-    LakeCompact.foldGenerations(spark, lakeDir)
-    LakeCompact.foldGenerations(spark, decisionsDir)
-    LakeCompact.foldGenerations(spark, s"$indexDir/bands", partitionCols = Seq("bucket"))
-    LakeCompact.foldGenerations(spark, s"$indexDir/shingles", partitionCols = Seq("bucket"))
+    // ONE lease window spanning all four roots: per-root sequential
+    // leases would leave gaps between folds in which a starting
+    // micro-batch passes every assertNoLease check and then races the
+    // remaining folds mid-pipeline
+    val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands", s"$indexDir/shingles")
+    LakeCompact.withLeases(spark, roots) {
+      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
+      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
+      LakeCompact.foldGenerations(spark, s"$indexDir/bands",
+        partitionCols = Seq("bucket"), assumeLeased = true)
+      LakeCompact.foldGenerations(spark, s"$indexDir/shingles",
+        partitionCols = Seq("bucket"), assumeLeased = true)
+    }
   }
 
   /** Streaming entry point: JSON drop dir in, near-dup-gated lake out,

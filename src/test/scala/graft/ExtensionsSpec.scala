@@ -44,7 +44,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = s2.sql(
       """SELECT md5_prefix64('graft')                          AS h,
                 simhash48('a b c')                             AS sh,
-                zorder2(cast(5 as bigint), cast(9 as bigint))  AS z,
+                zorder2(5, 9)                                  AS z,
                 nfc_normalize('café')                    AS n,
                 round(cosine_similarity(array(cast(1.0 as double), cast(0.0 as double)),
                                         array(cast(0.6 as double), cast(0.8 as double))), 6) AS cos,
@@ -65,6 +65,13 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT simhash48(42)").collect()
     }
+    // wrong arity is a clean "<name> expects N arguments" error, not a
+    // NoSuchElementException out of the builder
+    val arity = intercept[Exception] {
+      s2.sql("SELECT md5_prefix64()").collect()
+    }
+    assert(arity.getMessage.contains("md5_prefix64 expects 1 argument"),
+      arity.getMessage)
     // the compression codecs ride the same injection: SQL round-trips
     // recover the input and the compressed forms actually differ
     val c = s2.sql(

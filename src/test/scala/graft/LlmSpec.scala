@@ -55,8 +55,11 @@ class LlmSpec extends AnyFunSuite {
     // a ClassCastException inside eval/codegen
     import spark.implicits._
     val df = Seq(1).toDF("i")
+    // (zorder2 is ImplicitCastInputTypes, so a string arg is coerced
+    // like any numeric builtin's — an ARRAY arg has no coercion path
+    // and must still fail analysis)
     for (bad <- Seq("nfc_normalize(i)", "simhash48(i)", "md5_prefix64(i)",
-        "zorder2(cast(i as string), cast(i as bigint))")) {
+        "zorder2(array(i), cast(i as bigint))")) {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         df.select(expr(bad)).collect()
       }
