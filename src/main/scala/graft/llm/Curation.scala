@@ -192,7 +192,7 @@ object Curation {
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       bi AS (SELECT doc_id, toks[i.i+1] || ' ' || toks[i.i+2] AS bigram
-             FROM t, (SELECT unnest(range(10000)) AS i) i
+             FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
              WHERE len(toks) >= 2 AND i.i <= len(toks) - 2),
       c AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2)
       SELECT doc_id,
@@ -283,7 +283,7 @@ object Curation {
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       p AS (SELECT doc_id, i.i AS idx,
                    md5(array_to_string(toks[i.i * $PassageWords + 1 : i.i * $PassageWords + $PassageWords], ' ')) AS fp
-            FROM t, (SELECT unnest(range(10000)) AS i) i
+            FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
             WHERE i.i < ceil(len(toks) / ${PassageWords}.0)),
       m1 AS (SELECT doc_id, idx, fp,
                     count(*) OVER (PARTITION BY fp) AS n_copies,
@@ -672,7 +672,7 @@ object Curation {
       keepers AS (SELECT fp, MIN(doc_id) AS keeper_id FROM fp GROUP BY fp),
       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       bi AS (SELECT doc_id, toks[i.i+1] || ' ' || toks[i.i+2] AS bigram
-             FROM t, (SELECT unnest(range(10000)) AS i) i
+             FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
              WHERE len(toks) >= 2 AND i.i <= len(toks) - 2),
       bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2),
       qual AS (SELECT doc_id, 1.0 - count(*) / CAST(SUM(c) AS DOUBLE) AS dup_ratio

@@ -270,5 +270,88 @@ object Relational4 {
                WHERE c.c_nationkey = n.n_nationkey) t
     """.trim))
 
-  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, q44, z01)
+  // -- q45: RECURSIVE CTE — data-dependent event chains. Sessionizes
+  //    each user's timeline by following rn -> rn+1 links while the gap
+  //    stays under 10 minutes; the recursion terminates naturally
+  //    because rn strictly increases (a DAG walk, no cycle risk under
+  //    UNION ALL). 100 TB shape: iteration count = longest chain (4 at
+  //    sf0.1), and every iteration is one equi-join on (user_id, rn) —
+  //    shuffle-partitioned by user, never a cross join; the anchor is a
+  //    lag-window scan, no self-join.
+  private val q45 = Q(
+    "q45_sql_recursive",
+    (s, d) => {
+      events(s, d)
+        .selectExpr("event_id", "user_id", "ts_ns div 1000 AS us")
+        .createOrReplaceTempView("v_events_rec")
+      s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, us,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+          FROM v_events_rec),
+        chain(user_id, anchor, rn, us) AS (
+          SELECT user_id, rn, rn, us FROM e
+          WHERE prev_us IS NULL OR us > prev_us + 600000000
+          UNION ALL
+          SELECT c.user_id, c.anchor, n.rn, n.us
+          FROM chain c JOIN e n
+            ON n.user_id = c.user_id AND n.rn = c.rn + 1
+           AND n.us <= c.us + 600000000)
+        SELECT user_id,
+               CAST(count(DISTINCT anchor) AS BIGINT) AS n_chains,
+               CAST(max(cnt) AS BIGINT) AS longest_chain
+        FROM (SELECT user_id, anchor, count(*) AS cnt
+              FROM chain GROUP BY user_id, anchor)
+        GROUP BY user_id
+      """)
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, us,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn,
+               lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)),
+      chain(user_id, anchor, rn, us) AS (
+        SELECT user_id, rn, rn, us FROM e
+        WHERE prev_us IS NULL OR us > prev_us + 600000000
+        UNION ALL
+        SELECT c.user_id, c.anchor, n.rn, n.us
+        FROM chain c JOIN e n
+          ON n.user_id = c.user_id AND n.rn = c.rn + 1
+         AND n.us <= c.us + 600000000)
+      SELECT user_id,
+             CAST(count(DISTINCT anchor) AS BIGINT) AS n_chains,
+             CAST(max(cnt) AS BIGINT) AS longest_chain
+      FROM (SELECT user_id, anchor, count(*) AS cnt
+            FROM chain GROUP BY user_id, anchor)
+      GROUP BY user_id
+    """.trim))
+
+  // -- q46: VARIANT — Spark 4's semi-structured type. parse_json
+  //    shreds the props payload once into the binary VARIANT encoding;
+  //    variant_get path-extracts with a declared result type, so the
+  //    aggregation below runs on typed longs, not strings (vs q20's
+  //    get_json_object, which re-parses text per access). Map-side
+  //    extraction + one hash-aggregate shuffle.
+  private val q46 = Q(
+    "q46_variant",
+    (s, d) =>
+      events(s, d)
+        .selectExpr(
+          "event_type",
+          "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k")),
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1
+    """.trim))
+
+  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, z01)
 }

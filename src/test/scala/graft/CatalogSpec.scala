@@ -116,6 +116,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q45 recursive chains match gap-sessionization by window functions") {
+    import org.apache.spark.sql.functions._
+    val rec = Catalog.byName("q45_sql_recursive").run(spark, sf)
+      .select("user_id", "n_chains", "longest_chain")
+    // independent formulation: a chain starts where the gap to the
+    // previous event exceeds 10 min; chain id = running count of starts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val sess = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts_ns div 1000 AS us")
+      .withColumn("start",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") > lag(col("us"), 1).over(w) + 600000000L, 1L).otherwise(0L))
+      .withColumn("chain_id", sum(col("start")).over(w))
+      .groupBy("user_id", "chain_id").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        countDistinct(col("chain_id")).as("n_chains"),
+        max(col("len")).as("longest_chain"))
+      .select("user_id", "n_chains", "longest_chain")
+    assert(rec.except(sess).isEmpty && sess.except(rec).isEmpty)
+  }
+
+  test("q46 variant extraction agrees with the text json path") {
+    import org.apache.spark.sql.functions._
+    val v = Catalog.byName("q46_variant").run(spark, sf)
+      .select("event_type", "n_events", "sum_k", "max_k")
+    val txt = Tables.events(spark, sf)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .select("event_type", "n_events", "sum_k", "max_k")
+    assert(v.except(txt).isEmpty && txt.except(v).isEmpty)
+  }
+
   test("q24b approx distinct within 5% of exact") {
     val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
     val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
