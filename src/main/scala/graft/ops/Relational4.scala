@@ -353,5 +353,55 @@ object Relational4 {
       FROM events GROUP BY 1
     """.trim))
 
-  val queries: Seq[Q] = Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, z01)
+  // -- q47: mergeable top-k — the two-phase sketch pattern that scales
+  //    to 1000 executors: approx_top_k_accumulate builds one bounded
+  //    state per day partition (map-side), approx_top_k_combine merges
+  //    the states associatively, approx_top_k_estimate reads out the
+  //    final ranking. With maxItemsTracked (64) >= the domain size the
+  //    counts are exact, which is what makes the entry oracle-checkable;
+  //    at an unbounded domain the same plan degrades gracefully to an
+  //    estimate instead of blowing up state.
+  private val q47 = Q(
+    "q47_approx_top_k",
+    (s, d) =>
+      events(s, d)
+        .selectExpr("date_trunc('DAY', ts) AS day", "event_type")
+        .groupBy("day")
+        .agg(expr("approx_top_k_accumulate(event_type, 64)").as("st"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 64), 5)").as("top"))
+        .selectExpr("explode(top) AS t")
+        .selectExpr("t.item AS event_type", "CAST(t.count AS BIGINT) AS n_events"),
+    Some("""
+      SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+    """.trim))
+
+  // -- q48: theta sketch — distinct counting that stays SET-ALGEBRAIC:
+  //    unlike HLL, theta sketches support union/intersection/difference
+  //    after aggregation, so per-group sketches roll up to any coarser
+  //    grain without rescanning (the 100 TB property: one scan, every
+  //    rollup). Below the sketch's nominal capacity (default 2^12 =
+  //    4096 retained hashes) the estimate is exact and deterministic —
+  //    true for this corpus's user cardinality at every driver SF —
+  //    which is what licenses the DuckDB oracle.
+  private val q48 = Q(
+    "q48_theta_distinct",
+    (s, d) => {
+      val g = events(s, d)
+        .groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      g.selectExpr(
+          "event_type",
+          "CAST(theta_sketch_estimate(sk) AS BIGINT) AS n_users")
+        .union(g
+          .agg(expr("theta_sketch_estimate(theta_union_agg(sk))").as("e"))
+          .selectExpr("'_all' AS event_type", "CAST(e AS BIGINT) AS n_users"))
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+      UNION ALL
+      SELECT '_all' AS event_type, count(DISTINCT user_id) AS n_users FROM events
+    """.trim))
+
+  val queries: Seq[Q] =
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, z01)
 }

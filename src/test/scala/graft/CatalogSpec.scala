@@ -152,6 +152,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(v.except(txt).isEmpty && txt.except(v).isEmpty)
   }
 
+  test("q47 merged top-k sketch is exact when the domain fits the tracked capacity") {
+    import org.apache.spark.sql.functions._
+    val topk = Catalog.byName("q47_approx_top_k").run(spark, sf)
+      .select("event_type", "n_events")
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    assert(topk.except(exact).isEmpty && exact.except(topk).isEmpty)
+  }
+
+  test("q48 theta sketches are exact below nominal capacity; union row is no sum of groups") {
+    import org.apache.spark.sql.functions._
+    val theta = Catalog.byName("q48_theta_distinct").run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nd")).toMap
+    val all = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    // the oracle-exactness claim holds only below the sketch's nominal
+    // capacity — make the precondition a test, not a comment
+    assert(all < 4096, s"corpus outgrew theta exact mode: $all users")
+    for ((t, nd) <- exact) assert(theta(t) == nd, s"$t: ${theta(t)} != $nd")
+    assert(theta("_all") == all)
+    // the union row deduplicates users active across types
+    assert(theta("_all") < exact.values.sum)
+  }
+
   test("q24b approx distinct within 5% of exact") {
     val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
     val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
