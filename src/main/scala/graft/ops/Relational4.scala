@@ -281,21 +281,27 @@ object Relational4 {
   private val q45 = Q(
     "q45_sql_recursive",
     (s, d) => {
-      events(s, d)
+      // materialize the windowed base ONCE: each recursion iteration
+      // replans a scan of the referenced relation, so an uncached view
+      // would redo the parquet read + rn/lag window per loop — linear
+      // in depth x corpus instead of depth x frontier (at lake scale,
+      // substitute a checkpoint for the cache; the recursion itself is
+      // unchanged)
+      val base = events(s, d)
         .selectExpr("event_id", "user_id", "ts_ns div 1000 AS us")
-        .createOrReplaceTempView("v_events_rec")
+        .selectExpr(
+          "user_id", "us",
+          "CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn",
+          "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us")
+        .cache()
+      base.createOrReplaceTempView("v_chain_base")
       s.sql("""
-        WITH RECURSIVE e AS (
-          SELECT user_id, us,
-                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn,
-                 lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
-          FROM v_events_rec),
-        chain(user_id, anchor, rn, us) AS (
-          SELECT user_id, rn, rn, us FROM e
+        WITH RECURSIVE chain(user_id, anchor, rn, us) AS (
+          SELECT user_id, rn, rn, us FROM v_chain_base
           WHERE prev_us IS NULL OR us > prev_us + 600000000
           UNION ALL
           SELECT c.user_id, c.anchor, n.rn, n.us
-          FROM chain c JOIN e n
+          FROM chain c JOIN v_chain_base n
             ON n.user_id = c.user_id AND n.rn = c.rn + 1
            AND n.us <= c.us + 600000000)
         SELECT user_id,
