@@ -392,9 +392,13 @@ object Relational4 {
   private val q48 = Q(
     "q48_theta_distinct",
     (s, d) => {
+      // sketch-per-group frame is group-cardinality-sized; caching it
+      // keeps the per-type branch and the union rollup at ONE corpus
+      // scan instead of two (the whole point of mergeable sketches)
       val g = events(s, d)
         .groupBy("event_type")
         .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+        .cache()
       g.selectExpr(
           "event_type",
           "CAST(theta_sketch_estimate(sk) AS BIGINT) AS n_users")

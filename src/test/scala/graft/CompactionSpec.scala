@@ -135,6 +135,50 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(lock))
   }
 
+  test("maintenance lease: heartbeat keeps a long-running fold's lock live past staleMs") {
+    import graft.streaming.LakeCompact
+    val lake = mkDocLake()
+    // staleMs = 3 s, body runs 5 s: without the heartbeat the lock
+    // would look stale mid-body and a second compactor could break it
+    LakeCompact.withLease(spark, lake, staleMs = 3000L) {
+      Thread.sleep(5000L)
+      assert(LakeCompact.leaseHeld(spark, lake, staleMs = 3000L),
+        "heartbeat failed: live lease aged into staleness")
+      intercept[IllegalStateException] {
+        LakeCompact.withLease(spark, lake, staleMs = 3000L) {
+          fail("second lease granted while heartbeat live")
+        }
+      }
+    }
+    assert(!fs.exists(new Path(lake, LakeCompact.LockName)))
+  }
+
+  test("maintenance lease: release leaves a lock re-acquired by another holder") {
+    import graft.streaming.LakeCompact
+    val lake = mkDocLake()
+    val lock = new Path(lake, LakeCompact.LockName)
+    LakeCompact.withLease(spark, lake) {
+      // simulate a (wrongly) broken-and-reacquired lock mid-body: the
+      // exiting holder must not delete a lease that is no longer its own
+      fs.delete(lock, false)
+      val out = fs.create(lock, true)
+      out.write("someone-else\n".getBytes("UTF-8")); out.close()
+    }
+    assert(fs.exists(lock), "release deleted another holder's lease")
+    fs.delete(lock, false)
+  }
+
+  test("multi-root lease window: all roots locked at once, all released") {
+    import graft.streaming.LakeCompact
+    val a = mkDocLake(); val b = mkDocLake()
+    LakeCompact.withLeases(spark, Seq(a, b)) {
+      assert(LakeCompact.leaseHeld(spark, a) && LakeCompact.leaseHeld(spark, b))
+      intercept[IllegalStateException] { LakeCompact.assertNoLease(spark, a) }
+      intercept[IllegalStateException] { LakeCompact.assertNoLease(spark, b) }
+    }
+    assert(!LakeCompact.leaseHeld(spark, a) && !LakeCompact.leaseHeld(spark, b))
+  }
+
   test("the streaming sink itself refuses while its lake is leased") {
     // end-to-end form of the contract: a live DocIngest micro-batch
     // against a leased lake must error, not lose rows
