@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming heavy-hitters: the micro-batch form of q47's two-phase
+  * mergeable top-k, run continuously. The reference's consumer keeps no
+  * analytics state at all (it re-reads the stream, consumer
+  * `main.rs:652-669`); here each micro-batch folds into a bounded
+  * sketch so "top items so far" is O(capacity) state no matter how much
+  * stream has passed — the shape that survives an unbounded feed.
+  *
+  * State layout mirrors [[NearDupGate]]'s signature index: APPEND-ONLY
+  * `batch=<tag>` generations, each holding the batch's OWN
+  * approx_top_k accumulate state (one sketch-sized row). The current
+  * ranking is `approx_top_k_combine` over all generations — legal in
+  * any order because combine is associative and commutative — so a
+  * replayed micro-batch that overwrites its own generation is merged
+  * exactly once, never double-counted. [[LakeCompact.foldGenerations]]
+  * compacts the state dir without changing semantics (combine never
+  * cared which generation a state row came from).
+  *
+  * Like the gate's `_buckets` marker, `_capacity` records the sketch
+  * capacity the state was built with; a step configured differently
+  * refuses instead of silently merging incompatible sketches.
+  *
+  * 100 TB notes: the per-batch accumulate is a map-side fold to ONE
+  * sketch row (partial aggregation happens per partition, the combine
+  * of partials is sketch-sized); the state read is rows-of-sketches —
+  * one per un-folded generation, periodically folded to a single file.
+  * Nothing here scales with distinct-item cardinality beyond
+  * `capacity`, and nothing scales with stream length at all.
+  */
+object TrendingTopK {
+
+  final case class Config(
+      k: Int = 10,
+      capacity: Int = 1024,
+      itemCol: String = "item")
+
+  /** Refuse to merge sketches built at a different capacity: combine
+    * requires a uniform maxItemsTracked, and a silent mismatch would
+    * either throw mid-merge or skew estimates. Same recipe as
+    * NearDupGate's persisted `_buckets` marker.
+    */
+  private def checkCapacity(spark: SparkSession, stateDir: String, capacity: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_capacity")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(existing == capacity,
+        s"trending state at $stateDir was built with capacity=$existing, " +
+          s"refusing to merge at capacity=$capacity")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(s"$capacity\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** One micro-batch: fold the batch into its own state generation,
+    * then snapshot the merged ranking. Both writes are batch-scoped
+    * overwrites — a crash anywhere in the window replays to the same
+    * result.
+    */
+  def step(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchTag: String,
+      stateDir: String,
+      outDir: String,
+      cfg: Config = Config()): Unit = {
+    LakeCompact.assertNoLease(spark, stateDir)
+    LakeCompact.assertNoLease(spark, outDir)
+    checkCapacity(spark, stateDir, cfg.capacity)
+    batch
+      .selectExpr(s"approx_top_k_accumulate(${cfg.itemCol}, ${cfg.capacity}) AS st")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/batch=$batchTag")
+    spark.read.parquet(stateDir)
+      .filter("st IS NOT NULL") // an empty batch accumulates a null state
+      .selectExpr(s"approx_top_k_estimate(approx_top_k_combine(st, ${cfg.capacity}), ${cfg.k}) AS top")
+      .selectExpr("posexplode(top) AS (rank0, t)")
+      .selectExpr(
+        "CAST(rank0 + 1 AS BIGINT) AS rank",
+        "t.item AS item",
+        "CAST(t.count AS BIGINT) AS est_count")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchTag")
+  }
+
+  /** Latest ranking: the snapshot of the newest generation. */
+  def current(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+    require(gens.nonEmpty, s"no trending snapshots under $outDir")
+    // lexically-last tag is newest for a single run's zero-padded ids;
+    // cross-run, newest mtime wins
+    val newest = fs.listStatus(p).filter(_.isDirectory)
+      .maxBy(_.getModificationTime).getPath.toString
+    spark.read.parquet(newest)
+  }
+
+  /** Fold the state generations (newest protected, as always). The
+    * snapshot dir is deliberately NOT folded: its generations are the
+    * ranking history, one per batch.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    LakeCompact.foldGenerations(spark, stateDir)
+
+  /** Streaming entry point: JSON drop dir in, per-batch ranking
+    * snapshots out. Same checkpoint-lineage token recipe as
+    * [[NearDupGate.start]] so replays rewrite their own generations.
+    */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      schema: StructType = StructType(Seq(StructField("item", StringType))),
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .json(srcDir)
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(spark, batch, f"$token-$batchId%09d", stateDir, outDir, cfg)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}
