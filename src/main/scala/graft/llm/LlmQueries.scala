@@ -875,6 +875,55 @@ object LlmQueries {
       FROM s
     """.trim))
 
+  // -- s06: incremental IVF index append — the maintenance op the s04
+  //    search path implies. New ("delta") vectors are assigned to the
+  //    EXISTING coarse quantizer with no retrain; because IVF-flat
+  //    assignment is per-row, the appended index is bit-identical to a
+  //    full rebuild (LlmSpec asserts exactly that), so the entry runs
+  //    the honest two-pass shape — assign the standing corpus, assign
+  //    only the delta, union — and reports posting-list occupancy per
+  //    centroid, the index-health signal an operator watches for list
+  //    skew. 100 TB shape: the delta pass scans ONLY the delta
+  //    (broadcast centroids, map-side argmax); the standing index is
+  //    read, never recomputed, in production (recomputed here only so
+  //    the entry is self-contained over the raw table).
+  private val s06 = Q(
+    "s06_ivf_append",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val indexed = emb.filter(col("vec_id") % 10 =!= 7)
+      val delta = emb.filter(col("vec_id") % 10 === 7)
+      val cents = indexed.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      Similarity.ivfAssignWith(indexed, cents)
+        .select(col("cid"), lit(1L).as("is_idx"))
+        .union(Similarity.ivfAssignWith(delta, cents)
+          .select(col("cid"), lit(0L).as("is_idx")))
+        .groupBy("cid")
+        .agg(
+          sum(col("is_idx")).as("n_indexed"),
+          sum(lit(1L) - col("is_idx")).as("n_delta"),
+          count(lit(1)).as("n_total"))
+    },
+    Some("""
+      WITH dims AS (SELECT unnest(range(64)) AS d),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                WHERE vec_id % 10 <> 7
+                QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+      asim AS (SELECT e.vec_id, c.cid,
+            round(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE))
+              / (sqrt(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)))
+               * sqrt(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE)))), 6) AS sim
+          FROM embeddings e, cents c, dims d GROUP BY e.vec_id, c.cid),
+      assign AS (SELECT vec_id, cid FROM asim
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1)
+      SELECT cid,
+        CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+        CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        CAST(count(*) AS BIGINT) AS n_total
+      FROM assign GROUP BY cid
+    """.trim))
+
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
 }

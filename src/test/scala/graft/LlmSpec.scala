@@ -224,6 +224,23 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.select("vec_id", "neighbor_id").except(directed).count() == 0)
   }
 
+  test("s06: delta-only IVF append equals a full index rebuild") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Tables.embeddings(spark, sf)
+    val indexed = emb.filter(expr("vec_id % 10 != 7"))
+    val delta = emb.filter(expr("vec_id % 10 = 7"))
+    val cents = indexed.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // per-row assignment => appending only the delta to the standing
+    // index is bit-identical to rebuilding from scratch
+    val appended = llm.Similarity.ivfAssignWith(indexed, cents)
+      .union(llm.Similarity.ivfAssignWith(delta, cents))
+      .select("vec_id", "cid")
+    val rebuilt = llm.Similarity.ivfAssignWith(emb, cents)
+      .select("vec_id", "cid")
+    assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty)
+  }
+
   test("s04b: k-means quantizer recalls at least as well as the sampled one") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
