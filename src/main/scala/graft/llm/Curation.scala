@@ -760,5 +760,67 @@ object Curation {
             FROM train)
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, t05, t06, t07, d08, c01, c02, v01, v02, v03, x01, x02)
+  // -- p06: temperature-flattened source resampling — the multi-domain
+  //    mixing op (the tau = 0.5 sampling rule used for multilingual /
+  //    multi-source corpora): target_share_s ∝ share_s^tau upweights
+  //    the tail sources, then each source is deterministically
+  //    subsampled (the same md5 unit hash as p01/p02, so membership is
+  //    replay-stable and partitioning-independent) at a rate normalized
+  //    so the most-upweighted source keeps everything. Output is the
+  //    mixing table an operator reviews: observed share, temperature
+  //    target, keep rate, and the realized kept counts. 100 TB shape:
+  //    one token-count aggregate, a source-cardinality-sized broadcast
+  //    of rates, and a map-side hash filter — no corpus shuffle beyond
+  //    the first groupBy.
+  private val p06 = Q(
+    "p06_temperature_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy(lit(1))
+      val shares = docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("share", col("tokens") / sum(col("tokens")).over(w).cast(DoubleType))
+        .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w))
+        .withColumn("p_keep",
+          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w))
+      val kept = docs
+        .join(broadcast(shares.select("source", "p_keep")), "source")
+        .groupBy("source")
+        .agg(sum(when(unitHash(col("doc_id")) < col("p_keep"), 1L).otherwise(0L)).as("n_kept"))
+      shares.join(kept, "source").select(
+        col("source"), col("n_docs"), col("n_kept"),
+        round(col("share"), 6).as("token_share"),
+        round(col("tshare"), 6).as("target_share"),
+        round(col("p_keep"), 6).as("keep_rate"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      agg AS (SELECT source, count(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tokens
+              FROM d GROUP BY 1),
+      sh AS (SELECT source, n_docs,
+                    tokens / CAST((SELECT SUM(tokens) FROM agg) AS DOUBLE) AS share
+             FROM agg),
+      ts AS (SELECT source, n_docs, share,
+                    sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh) AS tshare
+             FROM sh),
+      pk AS (SELECT source, n_docs, share, tshare,
+                    (tshare / share) / (SELECT MAX(tshare / share) FROM ts) AS p_keep
+             FROM ts),
+      k AS (SELECT d.source,
+                   SUM(CASE WHEN $duckUnitHash < pk.p_keep THEN 1 ELSE 0 END) AS n_kept
+            FROM d JOIN pk ON pk.source = d.source GROUP BY 1)
+      SELECT pk.source, pk.n_docs, CAST(k.n_kept AS BIGINT) AS n_kept,
+             round(pk.share, 6) AS token_share,
+             round(pk.tshare, 6) AS target_share,
+             round(pk.p_keep, 6) AS keep_rate
+      FROM pk JOIN k ON k.source = pk.source
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, c01, c02, v01, v02, v03, x01, x02)
 }

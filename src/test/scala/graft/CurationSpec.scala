@@ -260,4 +260,25 @@ class CurationSpec extends AnyFunSuite {
     val lifts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("lift"))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
+    val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val p = r.getAs[Double]("keep_rate")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // the most-upweighted source is kept whole
+    assert(rows.map(_.getAs[Double]("keep_rate")).max == 1.0)
+    // tau = 0.5 flattens: over-represented sources move DOWN toward
+    // uniform, under-represented move UP (strictly, for non-uniform)
+    for (r <- rows) {
+      val share = r.getAs[Double]("token_share")
+      val target = r.getAs[Double]("target_share")
+      val uniform = 1.0 / rows.length
+      if (share > uniform + 1e-6) assert(target < share)
+      if (share < uniform - 1e-6) assert(target > share)
+    }
+  }
 }
