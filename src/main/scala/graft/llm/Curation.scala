@@ -760,6 +760,66 @@ object Curation {
             FROM train)
     """.trim))
 
+  // -- d13: INTRA-document passage dedup — the boilerplate-removal
+  //    TRANSFORM next to d08's cross-doc report: repeated passages
+  //    within one document (templated headers, navigation chrome,
+  //    copy-paste runs) are dropped keeping the first occurrence, and
+  //    the cleaned text is reconstructed in original order. Output
+  //    carries the cleaned text's md5 (not the text) so the result
+  //    stays row-per-doc sized. 100 TB shape: one window keyed on
+  //    (doc_id, fp) and one per-doc aggregate — both partition by
+  //    doc_id, so the whole op is a single corpus shuffle; the per-doc
+  //    collect_list is bounded by passages-per-doc, never corpus-sized.
+  private val d13 = Q(
+    "d13_intradoc_dedup",
+    (s, d) => {
+      val p = PassageWords
+      val passages = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, cast(ceil(size(toks) / $p.0) as int) - 1), " +
+              s"i -> concat_ws(' ', slice(toks, i * $p + 1, $p)))"))
+            .as(Seq("idx", "passage")))
+        .withColumn("fp", md5(col("passage")))
+      val w = Window.partitionBy("doc_id", "fp")
+      passages
+        .withColumn("first_idx", min(col("idx")).over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_passages"),
+          sum(when(col("idx") === col("first_idx"), 1L).otherwise(0L)).as("n_kept"),
+          expr("""array_join(transform(
+                    array_sort(collect_list(CASE WHEN idx = first_idx
+                                            THEN struct(idx, passage) END)),
+                    x -> x.passage), ' ')""").as("clean_text"))
+        .select(
+          col("doc_id"), col("n_passages"), col("n_kept"),
+          size(split(col("clean_text"), " ")).cast(LongType).as("n_clean_tokens"),
+          md5(col("clean_text")).as("clean_fp"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (SELECT doc_id, i.i AS idx,
+                   array_to_string(toks[i.i * $PassageWords + 1 : i.i * $PassageWords + $PassageWords], ' ') AS passage
+            FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
+            WHERE i.i < ceil(len(toks) / ${PassageWords}.0)),
+      m AS (SELECT doc_id, idx, passage,
+                   min(idx) OVER (PARTITION BY doc_id, md5(passage)) AS first_idx
+            FROM p),
+      c AS (SELECT doc_id,
+                   string_agg(CASE WHEN idx = first_idx THEN passage END, ' ' ORDER BY idx) AS clean_text
+            FROM m GROUP BY doc_id)
+      SELECT m.doc_id,
+             count(*) AS n_passages,
+             CAST(SUM(CASE WHEN m.idx = m.first_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(len(string_split(any_value(c.clean_text), ' ')) AS BIGINT) AS n_clean_tokens,
+             md5(any_value(c.clean_text)) AS clean_fp
+      FROM m JOIN c ON c.doc_id = m.doc_id
+      GROUP BY m.doc_id
+    """.trim))
+
   // -- p06: temperature-flattened source resampling — the multi-domain
   //    mixing op (the tau = 0.5 sampling rule used for multilingual /
   //    multi-source corpora): target_share_s ∝ share_s^tau upweights
@@ -822,5 +882,5 @@ object Curation {
       FROM pk JOIN k ON k.source = pk.source
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, c01, c02, v01, v02, v03, x01, x02)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, x01, x02)
 }
