@@ -412,6 +412,33 @@ object Relational4 {
       SELECT '_all' AS event_type, count(DISTINCT user_id) AS n_users FROM events
     """.trim))
 
+  // -- q49: try_* arithmetic — the ANSI-mode safety valve. Spark 4
+  //    runs ANSI by default, so integer mod/div by zero THROWS
+  //    mid-pipeline; try_mod turns the poison rows into NULLs that the
+  //    aggregate then counts and excludes — the per-row error-handling
+  //    shape a 100 TB job needs (one bad row must not kill a
+  //    1000-executor stage). Exact integer arithmetic end-to-end: no
+  //    float-parity risk in the oracle compare.
+  private val q49 = Q(
+    "q49_try_arith",
+    (s, d) =>
+      lineitem(s, d)
+        .selectExpr(
+          "l_returnflag",
+          "try_mod(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS r")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_mod0"),
+          sum(coalesce(col("r"), lit(0L))).as("mod_sum")),
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+        CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mod0,
+        CAST(SUM(CASE WHEN l_linenumber = 1 THEN 0
+                 ELSE CAST(l_quantity AS BIGINT) % (l_linenumber - 1) END) AS BIGINT) AS mod_sum
+      FROM lineitem GROUP BY 1
+    """.trim))
+
   val queries: Seq[Q] =
-    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, z01)
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, z01)
 }
