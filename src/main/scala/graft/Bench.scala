@@ -102,6 +102,9 @@ object Bench {
     val nearDupDocsPerSec =
       try if (only.nonEmpty) 0.0 else nearDupThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] neardup probe failed: $e"); 0.0 }
+    val trendingDocsPerSec =
+      try if (only.nonEmpty) 0.0 else trendingThroughput(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] trending probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -111,9 +114,9 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings"""
     val summary =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},$sentinel,"n_queries":${results.size},"queries_file":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},$sentinel,"n_queries":${results.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},$sentinel,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},$sentinel,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -206,6 +209,33 @@ object Bench {
   private def nearDupThroughput(spark: SparkSession, sfDir: String): Double = {
     nearDupRun(spark, WarmDir) // JIT the LSH/probe/gate path, untimed
     nearDupRun(spark, sfDir)
+  }
+
+  /** Streaming mergeable top-k gate: docs/s through TrendingTopK's
+    * accumulate -> state append -> combine-on-read snapshot loop,
+    * trending sources over the documents corpus. Same warm-then-time
+    * recipe as the other streaming probes.
+    */
+  private def trendingThroughput(spark: SparkSession, sfDir: String): Double = {
+    trendingRun(spark, WarmDir)
+    trendingRun(spark, sfDir)
+  }
+
+  private def trendingRun(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_trend").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir).selectExpr("source AS item")
+      val n = docs.count()
+      docs.write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.TrendingTopK
+        .start(spark, src, s"$base/state", s"$base/out", s"$base/ckpt",
+          graft.streaming.TrendingTopK.Config(k = 10, capacity = 256))
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
   }
 
   private def nearDupRun(spark: SparkSession, sfDir: String): Double = {
