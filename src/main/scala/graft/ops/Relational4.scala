@@ -278,40 +278,47 @@ object Relational4 {
   //    sf0.1), and every iteration is one equi-join on (user_id, rn) —
   //    shuffle-partitioned by user, never a cross join; the anchor is a
   //    lag-window scan, no self-join.
+  /** q45's recursion body over any (event_id, user_id, us) frame —
+    * shared with the property test that fuzzes it against the
+    * window-sessionization formulation on random event sets.
+    */
+  def chainStats(s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // materialize the windowed base ONCE: each recursion iteration
+    // replans a scan of the referenced relation, so an uncached view
+    // would redo the source read + rn/lag window per loop — linear
+    // in depth x corpus instead of depth x frontier (at lake scale,
+    // substitute a checkpoint for the cache; the recursion itself is
+    // unchanged)
+    val base = ev
+      .selectExpr(
+        "user_id", "us",
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn",
+        "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us")
+      .cache()
+    base.createOrReplaceTempView("v_chain_base")
+    s.sql("""
+      WITH RECURSIVE chain(user_id, anchor, rn, us) AS (
+        SELECT user_id, rn, rn, us FROM v_chain_base
+        WHERE prev_us IS NULL OR us > prev_us + 600000000
+        UNION ALL
+        SELECT c.user_id, c.anchor, n.rn, n.us
+        FROM chain c JOIN v_chain_base n
+          ON n.user_id = c.user_id AND n.rn = c.rn + 1
+         AND n.us <= c.us + 600000000)
+      SELECT user_id,
+             CAST(count(DISTINCT anchor) AS BIGINT) AS n_chains,
+             CAST(max(cnt) AS BIGINT) AS longest_chain
+      FROM (SELECT user_id, anchor, count(*) AS cnt
+            FROM chain GROUP BY user_id, anchor)
+      GROUP BY user_id
+    """)
+  }
+
   private val q45 = Q(
     "q45_sql_recursive",
-    (s, d) => {
-      // materialize the windowed base ONCE: each recursion iteration
-      // replans a scan of the referenced relation, so an uncached view
-      // would redo the parquet read + rn/lag window per loop — linear
-      // in depth x corpus instead of depth x frontier (at lake scale,
-      // substitute a checkpoint for the cache; the recursion itself is
-      // unchanged)
-      val base = events(s, d)
-        .selectExpr("event_id", "user_id", "ts_ns div 1000 AS us")
-        .selectExpr(
-          "user_id", "us",
-          "CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS rn",
-          "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us")
-        .cache()
-      base.createOrReplaceTempView("v_chain_base")
-      s.sql("""
-        WITH RECURSIVE chain(user_id, anchor, rn, us) AS (
-          SELECT user_id, rn, rn, us FROM v_chain_base
-          WHERE prev_us IS NULL OR us > prev_us + 600000000
-          UNION ALL
-          SELECT c.user_id, c.anchor, n.rn, n.us
-          FROM chain c JOIN v_chain_base n
-            ON n.user_id = c.user_id AND n.rn = c.rn + 1
-           AND n.us <= c.us + 600000000)
-        SELECT user_id,
-               CAST(count(DISTINCT anchor) AS BIGINT) AS n_chains,
-               CAST(max(cnt) AS BIGINT) AS longest_chain
-        FROM (SELECT user_id, anchor, count(*) AS cnt
-              FROM chain GROUP BY user_id, anchor)
-        GROUP BY user_id
-      """)
-    },
+    (s, d) => chainStats(s,
+      events(s, d).selectExpr("event_id", "user_id", "ts_ns div 1000 AS us")),
     Some("""
       WITH RECURSIVE e AS (
         SELECT user_id, us,

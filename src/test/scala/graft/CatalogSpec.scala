@@ -138,6 +138,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(rec.except(sess).isEmpty && sess.except(rec).isEmpty)
   }
 
+  test("recursive chaining matches sessionization on random event sets (property)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeded trials with dense timestamps force ties, singleton users,
+    // and chains longer than the corpus exhibits
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(80)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong, (rnd.nextInt(12) * 400000000L))
+      }
+      val ev = rows.toDF("event_id", "user_id", "us")
+      val rec = ops.Relational4.chainStats(spark, ev)
+        .select("user_id", "n_chains", "longest_chain")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val sess = ev
+        .withColumn("start",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") > lag(col("us"), 1).over(w) + 600000000L, 1L).otherwise(0L))
+        .withColumn("chain_id", sum(col("start")).over(w))
+        .groupBy("user_id", "chain_id").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          countDistinct(col("chain_id")).as("n_chains"),
+          max(col("len")).as("longest_chain"))
+        .select("user_id", "n_chains", "longest_chain")
+      assert(rec.except(sess).isEmpty && sess.except(rec).isEmpty, s"seed $seed diverged")
+    }
+  }
+
   test("q46 variant extraction agrees with the text json path") {
     import org.apache.spark.sql.functions._
     val v = Catalog.byName("q46_variant").run(spark, sf)
