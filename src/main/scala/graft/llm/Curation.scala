@@ -554,6 +554,92 @@ object Curation {
   //    two hash aggregations (bigram + unigram counts) and a broadcast
   //    of the unigram table slice the candidates touch; the explode is
   //    map-side.
+  // -- v04: one BPE merge ROUND — the iterative step v02's pair counts
+  //    feed: pick the most frequent adjacent pair (lexicographic
+  //    tie-break), merge its occurrences greedily left-to-right, and
+  //    recount pairs over the merged stream (the input to the next
+  //    round). Greedy non-overlap is expressed position-algebraically
+  //    so both engines compute the identical merge: consecutive match
+  //    positions form islands (i - running_match_count is constant per
+  //    island), and a match merges iff its island offset is even —
+  //    exactly left-to-right consumption, covering the w1 = w2 run
+  //    case ("x x x x" merges twice, not thrice). 100 TB shape: two
+  //    window passes partitioned by doc_id + a 1-row broadcast of the
+  //    chosen pair; every shuffle is doc-keyed, nothing global but the
+  //    final top-20.
+  /** v04's merge round over any (doc_id, text) frame — public so the
+    * planted-fixture spec can pin the greedy semantics ("x x x x"
+    * merges twice, never thrice) on hand-built corpora.
+    */
+  def bpeMergeRound(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val wDoc = Window.partitionBy("doc_id").orderBy("i")
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val top = toks
+        .withColumn("wn", lead(col("w"), 1).over(wDoc))
+        .filter(col("wn").isNotNull)
+        .groupBy(col("w").as("p1"), col("wn").as("p2")).agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("p1"), col("p2")).limit(1)
+        .select("p1", "p2")
+      val wIsl = Window.partitionBy("doc_id", "island").orderBy("i")
+      val stream = toks
+        .withColumn("wn", lead(col("w"), 1).over(wDoc))
+        .crossJoin(broadcast(top))
+        .withColumn("m",
+          coalesce(col("w") === col("p1") && col("wn") === col("p2"), lit(false)))
+        .withColumn("mrn", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
+        .withColumn("island", when(col("m"), col("i") - col("mrn")))
+        .withColumn("rel", when(col("m"), row_number().over(wIsl) - 1))
+        .withColumn("start", col("m") && col("rel") % 2 === 0)
+        .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
+        .filter(!col("consumed"))
+        .withColumn("tok",
+          when(col("start"), concat(col("p1"), lit("_"), col("p2"))).otherwise(col("w")))
+      val wr = Window.orderBy(col("pc").desc, col("w1"), col("w2"))
+      stream
+        .withColumn("nw", lead(col("tok"), 1).over(wDoc))
+        .filter(col("nw").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nw").as("w2")).agg(count(lit(1)).as("pc"))
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .filter(col("rank") <= 20)
+        .select("rank", "w1", "w2", "pc")
+  }
+
+  private val v04 = Q(
+    "v04_bpe_merge_round",
+    (s, d) => bpeMergeRound(Tables.documents(s, d)),
+    Some("""
+      WITH t AS (SELECT doc_id, i.i AS i, toks[i.i+1] AS w
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+                      (SELECT unnest(range((SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) i
+                 WHERE i.i < len(toks)),
+      pr AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS wn FROM t),
+      top AS (SELECT w AS p1, wn AS p2 FROM pr WHERE wn IS NOT NULL
+              GROUP BY 1, 2 ORDER BY count(*) DESC, 1, 2 LIMIT 1),
+      m1 AS (SELECT t.doc_id, t.i, t.w, top.p1, top.p2,
+                    coalesce(t.w = top.p1 AND
+                             lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.i) = top.p2,
+                             false) AS m
+             FROM t, top),
+      m2 AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS mrn FROM m1),
+      m3 AS (SELECT *, CASE WHEN m THEN i - mrn END AS island FROM m2),
+      m4 AS (SELECT *, CASE WHEN m THEN row_number()
+                         OVER (PARTITION BY doc_id, island ORDER BY i) - 1 END AS rel FROM m3),
+      m5 AS (SELECT *, coalesce(m AND rel % 2 = 0, false) AS start FROM m4),
+      m6 AS (SELECT *, coalesce(lag(start) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
+             FROM m5),
+      s AS (SELECT doc_id, i,
+                   CASE WHEN start THEN p1 || '_' || p2 ELSE w END AS tok
+            FROM m6 WHERE NOT consumed),
+      r AS (SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM s),
+      c AS (SELECT w1, w2, count(*) AS pc FROM r WHERE w2 IS NOT NULL GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY pc DESC, w1, w2) AS BIGINT) AS rank,
+               w1, w2, CAST(pc AS BIGINT) AS pc
+        FROM c) WHERE rank <= 20
+    """.trim))
+
   private val v03 = Q(
     "v03_collocations",
     (s, d) => {
@@ -882,5 +968,5 @@ object Curation {
       FROM pk JOIN k ON k.source = pk.source
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, x01, x02)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02)
 }

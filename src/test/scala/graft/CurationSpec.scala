@@ -261,6 +261,32 @@ class CurationSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("v04: BPE merge round is greedy left-to-right on planted fixtures") {
+    import spark.implicits._
+    // top pair is (x, x): "x x x x" must merge twice (positions 0-1 and
+    // 2-3), never the overlapping 1-2; "x x x" merges once leaving a
+    // bare x whose adjacency with the merged token survives
+    val docs = Seq(
+      (0L, "x x x x"),
+      (1L, "x x x a"),
+      (2L, "a x x b")).toDF("doc_id", "text")
+    val out = llm.Curation.bpeMergeRound(docs).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("pc")).toMap
+    // doc0 -> [x_x, x_x]; doc1 -> [x_x, x, a]; doc2 -> [a, x_x, b]
+    assert(out(("x_x", "x_x")) == 1L)
+    assert(out(("x_x", "x")) == 1L)
+    assert(out(("x", "a")) == 1L)
+    assert(out(("a", "x_x")) == 1L)
+    assert(out(("x_x", "b")) == 1L)
+    assert(!out.contains(("x", "x")), "overlapping merge leaked a raw (x, x) pair")
+    // non-self-adjacent top pair: every occurrence merges
+    val docs2 = Seq((0L, "a b c a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out2 = llm.Curation.bpeMergeRound(docs2).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("pc")).toMap
+    assert(out2(("a_b", "c")) == 1L && out2(("c", "a_b")) == 1L)
+    assert(!out2.contains(("a", "b")))
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)
