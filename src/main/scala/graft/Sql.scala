@@ -31,10 +31,19 @@ object Sql {
       df.createOrReplaceTempView(t)
     }
 
-  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
-    registerTables(spark, sfDir)
-    spark.sql(sql)
-  }
+  /** `@name` runs the cataloged query of that name; anything else is
+    * parsed as SQL over the registered tables.
+    */
+  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame =
+    if (sql.startsWith("@")) {
+      val name = sql.drop(1).trim
+      Catalog.byName.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no catalog query named '$name' (see graft.Catalog)")).run(spark, sfDir)
+    } else {
+      registerTables(spark, sfDir)
+      spark.sql(sql)
+    }
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -25,6 +25,15 @@ class SqlSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("sh") != 0L))
   }
 
+  test("@name runs the catalog entry; unknown names fail with the catalog pointer") {
+    val rows = Sql.run(spark, sf, "@q01_pricing_summary").collect()
+    assert(rows.nonEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Sql.run(spark, sf, "@no_such_query")
+    }
+    assert(ex.getMessage.contains("no_such_query"))
+  }
+
   test("events view is nanos-aware: timestamp operations work in SQL") {
     val r = Sql.run(spark, sf,
       """SELECT CAST(count(*) AS BIGINT) AS n
