@@ -66,6 +66,43 @@ class TrendingSpec extends AnyFunSuite {
     }
   }
 
+  test("composes with the near-dup gate: trending ranks admitted docs, not raw drops") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = JFiles.createTempDirectory("graft_trend_ndg").toString
+    val src = s"$base/src"
+    JFiles.createDirectories(Paths.get(src))
+    val vocab = (0 until 200).map(i => s"w$i")
+    def text(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def doc(id: Long, t: String, source: String) =
+      s"""{"doc_id":$id,"text":"$t","lang":"en","source":"$source"}"""
+    // raw counts: srcB 5 > srcA 4; admitted counts: srcA 4 > srcB 2 —
+    // the ranking flips iff the near-dup gate ran first
+    val aDocs = (0 until 4).map(i => doc(i, text(i), "srcA"))
+    val bBase = Seq(text(100), text(101))
+    val bDocs = Seq(doc(100, bBase(0), "srcB"), doc(101, bBase(1), "srcB")) ++
+      // append-one-word near-dups (seed-independent Jaccard ~0.97)
+      Seq(doc(102, bBase(0) + " extra", "srcB"),
+        doc(103, bBase(1) + " extra", "srcB"),
+        doc(104, bBase(0) + " other", "srcB"))
+    JFiles.write(Paths.get(s"$src/drop.jsonl"),
+      (aDocs ++ bDocs).mkString("\n").getBytes("UTF-8"))
+    graft.streaming.NearDupGate
+      .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
+      .awaitTermination()
+    val admitted = spark.read.parquet(s"$base/lake").selectExpr("source AS item")
+    val (state, out) = dirs()
+    TrendingTopK.step(spark, admitted, "b0", state, out,
+      TrendingTopK.Config(k = 2, capacity = 64))
+    val ranked = TrendingTopK.current(spark, out).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("est_count")))
+    assert(ranked.head == ("srcA", 4L), s"got ${ranked.toSeq}")
+    assert(ranked(1) == ("srcB", 2L), s"got ${ranked.toSeq}")
+  }
+
   test("end-to-end file stream: drops in, ranking snapshot out, resume continues") {
     val src = Files.createTempDirectory("graft_trend_src").toString
     val ckpt = Files.createTempDirectory("graft_trend_ckpt").toString
