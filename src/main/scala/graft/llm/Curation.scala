@@ -798,25 +798,34 @@ object Curation {
   //    contraction touch only near-dup docs, packing is one window per
   //    lang partition over the kept train split — no stage is new, so
   //    no new scale risk.
+  /** x02/x04 shared stage: the gated, near-dup-free train split with
+    * lang + source attached — gates (x01 dispositions) + d03→d09
+    * cluster drop-list, keepers only.
+    */
+  private def trainSurvivors(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val disp = x01.run(s, d)
+    val clusters = Clusters.connectedComponents(
+      docs.select("doc_id"), LlmQueries.nearDupPairs(s, d))
+    val nd = clusters.filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id")).withColumn("neardup", lit(1L))
+    disp
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("final_disposition",
+        when(col("disposition") =!= "kept", col("disposition"))
+          .when(col("neardup") === 1L, "neardup")
+          .otherwise("kept"))
+      .filter(col("final_disposition") === "kept" && col("split") === "train")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_tokens")
+  }
+
   private val x02 = Q(
     "x02_training_assembly",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val disp = x01.run(s, d)
-      val clusters = Clusters.connectedComponents(
-        docs.select("doc_id"), LlmQueries.nearDupPairs(s, d))
-      val nd = clusters.filter(col("cluster") =!= col("doc_id"))
-        .select(col("doc_id")).withColumn("neardup", lit(1L))
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      disp
-        .join(nd, Seq("doc_id"), "left")
-        .withColumn("final_disposition",
-          when(col("disposition") =!= "kept", col("disposition"))
-            .when(col("neardup") === 1L, "neardup")
-            .otherwise("kept"))
-        .filter(col("final_disposition") === "kept" && col("split") === "train")
-        .join(docs.select("doc_id", "lang"), "doc_id")
+      trainSurvivors(s, d)
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / lit(PackBudget)).as("seq_bin"))
@@ -844,6 +853,72 @@ object Curation {
                    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM train)
+    """.trim))
+
+  // -- x04: x02 with the mixing curriculum inserted — the COMPLETE
+  //    modern pipeline as one oracle-checked entry: quality/length/
+  //    repetition/contamination gates (x01) -> near-dup cluster drop
+  //    (d03 pairs -> d09 keepers) -> tau = 0.5 temperature resampling
+  //    over the SURVIVORS (p06's rule, shares computed post-cleaning —
+  //    mixing before dedup would let duplicate mass set the targets) ->
+  //    fixed-budget sequence packing (p03). Adds one survivor-sized
+  //    aggregate and a source-cardinality broadcast on top of x02.
+  private val x04 = Q(
+    "x04_mixed_assembly",
+    (s, d) => {
+      val t = trainSurvivors(s, d).cache()
+      val w1 = Window.partitionBy(lit(1))
+      val pk = t.groupBy("source").agg(sum(col("n_tokens")).as("tokens"))
+        .withColumn("share", col("tokens") / sum(col("tokens")).over(w1).cast(DoubleType))
+        .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w1))
+        .withColumn("p_keep",
+          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w1))
+        .select("source", "p_keep")
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.join(broadcast(pk), "source")
+        .filter(unitHash(col("doc_id")) < col("p_keep"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget)).as("seq_bin"))
+    },
+    Some(s"""
+      WITH RECURSIVE $dispCtes,
+      ${LlmQueries.pairsCtes},
+      edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+      ),
+      cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+      train AS (SELECT dp.doc_id, dc.lang, dc.source, dp.n_tokens
+                FROM disp dp
+                JOIN cl ON cl.doc_id = dp.doc_id
+                JOIN documents dc ON dc.doc_id = dp.doc_id
+                WHERE dp.split = 'train'
+                  AND dp.disposition = 'kept'
+                  AND cl.cluster = dp.doc_id),
+      agg2 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+               FROM train GROUP BY 1),
+      sh2 AS (SELECT source,
+                     tokens / CAST((SELECT SUM(tokens) FROM agg2) AS DOUBLE) AS share
+              FROM agg2),
+      ts2 AS (SELECT source, share,
+                     sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh2) AS tshare
+              FROM sh2),
+      pk2 AS (SELECT source,
+                     (tshare / share) / (SELECT MAX(tshare / share) FROM ts2) AS p_keep
+              FROM ts2),
+      mixed AS (SELECT t.doc_id, t.lang, t.source, t.n_tokens
+                FROM train t JOIN pk2 ON pk2.source = t.source
+                WHERE ${duckUnitHashOf("t")} < pk2.p_keep)
+      SELECT doc_id, lang, source, n_tokens,
+             CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS seq_bin
+      FROM (SELECT doc_id, lang, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM mixed)
     """.trim))
 
   // -- d13: INTRA-document passage dedup — the boilerplate-removal
@@ -968,5 +1043,5 @@ object Curation {
       FROM pk JOIN k ON k.source = pk.source
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04)
 }
