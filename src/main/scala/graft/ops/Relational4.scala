@@ -446,6 +446,34 @@ object Relational4 {
       FROM lineitem GROUP BY 1
     """.trim))
 
+  // -- q50: two-phase salted aggregation — the skew shape AQE can't
+  //    fix (AQE splits skewed JOIN partitions, not skewed AGG keys).
+  //    l_returnflag has 3 values over the whole corpus, so a plain
+  //    groupBy funnels everything through 3 reducers no matter the
+  //    cluster size; the salt spreads each hot key over 16 partials
+  //    first (map-side-combined), then merges partials per key. The
+  //    DECIMAL image keeps the two-phase sum bit-equal to the oracle's
+  //    one-phase sum — the exactness-under-parallelism house rule.
+  private val q50 = Q(
+    "q50_salted_agg",
+    (s, d) =>
+      Skew.saltedAgg(
+        lineitem(s, d).select(col("l_returnflag"), dec(col("l_quantity")).as("q")),
+        "l_returnflag",
+        buckets = 16,
+        partials = Seq(
+          "part_qty" -> sum(col("q")),
+          "part_n" -> count(lit(1))),
+        merges = Seq(
+          "sum_qty" -> sum(col("part_qty")).cast(DoubleType),
+          "n_rows" -> sum(col("part_n")))),
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    """.trim))
+
   val queries: Seq[Q] =
-    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, z01)
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, z01)
 }
