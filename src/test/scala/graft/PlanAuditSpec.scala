@@ -80,6 +80,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
+    val plan = planOf("q50_salted_agg")
+    // phase 1 shuffles on (key, salt) — the hot key spread over buckets;
+    // phase 2 shuffles the bucket partials on the key alone
+    assert(plan.contains("__salt"), "salt column missing from the plan")
+    val exchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.exists(e => e.contains("l_returnflag") && e.contains("__salt")),
+      s"no salt-keyed exchange in: $exchanges")
+    assert(exchanges.exists(e => e.contains("l_returnflag") && !e.contains("__salt")),
+      s"no key-only merge exchange in: $exchanges")
+  }
+
+  test("mergeable-sketch entries keep sketch aggregation object-hash-shaped") {
+    // q47/q48: DataSketches states aggregate through ObjectHashAggregate
+    // (partial per partition, merge after one exchange) — a fallback to
+    // SortAggregate would mean per-group sorting of sketch states
+    for (name <- Seq("q47_approx_top_k", "q48_theta_distinct")) {
+      val plan = planOf(name)
+      assert(plan.contains("ObjectHashAggregate"), s"$name lost object-hash aggregation")
+      assert(!plan.contains("SortAggregate"), s"$name fell back to SortAggregate")
+    }
+  }
+
   test("grouped top-k plans a PARTIAL WindowGroupLimit before the exchange") {
     // q08 (rank<=k per brand): Spark 4 plans partial+final
     // WindowGroupLimitExec, so the shuffle carries at most k rows per
