@@ -474,6 +474,32 @@ object Relational4 {
       FROM lineitem GROUP BY 1
     """.trim))
 
+  // -- q51: keep-latest compaction — the CDC/upsert materialization
+  //    pattern: collapse an append-only change stream to the newest
+  //    record per key (here: each user's latest event, ties broken by
+  //    event_id so the result is total). One window shuffle keyed on
+  //    user_id; Spark plans a PARTIAL WindowGroupLimit before the
+  //    exchange (asserted for the top-k family in PlanAuditSpec), so
+  //    each map task forwards only its own per-key newest rows — the
+  //    shuffle carries candidates, not the full change history.
+  private val q51 = Q(
+    "q51_latest_per_key",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, round(value, 6) AS value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    """.trim))
+
   val queries: Seq[Q] =
-    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, z01)
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, z01)
 }
