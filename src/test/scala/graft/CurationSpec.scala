@@ -287,6 +287,42 @@ class CurationSpec extends AnyFunSuite {
     assert(!out2.contains(("a", "b")))
   }
 
+  test("v04: SQL merge matches a brute-force greedy merge on random corpora (property)") {
+    import spark.implicits._
+    // reference implementation: the obvious sequential greedy scan
+    def bruteMerge(toks: Array[String], p1: String, p2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == p1 && toks(i + 1) == p2) {
+          out += s"${p1}_$p2"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toArray
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab -> dense repeats, self-adjacent runs, long islands
+      val vocab = Array("a", "b", "c")
+      val docs = (0 until 12).map { id =>
+        (id.toLong, Array.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      val out = llm.Curation.bpeMergeRound(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("pc")).toMap
+      // recompute expectation with the brute scan: top pair by the same
+      // counting rule, then pair counts over the merged streams
+      val split = docs.map { case (_, t) => t.split(" ") }
+      val pairCounts = split.flatMap(ts => ts.zip(ts.tail))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val (bp1, bp2) = pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+      val merged = split.map(ts => bruteMerge(ts, bp1, bp2))
+      val expect = merged.flatMap(ts => ts.zip(ts.tail))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val expectTop = expect.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(20).toMap
+      assert(out == expectTop, s"seed $seed: $out vs $expectTop")
+    }
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)

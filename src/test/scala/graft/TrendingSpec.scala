@@ -39,6 +39,23 @@ class TrendingSpec extends AnyFunSuite {
     assert(snapshot().toSeq == expect)
   }
 
+  test("crash between state write and snapshot write replays consistently") {
+    val (state, out) = dirs()
+    val cfg = TrendingTopK.Config(k = 5, capacity = 64)
+    TrendingTopK.step(spark, batchDf(1), "b0", state, out, cfg)
+    // simulate the crash window: b1's state generation landed but the
+    // snapshot write never happened
+    batchDf(2)
+      .selectExpr("approx_top_k_accumulate(item, 64) AS st")
+      .write.mode("overwrite").parquet(s"$state/batch=b1")
+    // replay of b1 overwrites the orphan generation and completes both
+    TrendingTopK.step(spark, batchDf(2), "b1", state, out, cfg)
+    val got = TrendingTopK.current(spark, out).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("est_count")).toMap
+    val expect = (0 until 5).map(i => s"item$i" -> ((i + 1) * 10 * 3).toLong).toMap
+    assert(got == expect, s"orphan state generation double-counted: $got")
+  }
+
   test("state folds without changing the ranking; capacity mismatch refuses") {
     val (state, out) = dirs()
     val cfg = TrendingTopK.Config(k = 5, capacity = 64)
