@@ -500,6 +500,37 @@ object Relational4 {
                                  ORDER BY ts DESC, event_id DESC) = 1
     """.trim))
 
+  // -- q52: SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN`)
+  //    — business logic shared as a catalog object instead of a JVM
+  //    jar. Because the body is SQL, Catalyst inlines it into the
+  //    calling plan (full codegen, pushdown through it) — unlike a
+  //    Scala UDF black box. The oracle inlines the same expression; the
+  //    per-row DECIMAL(18,6) image before SUM keeps the aggregate
+  //    order-invariant (scale 6, not 4: a 3-factor product of 2-dp
+  //    inputs is exact at scale 6 — the Tables.dec6 house rule).
+  private val q52 = Q(
+    "q52_sql_udf",
+    (s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+                 price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+               RETURN price * (1.0 - disc) * (1.0 + tax)""")
+      lineitem(s, d).createOrReplaceTempView("v_lineitem52")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(graft_margin(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS margin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v_lineitem52 GROUP BY l_returnflag
+      """)
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS margin,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """.trim))
+
   val queries: Seq[Q] =
-    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, z01)
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, z01)
 }
