@@ -98,9 +98,11 @@ object TrendingTopK {
       .filter(_.startsWith("batch="))
     require(gens.nonEmpty, s"no trending snapshots under $outDir")
     // lexically-last tag is newest for a single run's zero-padded ids;
-    // cross-run, newest mtime wins
+    // cross-run, newest mtime wins — with the name as tiebreaker so two
+    // generations landing in the same filesystem-mtime tick still
+    // resolve deterministically
     val newest = fs.listStatus(p).filter(_.isDirectory)
-      .maxBy(_.getModificationTime).getPath.toString
+      .maxBy(s => (s.getModificationTime, s.getPath.getName)).getPath.toString
     spark.read.parquet(newest)
   }
 
