@@ -351,6 +351,37 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
+  // -- s07: RANGE search — every vector within a similarity radius of
+  //    the query (threshold retrieval), the dual of s01's top-k: k-NN
+  //    bounds the result count, range search bounds the quality. The
+  //    brute scan here is the verifier shape; at scale the same
+  //    predicate composes with the LSH (s03) or IVF (s04) candidate
+  //    generators, which bound the scan before the exact filter. The
+  //    threshold applies to the 6-decimal-rounded cosine on both
+  //    engines, so the boundary row set is tie-free.
+  private val s07 = Q(
+    "s07_range_search",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .filter(col("cos") >= 0.2)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e, q, (SELECT unnest(range(64)) AS d) d
+            WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x WHERE round(dt / (sqrt(na) * sqrt(nb)), 6) >= 0.2
+    """.trim))
+
   /** shared DuckDB CTE: md5-derived random-hyperplane buckets (lazy:
     * referenced by d06 which is declared earlier in the file)
     */
@@ -925,5 +956,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
 }
