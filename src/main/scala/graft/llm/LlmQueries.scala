@@ -869,6 +869,49 @@ object LlmQueries {
       FROM x
     """.trim))
 
+  // -- m05: audio frame WINDOWING — the overlapped (hop < window)
+  //    sibling of m03's strided video sampling: STFT-shaped windows of
+  //    64 samples every 16, plus the sample -> milliseconds mapping at
+  //    a nominal 16 kHz (integer floor math, identical both engines).
+  //    Map-side generator over the audio rows only — rows multiply by
+  //    windows-per-clip AFTER the scan, no shuffle anywhere; a real
+  //    decoder swaps the stub's byte-length for the clip's true sample
+  //    count without touching the windowing algebra.
+  private val m05 = Q(
+    "m05_audio_windows",
+    (s, d) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("byte_len").as("n_samples"))
+        .filter(col("n_samples") >= 64)
+        .select(
+          col("media_id"),
+          col("n_samples"),
+          explode(expr("sequence(0, ((n_samples - 64) div 16) * 16, 16)")).as("start_sample"))
+        .select(
+          col("media_id"),
+          col("n_samples"),
+          (col("start_sample") / 16).cast(LongType).as("window_idx"),
+          col("start_sample"),
+          (col("start_sample") + 64).as("end_sample"),
+          floor((col("start_sample") + 32) * 1000 / 16000).as("center_ms")),
+    Some("""
+      WITH a AS (SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        FROM documents WHERE doc_id % 3 = 1),
+      w AS (SELECT media_id, n_samples,
+              unnest(range(0, n_samples - 64 + 1, 16)) AS start_sample
+            FROM a WHERE n_samples >= 64)
+      SELECT media_id, n_samples,
+             CAST(start_sample // 16 AS BIGINT) AS window_idx,
+             start_sample,
+             start_sample + 64 AS end_sample,
+             CAST((start_sample + 32) * 1000 // 16000 AS BIGINT) AS center_ms
+      FROM w
+    """.trim))
+
   // (The MLlib MinHashLSH variant — formerly catalog entry d07 — lives
   // in [[MlDedup]] and is cross-checked against the md5 pipeline in
   // LlmSpec. It is deliberately NOT a catalog/bench entry: its hash
@@ -956,5 +999,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
 }
