@@ -353,7 +353,11 @@ object Relational4 {
       events(s, d)
         .selectExpr(
           "event_type",
-          "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+          // try_parse_json, not parse_json: a malformed payload must
+          // become a NULL the aggregate skips (as the oracle's
+          // json_extract does), not an ANSI runtime error — the same
+          // crash-vs-clean divergence class as the v03 bigram guard
+          "variant_get(try_parse_json(props), '$.k', 'bigint') AS k")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
