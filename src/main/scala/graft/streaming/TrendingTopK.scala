@@ -47,17 +47,31 @@ object TrendingTopK {
   private def checkCapacity(spark: SparkSession, stateDir: String, capacity: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/_capacity")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    def readExisting(): Int = {
       val in = fs.open(p)
-      val existing =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+    if (fs.exists(p)) {
+      val existing = readExisting()
       require(existing == capacity,
         s"trending state at $stateDir was built with capacity=$existing, " +
           s"refusing to merge at capacity=$capacity")
     } else {
-      val out = fs.create(p, false)
-      try out.write(s"$capacity\n".getBytes("UTF-8")) finally out.close()
+      // two sessions can race the first write: losing create-if-absent
+      // is fine iff the winner recorded the same capacity — re-read and
+      // apply the normal mismatch rule instead of surfacing a raw
+      // already-exists error
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"$capacity\n".getBytes("UTF-8")) finally out.close()
+      } catch {
+        case _: java.io.IOException =>
+          val existing = readExisting()
+          require(existing == capacity,
+            s"trending state at $stateDir was built with capacity=$existing, " +
+              s"refusing to merge at capacity=$capacity")
+      }
     }
   }
 
