@@ -224,5 +224,45 @@ object BlockQueries {
       GROUP BY action_type
     """.trim))
 
-  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07, b08, b09)
+  // SURVEY §1.3's open-set variant problem, closed with Spark-4 VARIANT
+  // over the reference's OWN polymorphic payload (main.rs:222-234; b09
+  // only tags it into a closed struct): the action JSON is parsed ONCE
+  // per row into the binary VARIANT encoding (try_parse_json — a
+  // malformed payload becomes a NULL every extraction skips, cf. q46),
+  // then each per-variant field is a typed variant_get path extraction
+  // — deposit lands as DECIMAL(38,0) directly, no string re-parse per
+  // access (plan-audited: exactly one parse_json in the plan). The
+  // oracle recomputes from the same JSON text with DuckDB's
+  // json_extract_string, so the whole parse+extract machinery is
+  // cross-checked, not just the aggregation.
+  private val b10 = Q(
+    "b10_action_variant_shred",
+    (s, _) =>
+      Flatten
+        .txActions(Flatten.fixtureDocs(s, Fixtures.baseHeight, N))
+        .select(expr("try_parse_json(action_json)").as("v"))
+        .select(
+          expr("variant_get(v, '$.action_type', 'string')").as("action_type"),
+          expr("variant_get(v, '$.deposit', 'decimal(38,0)')").as("deposit"),
+          expr("variant_get(v, '$.public_key', 'string')").as("public_key"),
+          expr("variant_get(v, '$.access_key.permission', 'string')").as("permission"))
+        .groupBy("action_type")
+        .agg(
+          count(lit(1)).as("n"),
+          // exact u128 digits ride the VARCHAR image (b01/b02 rule)
+          sum(col("deposit")).cast(StringType).as("total_deposit"),
+          count(col("public_key")).as("n_with_key"),
+          count(col("permission")).as("n_with_permission")),
+    Some(s"""
+      SELECT json_extract_string(action_json, '$$.action_type') AS action_type,
+             count(*) AS n,
+             CAST(CAST(SUM(CAST(json_extract_string(action_json, '$$.deposit') AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS VARCHAR) AS total_deposit,
+             count(json_extract_string(action_json, '$$.public_key')) AS n_with_key,
+             count(json_extract_string(action_json, '$$.access_key.permission')) AS n_with_permission
+      FROM ${fx("tx_actions")}
+      GROUP BY 1
+    """.trim))
+
+  def queries: Seq[Q] = Seq(b01, b02, b03, b04, b05, b06, b07, b08, b09, b10)
 }

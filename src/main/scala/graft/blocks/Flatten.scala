@@ -110,7 +110,12 @@ object Flatten {
           tsCols(col("nanos")): _*)
 
   /** one row per (transaction, action) with the action ordinal —
-    * the polymorphic variant list made relational
+    * the polymorphic variant list made relational. `action_json` keeps
+    * the payload as JSON TEXT alongside the typed columns (null struct
+    * fields dropped, so each variant carries exactly its own fields):
+    * the open-set escape hatch for action variants the tagged struct
+    * doesn't type — b10 VARIANT-shreds it, and new variants flow
+    * through it un-dropped until the schema catches up.
     */
   def txActions(docs: DataFrame): DataFrame =
     docs
@@ -128,7 +133,8 @@ object Flatten {
         col("a.action_type").as("action_type"),
         u128(col("a.deposit")).as("deposit"),
         col("a.public_key").as("public_key"),
-        col("a.access_key.permission").as("access_key_permission"))
+        col("a.access_key.permission").as("access_key_permission"),
+        to_json(col("a")).as("action_json"))
 
   /** shards[].chunk.receipts[] -> one row per receipt */
   def receipts(docs: DataFrame): DataFrame =

@@ -388,8 +388,16 @@ object Relational4 {
         .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 64), 5)").as("top"))
         .selectExpr("explode(top) AS t")
         .selectExpr("t.item AS event_type", "CAST(t.count AS BIGINT) AS n_events"),
+    // the oracle carries the SAME top-5 cut as the sketch read-out (not
+    // a bare GROUP BY that happens to match because the generator emits
+    // exactly 5 event types): a wider domain keeps the gate comparing
+    // k-vs-k instead of failing on row count with no hint that the
+    // k/domain coupling is the cause. Exactness below capacity (64)
+    // still licenses the compare; a count TIE at the k boundary is the
+    // one case the estimate may legitimately order differently.
     Some("""
-      SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+      SELECT event_type, count(*) AS n_events FROM events
+      GROUP BY 1 ORDER BY n_events DESC, event_type LIMIT 5
     """.trim))
 
   // -- q48: theta sketch — distinct counting that stays SET-ALGEBRAIC:
@@ -424,29 +432,43 @@ object Relational4 {
     """.trim))
 
   // -- q49: try_* arithmetic — the ANSI-mode safety valve. Spark 4
-  //    runs ANSI by default, so integer mod/div by zero THROWS
-  //    mid-pipeline; try_mod turns the poison rows into NULLs that the
-  //    aggregate then counts and excludes — the per-row error-handling
-  //    shape a 100 TB job needs (one bad row must not kill a
-  //    1000-executor stage). Exact integer arithmetic end-to-end: no
-  //    float-parity risk in the oracle compare.
+  //    runs ANSI by default, so integer mod/div by zero and bigint
+  //    overflow THROW mid-pipeline; the try_* family turns the poison
+  //    rows into NULLs the aggregates then count and exclude — the
+  //    per-row error-handling shape a 100 TB job needs (one bad row
+  //    must not kill a 1000-executor stage). All three production
+  //    poisons in one entry: try_mod / try_divide (divide-by-zero, the
+  //    commonest) / try_multiply (bigint overflow: quantity >= 31
+  //    overflows against the 3e17 factor, quantity <= 30 does not, so
+  //    both arms are exercised at every SF). Quotients are imaged as
+  //    DECIMAL(18,6) per row before SUM (order-invariant; denominators
+  //    are 1..6, whose decimal expansions never round-boundary at 6
+  //    digits); everything else is exact integers.
   private val q49 = Q(
     "q49_try_arith",
     (s, d) =>
       lineitem(s, d)
         .selectExpr(
           "l_returnflag",
-          "try_mod(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS r")
+          "try_mod(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS r",
+          "try_divide(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS q",
+          "try_multiply(CAST(l_quantity AS BIGINT), 300000000000000000L) AS m")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_mod0"),
-          sum(coalesce(col("r"), lit(0L))).as("mod_sum")),
+          sum(coalesce(col("r"), lit(0L))).as("mod_sum"),
+          sum(col("q").cast("decimal(18,6)")).cast(DoubleType).as("div_sum"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_mul_ovf")),
     Some("""
       SELECT l_returnflag, count(*) AS n,
         CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mod0,
         CAST(SUM(CASE WHEN l_linenumber = 1 THEN 0
-                 ELSE CAST(l_quantity AS BIGINT) % (l_linenumber - 1) END) AS BIGINT) AS mod_sum
+                 ELSE CAST(l_quantity AS BIGINT) % (l_linenumber - 1) END) AS BIGINT) AS mod_sum,
+        CAST(SUM(CASE WHEN l_linenumber = 1 THEN NULL
+                 ELSE CAST(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 1 AS BIGINT)
+                           AS DECIMAL(18,6)) END) AS DOUBLE) AS div_sum,
+        CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) >= 31 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_ovf
       FROM lineitem GROUP BY 1
     """.trim))
 

@@ -101,36 +101,69 @@ object LakeCompact {
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
     val (fs, p) = fsOf(spark, root)
     val lock = new org.apache.hadoop.fs.Path(p, LockName)
-    if (fs.exists(lock) &&
-        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs)
-      fs.delete(lock, false): Unit
     val token = java.util.UUID.randomUUID().toString
+    def held(): Nothing =
+      throw new IllegalStateException(
+        s"maintenance lease on $root already held ($LockName exists); " +
+          "another compaction is running (or break a stale lock after " +
+          s"$staleMs ms)")
+    // break a stale lock by ATOMIC RENAME to a breaker-unique grave, not
+    // delete+create: of N breakers racing the same stale lock exactly one
+    // rename wins, so a second breaker can never delete the lock the
+    // first breaker just re-created (the delete+create race would hand
+    // the lease to two compactors at once)
+    if (fs.exists(lock) &&
+        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
+      val grave = new org.apache.hadoop.fs.Path(p, s"$LockName.broken-$token")
+      try { if (fs.rename(lock, grave)) fs.delete(grave, false): Unit }
+      catch { case _: java.io.IOException => () } // lost the break race
+    }
     val out =
       try fs.create(lock, false)
       catch {
         // only already-exists means "held"; disk-full/permissions/
         // transient FS errors must surface as themselves, not send the
-        // operator hunting for a phantom concurrent compactor
+        // operator hunting for a phantom concurrent compactor (note
+        // "already exists", not bare "exist" — messages like "parent
+        // directory does not exist" are real FS errors)
         case e: java.io.IOException
             if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
               e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-              Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
-          throw new IllegalStateException(
-            s"maintenance lease on $root already held ($LockName exists); " +
-              "another compaction is running (or break a stale lock after " +
-              s"$staleMs ms)")
+              Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) =>
+          held()
       }
     try out.write(s"$token\n".getBytes("UTF-8"))
     finally out.close()
+    // create-then-verify: on stores whose create-fail-if-exists is not
+    // truly atomic (raw local fs checks then creates), two acquirers can
+    // both think they won. Read the lock back; proceed only if it holds
+    // OUR token. Worst case both lose and throw — the lock goes stale
+    // and is broken at the next attempt; the lease is never held twice.
+    val owner0 =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    if (owner0 != token) held()
     // heartbeat: a fold that outlives staleMs must not start LOOKING
     // stale — sinks would resume appending and a second compactor would
     // break the live lock. A daemon thread refreshes the mtime at a
     // third of the staleness horizon for as long as the body runs.
     val beat = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(math.max(1000L, staleMs / 3))
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
-      } catch { case _: InterruptedException => () case _: java.io.IOException => () }
+      var beating = true
+      while (beating && !Thread.interrupted()) {
+        try {
+          Thread.sleep(math.max(1000L, staleMs / 3))
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => beating = false
+          // a TRANSIENT refresh failure must not kill the heartbeat: a
+          // long fold would then drift past staleMs, look stale, and
+          // sinks/second compactors would break the LIVE lease
+          case _: java.io.IOException => ()
+        }
+      }
     }, s"graft-lease-heartbeat-$root")
     beat.setDaemon(true)
     beat.start()

@@ -75,7 +75,7 @@ object NearDupGate {
   private def assertBucketLayout(spark: SparkSession, indexDir: String, nb: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    def requireStored(): Unit = {
       val in = fs.open(p)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
@@ -84,9 +84,18 @@ object NearDupGate {
         s"index at $indexDir is laid out with indexBuckets=$stored but the " +
           s"gate is configured with $nb — the pruned probe would silently " +
           "miss candidates; rebuild the index or match the config")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(s"$nb\n".getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(p)) requireStored()
+    else {
+      // two gates can race the first write: create-if-absent (NOT
+      // overwrite — two racing overwrites with different configs would
+      // both pass and interleave incompatible layouts), and on losing
+      // re-read and apply the normal mismatch rule. Same recipe as
+      // TrendingTopK's _capacity marker.
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"$nb\n".getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => requireStored() }
     }
   }
 

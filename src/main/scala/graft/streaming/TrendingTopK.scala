@@ -37,7 +37,13 @@ object TrendingTopK {
   final case class Config(
       k: Int = 10,
       capacity: Int = 1024,
-      itemCol: String = "item")
+      itemCol: String = "item",
+      // combine-on-read is O(un-folded generations): past this many,
+      // step() folds the state dir itself (under the maintenance lease)
+      // before reading, so an unattended long-running stream never pays
+      // a slowly-growing read waiting for an operator to call compact().
+      // 0 disables (manual compaction only).
+      autoFoldGenerations: Int = 64)
 
   /** Refuse to merge sketches built at a different capacity: combine
     * requires a uniform maxItemsTracked, and a silent mismatch would
@@ -93,6 +99,21 @@ object TrendingTopK {
     batch
       .selectExpr(s"approx_top_k_accumulate(${cfg.itemCol}, ${cfg.capacity}) AS st")
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/batch=$batchTag")
+    // auto-fold: semantics-preserving by construction (combine is
+    // associative/commutative and never cared which generation a state
+    // row came from — TrendingSpec asserts fold-vs-control bytes), and
+    // replay-safe because the fold never touches the newest generation
+    // (the one this step just wrote and a crash would rewrite)
+    if (cfg.autoFoldGenerations > 0) {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens =
+        if (fs.exists(sp))
+          fs.listStatus(sp).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch="))
+        else 0
+      if (gens > cfg.autoFoldGenerations) compact(spark, stateDir)
+    }
     spark.read.parquet(stateDir)
       .filter("st IS NOT NULL") // an empty batch accumulates a null state
       .selectExpr(s"approx_top_k_estimate(approx_top_k_combine(st, ${cfg.capacity}), ${cfg.k}) AS top")

@@ -104,6 +104,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("variant shreds parse each payload once, never per access") {
+    // b10/q46: the JSON text must enter the binary VARIANT encoding in
+    // ONE projection, with every per-variant field a variant_get over
+    // that column. If a refactor lets CollapseProject (or inlining)
+    // duplicate the parse per extraction, the scan re-parses text 4x —
+    // the exact per-access cost VARIANT exists to remove.
+    for (name <- Seq("b10_action_variant_shred", "q46_variant")) {
+      val plan = planOf(name)
+      // the parse appears as static_invoke(VariantExpressionEvalUtils.parseJson(...))
+      val parses = "parseJson|parse_json".r.findAllIn(plan).length
+      assert(parses == 1, s"$name should parse once, found $parses parses:\n$plan")
+      assert(plan.contains("variant_get"), s"$name lost its typed variant_get extraction")
+    }
+  }
+
   test("grouped top-k plans a PARTIAL WindowGroupLimit before the exchange") {
     // q08 (rank<=k per brand): Spark 4 plans partial+final
     // WindowGroupLimitExec, so the shuffle carries at most k rows per

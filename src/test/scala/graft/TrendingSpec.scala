@@ -72,6 +72,33 @@ class TrendingSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-fold keeps state generations bounded with the ranking identical to an unfolded control") {
+    def gens(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    }
+    val (state, out) = dirs()
+    val (stateCtl, outCtl) = dirs()
+    val auto = TrendingTopK.Config(k = 5, capacity = 64, autoFoldGenerations = 4)
+    val manual = TrendingTopK.Config(k = 5, capacity = 64, autoFoldGenerations = 0)
+    var maxGens = 0
+    for (i <- 0 until 12) {
+      TrendingTopK.step(spark, batchDf(1), f"b$i%03d", state, out, auto)
+      TrendingTopK.step(spark, batchDf(1), f"b$i%03d", stateCtl, outCtl, manual)
+      maxGens = math.max(maxGens, gens(state))
+    }
+    // the read between folds sees at most threshold+1 generations; the
+    // control accumulates one per batch
+    assert(maxGens <= 5, s"auto-fold did not bound state reads: $maxGens generations")
+    assert(gens(stateCtl) == 12, "control unexpectedly folded")
+    val folded = TrendingTopK.current(spark, out).collect().toSet
+    val control = TrendingTopK.current(spark, outCtl).collect().toSet
+    assert(folded == control, "auto-fold changed the ranking")
+    val expect = (0 until 5).map(i => s"item$i" -> ((i + 1) * 10 * 12).toLong).toMap
+    assert(folded.map(r => r.getAs[String]("item") -> r.getAs[Long]("est_count")).toMap == expect)
+  }
+
   test("a leased state dir refuses the step") {
     val (state, out) = dirs()
     val cfg = TrendingTopK.Config(k = 5, capacity = 64)
