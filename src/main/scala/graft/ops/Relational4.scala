@@ -438,12 +438,16 @@ object Relational4 {
   //    per-row error-handling shape a 100 TB job needs (one bad row
   //    must not kill a 1000-executor stage). All three production
   //    poisons in one entry: try_mod / try_divide (divide-by-zero, the
-  //    commonest) / try_multiply (bigint overflow: quantity >= 31
-  //    overflows against the 3e17 factor, quantity <= 30 does not, so
-  //    both arms are exercised at every SF). Quotients are imaged as
-  //    DECIMAL(18,6) per row before SUM (order-invariant; denominators
-  //    are 1..6, whose decimal expansions never round-boundary at 6
-  //    digits); everything else is exact integers.
+  //    commonest) / try_multiply (bigint overflow: only quantity = 50
+  //    rows overflow against the 1.85e17 factor — ~2% of the table, so
+  //    both arms are exercised at every SF while the poison stays RARE,
+  //    which matters for cost: TRY-mode multiply catches a JVM
+  //    exception per overflowing row, and a 40%-overflow variant of
+  //    this entry measured 5.2 s vs ~1 s at sf0.1; divide-by-zero is a
+  //    plain checked branch, so its 14% rate is free). Quotients are
+  //    imaged as DECIMAL(18,6) per row before SUM (order-invariant;
+  //    denominators are 1..6, whose decimal expansions never
+  //    round-boundary at 6 digits); everything else is exact integers.
   private val q49 = Q(
     "q49_try_arith",
     (s, d) =>
@@ -452,7 +456,7 @@ object Relational4 {
           "l_returnflag",
           "try_mod(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS r",
           "try_divide(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT)) AS q",
-          "try_multiply(CAST(l_quantity AS BIGINT), 300000000000000000L) AS m")
+          "try_multiply(CAST(l_quantity AS BIGINT), 185000000000000000L) AS m")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -468,7 +472,7 @@ object Relational4 {
         CAST(SUM(CASE WHEN l_linenumber = 1 THEN NULL
                  ELSE CAST(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 1 AS BIGINT)
                            AS DECIMAL(18,6)) END) AS DOUBLE) AS div_sum,
-        CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) >= 31 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_ovf
+        CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_ovf
       FROM lineitem GROUP BY 1
     """.trim))
 

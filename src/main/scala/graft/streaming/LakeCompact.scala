@@ -97,6 +97,21 @@ object LakeCompact {
     * recovery pass treats as input only if listed in the manifest,
     * which was written after the lease was held.
     */
+  /** serializes the break+create+verify acquisition sequence per lock
+    * path WITHIN this JVM — the realistic concurrent-compactor case is
+    * several streams in one Spark driver racing `compact` on shared
+    * roots, and no filesystem rename protocol alone can stop a breaker
+    * that observed "stale" from renaming away a lock a faster breaker
+    * just re-created (measured: 4 same-JVM racers double-acquire).
+    * Cross-process, the token-identity check below narrows the window
+    * to a multi-process interleaving inside one acquisition's
+    * milliseconds AFTER a genuine 15-minute stale event; stores without
+    * atomic create should run compaction from a single scheduler (see
+    * the FS contract note).
+    */
+  private val acquireGuards =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def withLease[T](spark: SparkSession, root: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
     val (fs, p) = fsOf(spark, root)
@@ -107,45 +122,62 @@ object LakeCompact {
         s"maintenance lease on $root already held ($LockName exists); " +
           "another compaction is running (or break a stale lock after " +
           s"$staleMs ms)")
-    // break a stale lock by ATOMIC RENAME to a breaker-unique grave, not
-    // delete+create: of N breakers racing the same stale lock exactly one
-    // rename wins, so a second breaker can never delete the lock the
-    // first breaker just re-created (the delete+create race would hand
-    // the lease to two compactors at once)
-    if (fs.exists(lock) &&
-        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
-      val grave = new org.apache.hadoop.fs.Path(p, s"$LockName.broken-$token")
-      try { if (fs.rename(lock, grave)) fs.delete(grave, false): Unit }
-      catch { case _: java.io.IOException => () } // lost the break race
-    }
-    val out =
-      try fs.create(lock, false)
-      catch {
-        // only already-exists means "held"; disk-full/permissions/
-        // transient FS errors must surface as themselves, not send the
-        // operator hunting for a phantom concurrent compactor (note
-        // "already exists", not bare "exist" — messages like "parent
-        // directory does not exist" are real FS errors)
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-              Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) =>
-          held()
-      }
-    try out.write(s"$token\n".getBytes("UTF-8"))
-    finally out.close()
-    // create-then-verify: on stores whose create-fail-if-exists is not
-    // truly atomic (raw local fs checks then creates), two acquirers can
-    // both think they won. Read the lock back; proceed only if it holds
-    // OUR token. Worst case both lose and throw — the lock goes stale
-    // and is broken at the next attempt; the lease is never held twice.
-    val owner0 =
+    def readToken(path: org.apache.hadoop.fs.Path): String =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(path)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       } catch { case _: java.io.IOException => "" }
-    if (owner0 != token) held()
+    val guard = acquireGuards.computeIfAbsent(
+      fs.makeQualified(lock).toString, _ => new Object)
+    guard.synchronized {
+      // break a stale lock by ATOMIC RENAME to a breaker-unique grave,
+      // not delete+create: of N cross-process breakers racing the same
+      // stale lock exactly one rename wins, so a second breaker can
+      // never delete the lock the first breaker just re-created (the
+      // delete+create race would hand the lease to two compactors)
+      if (fs.exists(lock) &&
+          System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
+        // content identity of the stale incarnation we intend to break
+        val observed = readToken(lock)
+        val grave = new org.apache.hadoop.fs.Path(p, s"$LockName.broken-$token")
+        try if (fs.rename(lock, grave)) {
+          // verify we renamed the incarnation we OBSERVED stale, not a
+          // fresh lock a cross-process breaker re-created between our
+          // read and the rename: on mismatch, put it back (or, losing
+          // the put-back to a third acquirer, drop it — that evicted
+          // holder aborts at its own create-then-verify) and report held
+          if (readToken(grave) == observed) fs.delete(grave, false): Unit
+          else {
+            if (!fs.rename(grave, lock)) fs.delete(grave, false): Unit
+            held()
+          }
+        }
+        catch { case _: java.io.IOException => () } // lost the break race
+      }
+      val out =
+        try fs.create(lock, false)
+        catch {
+          // only already-exists means "held"; disk-full/permissions/
+          // transient FS errors must surface as themselves, not send the
+          // operator hunting for a phantom concurrent compactor (note
+          // "already exists", not bare "exist" — messages like "parent
+          // directory does not exist" are real FS errors)
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+                Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) =>
+            held()
+        }
+      try out.write(s"$token\n".getBytes("UTF-8"))
+      finally out.close()
+      // create-then-verify: on stores whose create-fail-if-exists is not
+      // truly atomic (raw local fs checks then creates), two acquirers
+      // can both think they won. Read the lock back; proceed only if it
+      // holds OUR token. Worst case both lose and throw — the lock goes
+      // stale and is broken at the next attempt; never held twice.
+      if (readToken(lock) != token) held()
+    }
     // heartbeat: a fold that outlives staleMs must not start LOOKING
     // stale — sinks would resume appending and a second compactor would
     // break the live lock. A daemon thread refreshes the mtime at a

@@ -53,7 +53,13 @@ object NearDupGate {
       r: Int = 2,
       maxDf: Int = 1000,
       threshold: Double = 0.8,
-      indexBuckets: Int = 64)
+      indexBuckets: Int = 64,
+      // the pruned probe still reads every un-folded generation's files
+      // in the touched buckets, so probe cost grows with generations
+      // between compactions; past this many, step() folds all four
+      // roots itself under the maintenance lease (same recipe as
+      // TrendingTopK). 0 disables — manual compact() windows only.
+      autoFoldGenerations: Int = 64)
 
   /** index partition key of a band row: which `bucket=` directory the
     * (band, bv) signature lives in
@@ -249,6 +255,21 @@ object NearDupGate {
             .select(col("doc_id"), col("decision"), col("partner"), col("jac"))),
         decisionsDir)
     } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    // auto-fold: an unattended stream must not pay an ever-growing
+    // probe waiting for an operator maintenance window. Runs AFTER the
+    // batch fully commits; the newest generation per root (this
+    // batch's) is never folded, so a crash-replay of this batch remains
+    // a same-tag overwrite, never a duplicate.
+    if (cfg.autoFoldGenerations > 0) {
+      val bp = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens =
+        if (bfs.exists(bp))
+          bfs.listStatus(bp).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch="))
+        else 0
+      if (gens > cfg.autoFoldGenerations) compact(spark, lakeDir, indexDir, decisionsDir)
+    }
   }
 
   /** Lake maintenance for the gate's four batch-scoped outputs: fold

@@ -135,6 +135,38 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(lock))
   }
 
+  test("maintenance lease: breakers racing one stale lock never hold the lease concurrently") {
+    import graft.streaming.LakeCompact
+    val lake = mkDocLake()
+    val lock = new Path(lake, LakeCompact.LockName)
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    // 4 compactors race the same stale lock: the atomic-rename break +
+    // create-then-verify must admit holders strictly one at a time
+    // (the delete+create form admitted two — the r6 ADVICE scenario)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try LakeCompact.withLease(spark, lake) {
+          acquired.incrementAndGet()
+          val a = active.incrementAndGet()
+          maxActive.getAndUpdate(m => math.max(m, a)): Unit
+          Thread.sleep(300)
+          active.decrementAndGet(): Unit
+        } catch { case _: IllegalStateException => () } // correctly refused
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(acquired.get() >= 1, "nobody managed to break the stale lease")
+    assert(maxActive.get() == 1, s"${maxActive.get()} compactors held the lease at once")
+    val leftovers = fs.listStatus(new Path(lake)).map(_.getPath.getName)
+      .filter(_.startsWith(LakeCompact.LockName + "."))
+    assert(leftovers.isEmpty, s"grave files left behind: ${leftovers.mkString(", ")}")
+  }
+
   test("maintenance lease: heartbeat keeps a long-running fold's lock live past staleMs") {
     import graft.streaming.LakeCompact
     val lake = mkDocLake()

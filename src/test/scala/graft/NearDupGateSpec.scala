@@ -27,6 +27,52 @@ class NearDupGateSpec extends AnyFunSuite {
   private def doc(id: Long, t: String): String =
     s"""{"doc_id":$id,"text":"$t","lang":"en","source":"crawl"}"""
 
+  test("auto-fold keeps index generations bounded with decisions identical to the unfolded control") {
+    import spark.implicits._
+    def dirs() = {
+      val b = Files.createTempDirectory("graft_ndg_fold").toString
+      (s"$b/lake", s"$b/idx", s"$b/dec")
+    }
+    def gens(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    }
+    val t0 = text(900)
+    def batch(b: Int) = {
+      val fresh = (0 until 2).map(i => (b * 10L + i, text(901 + b * 2 + i), "en", "crawl"))
+      // from batch 1 on, an append-one-word near-dup of a batch-0 doc:
+      // the drop decision must survive folds of the index it probes
+      val dup = if (b > 0) Seq((b * 10L + 9, t0 + " extra", "en", "crawl")) else Nil
+      (Seq((b * 10L + 5, t0, "en", "crawl")).filter(_ => b == 0) ++ fresh ++ dup)
+        .toDF("doc_id", "text", "lang", "source")
+    }
+    val (lakeA, idxA, decA) = dirs()
+    val (lakeC, idxC, decC) = dirs()
+    val auto = NearDupGate.Config(autoFoldGenerations = 3)
+    val manual = NearDupGate.Config(autoFoldGenerations = 0)
+    var maxGens = 0
+    for (b <- 0 until 8) {
+      NearDupGate.step(spark, batch(b), f"a-$b%03d", lakeA, idxA, decA, auto)
+      NearDupGate.step(spark, batch(b), f"c-$b%03d", lakeC, idxC, decC, manual)
+      maxGens = math.max(maxGens, gens(s"$idxA/bands"))
+    }
+    assert(maxGens <= 4, s"auto-fold did not bound the index probe: $maxGens generations")
+    assert(gens(s"$idxC/bands") == 8, "control unexpectedly folded")
+    def verdicts(dec: String) = spark.read.parquet(dec)
+      .select("doc_id", "decision", "partner").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+        Option(r.getAs[java.lang.Long]("partner")))).toSet
+    assert(verdicts(decA) == verdicts(decC), "auto-fold changed a gate decision")
+    def admitted(lake: String) =
+      spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted(lakeA) == admitted(lakeC), "auto-fold changed the admitted set")
+    // every cross-batch dup actually dropped (the fold kept the index lossless)
+    val drops = verdicts(decA).filter(_._2 == "drop_corpus").map(_._1)
+    assert((1 until 8).forall(b => drops.contains(b * 10L + 9)), s"missed drops: $drops")
+  }
+
   test("cross-batch + intra-batch near-dups drop; admitted set is clean; replay-safe") {
     val base = Files.createTempDirectory("graft_neardup").toString
     val src = s"$base/src"; val lake = s"$base/lake"; val idx = s"$base/idx"
