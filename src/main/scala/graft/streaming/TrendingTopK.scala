@@ -43,7 +43,14 @@ object TrendingTopK {
       // before reading, so an unattended long-running stream never pays
       // a slowly-growing read waiting for an operator to call compact().
       // 0 disables (manual compaction only).
-      autoFoldGenerations: Int = 64)
+      autoFoldGenerations: Int = 64,
+      // snapshot retention: keep only the newest N ranking snapshots in
+      // the out dir (the per-batch history is useful for audits but
+      // grows one directory per micro-batch forever on an unattended
+      // stream). 0 keeps everything. Only ever prunes generations
+      // STRICTLY older than the current batch's, so crash-replay of the
+      // newest batch is unaffected.
+      keepSnapshots: Int = 0)
 
   /** Refuse to merge sketches built at a different capacity: combine
     * requires a uniform maxItemsTracked, and a silent mismatch would
@@ -123,6 +130,15 @@ object TrendingTopK {
         "t.item AS item",
         "CAST(t.count AS BIGINT) AS est_count")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchTag")
+    if (cfg.keepSnapshots > 0) {
+      val op = new org.apache.hadoop.fs.Path(outDir)
+      val ofs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // same (mtime, name) ordering current() resolves "newest" with
+      val snaps = ofs.listStatus(op)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      snaps.dropRight(cfg.keepSnapshots).foreach(s => ofs.delete(s.getPath, true))
+    }
   }
 
   /** Latest ranking: the snapshot of the newest generation. */

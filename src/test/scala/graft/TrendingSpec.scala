@@ -99,6 +99,24 @@ class TrendingSpec extends AnyFunSuite {
     assert(folded.map(r => r.getAs[String]("item") -> r.getAs[Long]("est_count")).toMap == expect)
   }
 
+  test("snapshot retention prunes old rankings; the newest is untouched") {
+    def gens(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+    }
+    val (state, out) = dirs()
+    val cfg = TrendingTopK.Config(k = 5, capacity = 64, keepSnapshots = 3)
+    for (i <- 0 until 7)
+      TrendingTopK.step(spark, batchDf(1), f"b$i%03d", state, out, cfg)
+    assert(gens(out) == Seq("batch=b004", "batch=b005", "batch=b006"), s"got ${gens(out)}")
+    val got = TrendingTopK.current(spark, out).collect()
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("est_count"))).toMap
+    val expect = (0 until 5).map(i => s"item$i" -> ((i + 1) * 10 * 7).toLong).toMap
+    assert(got == expect, "retention corrupted the newest snapshot")
+  }
+
   test("a leased state dir refuses the step") {
     val (state, out) = dirs()
     val cfg = TrendingTopK.Config(k = 5, capacity = 64)
