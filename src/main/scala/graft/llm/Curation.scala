@@ -1043,5 +1043,47 @@ object Curation {
       FROM pk JOIN k ON k.source = pk.source
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04)
+  // -- p07: exact token-budget assembly — "give me up to B tokens per
+  //    source, reproducibly": docs are ordered by a deterministic md5
+  //    hash of doc_id (replay-stable, partitioning-independent, and
+  //    unbiased by ingestion order — taking the FIRST doc_ids would
+  //    bias toward whatever was crawled first) and taken while the
+  //    running token sum stays within the budget. This is the corpus
+  //    sizing cut every pretraining run performs; determinism means
+  //    the same corpus and budget yield byte-identical selections on
+  //    any cluster layout. 100 TB shape: map-side token counts + md5,
+  //    then ONE hash exchange on source for the per-source running
+  //    sum; the window sort runs inside each source's partition. (A
+  //    single mega-source at real scale range-partitions the window
+  //    key — the plan shape is unchanged.)
+  private val p07 = Q(
+    "p07_token_budget",
+    (s, d) => {
+      val budget = 800L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          md5(col("doc_id").cast(StringType)).as("ord"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    },
+    Some("""
+      SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                 ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM (SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents))
+      WHERE cum_tokens <= 800
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04)
 }
