@@ -1075,9 +1075,9 @@ object Curation {
     Some("""
       SELECT doc_id, source, n_tokens, cum_tokens FROM (
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
                  ORDER BY ord, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM (SELECT doc_id, source,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                      md5(CAST(doc_id AS VARCHAR)) AS ord

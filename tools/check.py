@@ -58,7 +58,11 @@ def main():
         if ocols_s != scols_s:
             print(f"FAIL {name}: cols oracle={ocols_s} spark={scols_s}"); n_fail += 1; continue
         if otypes_s != stypes_s:
-            print(f"WARN {name}: dtypes oracle={otypes_s} spark={stypes_s}")
+            # The driver's hash is type-sensitive (e.g. DuckDB widening a
+            # windowed SUM(BIGINT) to HUGEINT reads as red there), so the
+            # local gate must be at least as strict.
+            print(f"FAIL {name}: dtypes oracle={otypes_s} spark={stypes_s}")
+            n_fail += 1; continue
         orows_p = [tuple(r[i] for i in operm) for r in orows]
         srows_p = [tuple(r[i] for i in sperm) for r in srows]
         if len(orows_p) != len(srows_p):
