@@ -70,7 +70,14 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val gateEnv = sys.env.get("SPARK_GRAFT_LOAD_GATE")
     if (!gateEnv.contains("off")) {
-      val threshold = gateEnv.map(_.toDouble).getOrElse(1.0)
+      // tolerant parse: SPARK_GRAFT_LOAD_GATE=garbage must degrade to the
+      // default threshold with a warning, not crash the whole bench
+      val threshold = gateEnv.flatMap(_.toDoubleOption).getOrElse {
+        gateEnv.filterNot(_.toDoubleOption.isDefined).foreach(v =>
+          System.err.println(s"[bench] SPARK_GRAFT_LOAD_GATE='$v' is neither 'off' nor " +
+            "numeric — using default threshold 1.0"))
+        1.0
+      }
       var waited = 0
       while (osBean.getSystemLoadAverage > threshold && waited < 600) {
         System.err.println(f"[bench] 1-min load ${osBean.getSystemLoadAverage}%.2f > " +
@@ -106,13 +113,23 @@ object Bench {
     for ((_, fn) <- all)
       try materialize(fn(spark, WarmDir)) catch { case _: Throwable => () }
 
-    def timeReps(name: String, fn: (SparkSession, String) => DataFrame): Seq[Double] =
-      (1 to reps).map { _ =>
+    // a query that throws yields Left(error), never a numeric time: r8
+    // committed ~0.05s fail-fast "times" for 15 analysis-broken queries,
+    // which read as 10-20x speedups in the artifact. Failures go to the
+    // `failed` list in the summary instead, and are excluded from
+    // queries/total/baseline comparison.
+    def timeReps(name: String,
+        fn: (SparkSession, String) => DataFrame): Either[String, Seq[Double]] =
+      try Right((1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        materialize(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
+      })
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (no time recorded): $e")
+          Left(e.toString.linesIterator.next().take(200))
       }
     // spread is judged over the STEADY reps only: rep 1 legitimately
     // pays one-off page-cache/codegen costs 2x+ on a clean box (the
@@ -125,18 +142,19 @@ object Bench {
     }
 
     val sweep = all.sortBy(_._1).map { case (name, fn) => (name, fn, timeReps(name, fn)) }
+    val failedQueries = sweep.collect { case (name, _, Left(err)) => name -> err }
     // a flagged query gets ONE full re-measure cycle after the sweep
     // (the transient — GC pause, racing daemon, page-cache eviction —
     // has usually passed by then); best-of-everything is kept, and the
     // committed warning counts only queries whose RE-RUN still spreads
     var spreadWarnings = 0
-    val results = sweep.map { case (name, fn, times) =>
+    val results = sweep.collect { case (name, fn, Right(times)) =>
       val finalTimes =
         if (!spready(times)) times
         else {
           System.err.println(f"[bench] ${name} steady-rep spread " +
             s"(${times.map(t => f"$t%.3f").mkString(", ")}) — re-measuring after the sweep")
-          times ++ timeReps(name, fn)
+          times ++ timeReps(name, fn).getOrElse(Nil)
         }
       if (spready(times) && spready(finalTimes.drop(times.length))) {
         spreadWarnings += 1
@@ -176,7 +194,8 @@ object Bench {
     // neighbor's burst — rarely survives a second look minutes later
     for ((name, _, _, ratio) <- flagged(median(ratios().map(_._4)))) {
       System.err.println(f"[bench] $name $ratio%.2fx vs baseline — re-measuring")
-      bests(name) = math.min(bests(name), timeReps(name, fnByName(name)).min)
+      timeReps(name, fnByName(name)).foreach(ts =>
+        bests(name) = math.min(bests(name), ts.min))
     }
     val vsBaselineMedian = median(ratios().map(_._4))
     val vsBaselineMax = if (ratios().isEmpty) 0.0 else ratios().map(_._4).max
@@ -236,8 +255,17 @@ object Bench {
     // prints LAST so a bounded tail window always contains one complete,
     // parseable JSON object with the headline numbers.
     val loadEnd = osBean.getSystemLoadAverage
+    // JSON string escape for failure messages (quotes/backslashes/control)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failedJson = failedQueries
+      .map { case (n, e) => s"${jq(n)}:${jq(e)}" }.mkString("{", ",", "}")
     val sentinel =
-      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline"""
+      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
       s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"}"""
     val summary =

@@ -29,12 +29,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. We read nanos as Long (the reference keeps u64
-    * nanosecond timestamps as source of truth — borealis-indexer
-    * src/main.rs:142-143) and derive a micros TimestampType `ts` by
-    * floor-division, matching DuckDB's nanos->micros truncation. The raw
-    * nanos stay available as `ts_ns`.
+  /** events.ts drifts across testdata generations: parquet
+    * TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read nanos
+    * as Long; the reference keeps u64 nanosecond timestamps as source of
+    * truth, borealis-indexer src/main.rs:142-143), TIMESTAMP(MICROS,
+    * adjustedToUTC) (Spark TimestampType), and TIMESTAMP(MICROS, local)
+    * (Spark TIMESTAMP_NTZ). All three branches normalize to the same
+    * contract: `ts` is a session-UTC TimestampType, `ts_ns` the epoch
+    * nanos BIGINT. The NTZ cast is value-preserving ONLY because the
+    * session timezone is pinned UTC (SparkSessions.local), matching the
+    * oracle's zone-free literals; TsEncodingSpec pins all three
+    * encodings against each other.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,6 +49,10 @@ object Tables {
         raw
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

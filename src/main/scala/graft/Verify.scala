@@ -30,6 +30,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // durable error marker: without it a crashed query is
+        // indistinguishable from a never-enumerated one in the driver's
+        // correctness artifact (r8 silently dropped 15 broken queries).
+        // A plain file, not a dir — the checker only walks subdirs.
+        try Files.writeString(Paths.get(s"$outDir/$name.err"),
+          Option(e.getMessage).getOrElse(e.toString).take(2000))
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name err-marker write failed: $e2") }
       }
       // queries may cache intermediates (e.g. the shingle index);
       // don't let one query's cache pressure the next 50

@@ -112,6 +112,15 @@ object LakeCompact {
   private val acquireGuards =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** test seam: runs between the breaker's staleness verdict and its
+    * observed-token read — the exact window where a cross-process
+    * breaker can replace the stale lock with a LIVE one, making a
+    * token-only verify bless deleting the live holder's lease
+    * (CompactionSpec's mid-break adversarial case). No-op in
+    * production; always reset in a finally by the test.
+    */
+  private[graft] var breakRaceHook: () => Unit = () => ()
+
   def withLease[T](spark: SparkSession, root: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
     val (fs, p) = fsOf(spark, root)
@@ -136,18 +145,35 @@ object LakeCompact {
       // stale lock exactly one rename wins, so a second breaker can
       // never delete the lock the first breaker just re-created (the
       // delete+create race would hand the lease to two compactors)
-      if (fs.exists(lock) &&
-          System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
-        // content identity of the stale incarnation we intend to break
+      val staleStatus =
+        try Option(fs.getFileStatus(lock))
+          .filter(s => System.currentTimeMillis() - s.getModificationTime > staleMs)
+        catch { case _: java.io.FileNotFoundException => None }
+      for (stale <- staleStatus) {
+        // identity of the stale incarnation we intend to break is the
+        // (token, mtime) PAIR from the same status the staleness verdict
+        // used. The token alone is not enough: if a cross-process
+        // breaker broke this lock and re-created a fresh one between
+        // our staleness check and this read, `observed` would be the
+        // LIVE holder's token and a token-only verify would bless
+        // deleting it. The fresh lock's mtime can never equal the
+        // stale one's (it is staleMs+ newer), so the pair is decisive.
+        val observedMtime = stale.getModificationTime
+        breakRaceHook()
         val observed = readToken(lock)
         val grave = new org.apache.hadoop.fs.Path(p, s"$LockName.broken-$token")
         try if (fs.rename(lock, grave)) {
           // verify we renamed the incarnation we OBSERVED stale, not a
           // fresh lock a cross-process breaker re-created between our
-          // read and the rename: on mismatch, put it back (or, losing
-          // the put-back to a third acquirer, drop it — that evicted
-          // holder aborts at its own create-then-verify) and report held
-          if (readToken(grave) == observed) fs.delete(grave, false): Unit
+          // read and the rename (rename preserves mtime on HDFS-like
+          // stores): on mismatch, put it back (or, losing the put-back
+          // to a third acquirer, drop it — that evicted holder aborts
+          // at its own create-then-verify) and report held
+          val graveMtime =
+            try Some(fs.getFileStatus(grave).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          if (readToken(grave) == observed && graveMtime.contains(observedMtime))
+            fs.delete(grave, false): Unit
           else {
             if (!fs.rename(grave, lock)) fs.delete(grave, false): Unit
             held()

@@ -167,6 +167,41 @@ class CompactionSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"grave files left behind: ${leftovers.mkString(", ")}")
   }
 
+  test("maintenance lease: breaker must not evict a live lock re-created mid-break") {
+    // the mid-break adversary: breaker B observes a stale lock, but
+    // before B reads its token, breaker A breaks it and re-creates a
+    // FRESH lease A now holds. B then reads A's token as "observed", so
+    // a token-only grave verify would match and B would delete A's LIVE
+    // lock. The (token, mtime)-pair verify must put it back instead.
+    import graft.streaming.LakeCompact
+    val lake = mkDocLake()
+    val lock = new Path(lake, LakeCompact.LockName)
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    LakeCompact.breakRaceHook = () => {
+      // simulate breaker A winning the break and re-acquiring: the lock
+      // is replaced by a fresh-mtime incarnation held by "live-holder"
+      fs.delete(lock, false)
+      val out = fs.create(lock, true)
+      out.write("live-holder\n".getBytes("UTF-8")); out.close()
+      LakeCompact.breakRaceHook = () => () // fire once
+    }
+    try {
+      intercept[IllegalStateException] {
+        LakeCompact.withLease(spark, lake) { fail("lease granted over a live holder") }
+      }
+    } finally LakeCompact.breakRaceHook = () => ()
+    // the live holder's lease survived the attempted break
+    val in = fs.open(lock)
+    val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+    assert(owner == "live-holder", s"live lease evicted (lock now '$owner')")
+    val graves = fs.listStatus(new Path(lake)).map(_.getPath.getName)
+      .filter(_.startsWith(LakeCompact.LockName + "."))
+    assert(graves.isEmpty, s"grave files left behind: ${graves.mkString(", ")}")
+    fs.delete(lock, false)
+  }
+
   test("maintenance lease: heartbeat keeps a long-running fold's lock live past staleMs") {
     import graft.streaming.LakeCompact
     val lake = mkDocLake()
