@@ -29,38 +29,100 @@ object Clusters {
     */
   val MaxRounds = 20
 
+  /** Edge-count bound for the single-collect fast path: 2^20 canonical
+    * edges ≈ 16 MB of longs on the driver — the same order as Spark's
+    * broadcast-join threshold, and the same reasoning. A near-dup edge
+    * set this small makes the contraction loop pure scheduler latency
+    * (measured at sf0.1: ~2 s of 3-jobs-per-alternation round trips
+    * over a few hundred edges, paid by each of d09/x02/x04 and every
+    * NearDupGate micro-batch), so the component labels are union-found
+    * in one pass instead. Above the bound the star contraction runs
+    * fully distributed — the 100 TB path is unchanged.
+    */
+  val BroadcastEdgeLimit: Long = 1L << 20
+
   /** Connected components of an undirected edge list over `nodes`:
     * returns (doc_id, cluster) where cluster = min doc_id reachable.
     * Singletons keep themselves as cluster root.
+    *
+    * `broadcastEdgeLimit` is a test seam (ClustersSpec forces 0 to
+    * drive the distributed path on tiny graphs); production callers
+    * use the default.
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    // at the fixpoint every component is a star centered on its min
-    // node: children label from their out-edge, roots label themselves
-    val (stars, _) = starContraction(pairs)
-    val labels = stars.select(col("u").as("doc_id"), col("v").as("cluster"))
-      .union(stars.select(col("v").as("doc_id"), col("v").as("cluster")))
-      .distinct()
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
+    val canon = canonicalEdges(pairs)
+    // canon is localCheckpoint-materialized: the count is a cached-RDD
+    // scan, not a recompute
+    val labels =
+      if (canon.count() <= broadcastEdgeLimit) unionFindLabels(canon)
+      else {
+        // at the fixpoint every component is a star centered on its min
+        // node: children label from their out-edge, roots label themselves
+        val (stars, _) = starFrom(canon)
+        stars.select(col("u").as("doc_id"), col("v").as("cluster"))
+          .union(stars.select(col("v").as("doc_id"), col("v").as("cluster")))
+          .distinct()
+      }
     // untouched docs are singletons and join back at the end, so the
-    // contraction loop never touches the full node set — only the
-    // near-dup subgraph, a vanishing fraction of the corpus at scale
+    // contraction never touches the full node set — only the near-dup
+    // subgraph, a vanishing fraction of the corpus at scale
     val singletons = nodes
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     labels.union(singletons)
   }
 
-  /** The contraction loop over canonical directed edges (u -> v with
-    * u > v, "points to smaller"). Returns the star edge set and the
-    * alternation count (exposed for ClustersSpec's round-count
-    * assertion: a 64-chain collapses in ~log n alternations where
-    * propagation needs 63 rounds).
+  /** canonical directed edge set (u -> v with u > v, "points to
+    * smaller"), deduped and materialized — the shared input of both
+    * component paths
     */
-  private[graft] def starContraction(pairs: DataFrame): (DataFrame, Int) = {
-    var edges = pairs
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
+
+  /** broadcast-sized path: one collect of the (bounded) canonical edge
+    * set, path-compressed union-find on the driver, labels back as a
+    * DataFrame. Exact same contract as the star fixpoint — every
+    * edge-touched node labeled with its component's min doc_id —
+    * pinned against the distributed path by ClustersSpec.
+    */
+  private def unionFindLabels(canon: DataFrame): DataFrame = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val edges = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((u, v) <- edges) {
+      val (ru, rv) = (find(u), find(v))
+      // union by min: the smaller root wins, so every root IS its
+      // component's min id and the labeling pass needs no second sweep
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val touched = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    touched.iterator.map(id => (id, find(id))).toSeq.toDF("doc_id", "cluster")
+  }
+
+  /** The contraction loop over canonical directed edges. Returns the
+    * star edge set and the alternation count (exposed for
+    * ClustersSpec's round-count assertion: a 64-chain collapses in
+    * ~log n alternations where propagation needs 63 rounds).
+    */
+  private[graft] def starContraction(pairs: DataFrame): (DataFrame, Int) =
+    starFrom(canonicalEdges(pairs))
+
+  private def starFrom(canon: DataFrame): (DataFrame, Int) = {
+    var edges = canon
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < MaxRounds) {

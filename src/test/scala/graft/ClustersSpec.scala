@@ -66,12 +66,20 @@ class ClustersSpec extends AnyFunSuite {
         i -> members.min
       }.toMap
 
+      // default path (these graphs are broadcast-sized → driver
+      // union-find) AND the forced-distributed star path must both
+      // match the reference: broadcastEdgeLimit = 0 drives every graph
+      // through the contraction loop regardless of size
       val got = llm.Clusters.connectedComponents(
           ids.toDF("doc_id"), edges.toDF("d1", "d2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial=$trial n=$n edges=${edges.size}")
+      val star = llm.Clusters.connectedComponents(
+          ids.toDF("doc_id"), edges.toDF("d1", "d2"), broadcastEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expected, s"star path diverged: trial=$trial")
       // the retained label-propagation implementation is an independent
-      // algorithm — both must agree with the reference and each other
+      // algorithm — all must agree with the reference and each other
       val lp = llm.Clusters.labelPropagation(
           ids.toDF("doc_id"), edges.toDF("d1", "d2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -89,7 +97,9 @@ class ClustersSpec extends AnyFunSuite {
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
     val (_, rounds) = llm.Clusters.starContraction(pairs)
     assert(rounds <= 10, s"took $rounds alternations for a 64-chain")
-    val got = llm.Clusters.connectedComponents(nodes, pairs)
+    // force the distributed path so the chain exercises the full
+    // contraction end-to-end (the default would union-find 63 edges)
+    val got = llm.Clusters.connectedComponents(nodes, pairs, broadcastEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n).map(_ -> 0L).toMap)
     // the diameter-bound form cannot finish this chain within MaxRounds
