@@ -335,6 +335,81 @@ object LlmQueries {
       FROM cs WHERE round(dt / (sqrt(na) * sqrt(nb)), 6) >= 0.4
     """.trim))
 
+  /** shared DuckDB CTE chain ending in `asim(vec_id, cid, sim)` and
+    * `assign(vec_id, cid)` — the oracle image of
+    * [[Similarity.ivfAssign]] over the deterministic sampled quantizer
+    * (nCentroids = 16), used by s04's probe search and d14's
+    * cluster-partitioned dedup.
+    */
+  private val ivfAssignCte = s"""dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      asim AS (SELECT e.vec_id, c.cid,
+            round(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE))
+              / (sqrt(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)))
+               * sqrt(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE)))), 6) AS sim
+          FROM embeddings e, cents c, dims d GROUP BY e.vec_id, c.cid),
+      assign AS (SELECT vec_id, cid FROM asim
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1)"""
+
+  /** d14's similarity radius: the corpus's near-dup band (same 0.4 the
+    * LSH-verified d06 pairs use), applied to the 6-dp-rounded cosine on
+    * both engines so the boundary set is tie-free.
+    */
+  private val SemTau = 0.4
+
+  // -- d14: SemDeDup-style cluster-partitioned semantic dedup (the
+  //    cluster-then-dedup recipe of Abbas et al. 2023, arXiv:2303.09540):
+  //    coarse-cluster the embedding space with the IVF quantizer, then
+  //    dedup ONLY within clusters — the cluster id bounds the quadratic
+  //    pairwise term that makes corpus-wide semantic dedup intractable.
+  //    Where d06/d10 REPORT near-dup pairs via LSH candidates, d14 is
+  //    the production partition-then-drop shape: every vector labeled
+  //    with its cluster and a keep flag, drop = "a lower-id cluster-mate
+  //    sits within the similarity radius" (the deterministic image of
+  //    SemDeDup's arbitrary-keeper rule; transitive-closure semantics
+  //    are d09's contraction, composable on top).
+  //    100 TB shape: assignment is one broadcast-centroid scan
+  //    (ivfAssign — no corpus shuffle beyond the per-vector argmax);
+  //    the pair stage is an equi-join on cid, never a cross join, and
+  //    nCentroids is the operational knob: set it ~corpus/target-
+  //    cluster-size and BOTH the quadratic term and the join's
+  //    parallelism grain stay constant per cluster as the corpus grows.
+  private val d14 = Q(
+    "d14_semdedup",
+    (s, d) => {
+      // assign feeds both pair sides and the output labeling — cache,
+      // or the broadcast-argmax scan runs three times
+      val assign = Similarity.ivfAssign(Tables.embeddings(s, d), 16).cache()
+      val a = assign.select(col("cid"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = assign.select(col("cid"), col("vec_id").as("v2"), col("embedding").as("e2"))
+      val dropped = a.join(b, "cid")
+        .filter(col("v1") < col("v2") &&
+          round(Similarity.cosine(col("e1"), col("e2")), 6) >= SemTau)
+        .select(col("v2").as("vec_id")).distinct()
+      assign
+        .join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          when(col("dropped") === 1L, 0L).otherwise(1L).as("keep"))
+    },
+    Some(s"""
+      WITH $ivfAssignCte,
+      cs AS (SELECT a1.vec_id AS v1, a2.vec_id AS v2,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(e2.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS nb
+             FROM assign a1
+             JOIN assign a2 ON a2.cid = a1.cid AND a1.vec_id < a2.vec_id
+             JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+             JOIN embeddings e2 ON e2.vec_id = a2.vec_id,
+             dims d
+             GROUP BY a1.vec_id, a2.vec_id),
+      drops AS (SELECT DISTINCT v2 AS vec_id FROM cs
+                WHERE round(dt / (sqrt(na) * sqrt(nb)), 6) >= $SemTau)
+      SELECT a.vec_id, a.cid,
+             CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM assign a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+    """.trim))
+
   // -- s01: brute-force cosine top-10 against vec 0 (the ANN baseline).
   private val s01 = Q(
     "s01_cosine_topk",
@@ -600,17 +675,9 @@ object LlmQueries {
   private val s04 = Q(
     "s04_ivf_topk",
     (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10, 16, 4),
-    Some("""
-      WITH dims AS (SELECT unnest(range(64)) AS d),
+    Some(s"""
+      WITH $ivfAssignCte,
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-      asim AS (SELECT e.vec_id, c.cid,
-            round(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE))
-              / (sqrt(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)))
-               * sqrt(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE)))), 6) AS sim
-          FROM embeddings e, cents c, dims d GROUP BY e.vec_id, c.cid),
-      assign AS (SELECT vec_id, cid FROM asim
-                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1),
       probes AS (SELECT cid FROM asim WHERE vec_id = 0
                  QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
       x AS (SELECT e.vec_id, e.label,
@@ -999,5 +1066,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
 }

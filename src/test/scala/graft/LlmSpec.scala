@@ -325,6 +325,34 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("v1") < r.getAs[Long]("v2")))
   }
 
+  test("d14: drops are witnessed and cluster minima always survive") {
+    val out = Catalog.byName("d14_semdedup").run(spark, sf).cache()
+    // total function over the corpus: every vector exactly once
+    assert(out.count() == embs.count())
+    assert(out.filter(!col("keep").isin(0L, 1L)).count() == 0)
+    // the min vec_id of each cluster has no lower-id mate — always kept
+    val minPerCluster = out.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    val minDropped = minPerCluster
+      .join(out.filter(col("keep") === 0L), Seq("cid", "vec_id")).count()
+    assert(minDropped == 0, "a cluster's minimum vec_id can never be dropped")
+    // every drop has a witness: a lower-id same-cluster vector within
+    // the similarity radius (recomputed independently from embeddings)
+    val e1 = embs.select(col("vec_id").as("w_id"), col("embedding").as("w_emb"))
+    val dropped = out.filter(col("keep") === 0L)
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+    val clusterMates = out.select(col("vec_id").as("w_id"), col("cid"))
+    val witnessed = dropped
+      .join(clusterMates, "cid")
+      .filter(col("w_id") < col("vec_id"))
+      .join(e1, "w_id")
+      .filter(round(llm.Similarity.cosine(col("embedding"), col("w_emb")), 6) >= 0.4)
+      .select("vec_id").distinct()
+    val unwitnessed = dropped.select("vec_id")
+      .join(witnessed, Seq("vec_id"), "left_anti").count()
+    assert(unwitnessed == 0, "every dropped vector needs an in-radius lower-id witness")
+    out.unpersist()
+  }
+
   test("m04 resize preserves aspect ratio within the max box") {
     val rs = graft.llm.Multimodal
       .resize(spark, Multimodal.mediaTable(docs), maxDim = 256).collect()
