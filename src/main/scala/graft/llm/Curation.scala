@@ -921,6 +921,74 @@ object Curation {
             FROM mixed)
     """.trim))
 
+  // -- x05: cluster-balanced mixing — p06's tau = 0.5 temperature rule
+  //    applied along the SEMANTIC axis instead of the source label:
+  //    documents are assigned to embedding-space clusters by the IVF
+  //    quantizer (d14's partitioner; vec_id ≡ doc_id, the d10
+  //    convention), and per-CLUSTER token shares are flattened toward
+  //    sqrt-share targets. Provenance labels under-segment real
+  //    corpora — one "web" source spans many semantic regions — so the
+  //    production curriculum mixes over learned clusters; this is that
+  //    recipe as one oracle-checked entry. 100 TB shape: one
+  //    broadcast-centroid assignment scan (no corpus shuffle), one
+  //    cluster-keyed aggregate, and a centroid-cardinality broadcast
+  //    back onto the membership test — the same plan family as p06
+  //    with cid for source.
+  private val x05 = Q(
+    "x05_cluster_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val assign = Similarity
+        .ivfAssign(Tables.embeddings(s, d), 16)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val dc = docs.join(assign, "doc_id")
+      val w = Window.partitionBy(lit(1))
+      val shares = dc.groupBy("cid")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("share", col("tokens") / sum(col("tokens")).over(w).cast(DoubleType))
+        .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w))
+        .withColumn("p_keep",
+          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w))
+      val kept = dc
+        .join(broadcast(shares.select("cid", "p_keep")), "cid")
+        .groupBy("cid")
+        .agg(sum(when(unitHash(col("doc_id")) < col("p_keep"), 1L).otherwise(0L)).as("n_kept"))
+      shares.join(kept, "cid").select(
+        col("cid"), col("n_docs"), col("n_kept"),
+        round(col("share"), 6).as("token_share"),
+        round(col("tshare"), 6).as("target_share"),
+        round(col("p_keep"), 6).as("keep_rate"))
+    },
+    Some(s"""
+      WITH ${LlmQueries.ivfAssignCte},
+      d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+      dc AS (SELECT d.doc_id, a.cid, d.n_tokens
+             FROM d JOIN assign a ON a.vec_id = d.doc_id),
+      agg AS (SELECT cid, count(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tokens
+              FROM dc GROUP BY 1),
+      sh AS (SELECT cid, n_docs,
+                    tokens / CAST((SELECT SUM(tokens) FROM agg) AS DOUBLE) AS share
+             FROM agg),
+      ts AS (SELECT cid, n_docs, share,
+                    sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh) AS tshare
+             FROM sh),
+      pk AS (SELECT cid, n_docs, share, tshare,
+                    (tshare / share) / (SELECT MAX(tshare / share) FROM ts) AS p_keep
+             FROM ts),
+      k AS (SELECT dc.cid,
+                   SUM(CASE WHEN $duckUnitHash < pk.p_keep THEN 1 ELSE 0 END) AS n_kept
+            FROM dc JOIN pk ON pk.cid = dc.cid GROUP BY 1)
+      SELECT pk.cid, pk.n_docs, CAST(k.n_kept AS BIGINT) AS n_kept,
+             round(pk.share, 6) AS token_share,
+             round(pk.tshare, 6) AS target_share,
+             round(pk.p_keep, 6) AS keep_rate
+      FROM pk JOIN k ON k.cid = pk.cid
+    """.trim))
+
   // -- d13: INTRA-document passage dedup — the boilerplate-removal
   //    TRANSFORM next to d08's cross-doc report: repeated passages
   //    within one document (templated headers, navigation chrome,
@@ -1085,5 +1153,5 @@ object Curation {
       WHERE cum_tokens <= 800
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04, x05)
 }

@@ -338,10 +338,10 @@ object LlmQueries {
   /** shared DuckDB CTE chain ending in `asim(vec_id, cid, sim)` and
     * `assign(vec_id, cid)` — the oracle image of
     * [[Similarity.ivfAssign]] over the deterministic sampled quantizer
-    * (nCentroids = 16), used by s04's probe search and d14's
-    * cluster-partitioned dedup.
+    * (nCentroids = 16), used by s04's probe search, d14's
+    * cluster-partitioned dedup, and x05's cluster-balanced mixing.
     */
-  private val ivfAssignCte = s"""dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+  private[llm] val ivfAssignCte = s"""dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
       cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
       asim AS (SELECT e.vec_id, c.cid,
             round(SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE))
