@@ -583,6 +583,73 @@ object LlmQueries {
       FROM sc
     """.trim))
 
+  /** shared DuckDB CTE chain ending in `best(vec_id, s, code)` — the
+    * oracle image of [[Similarity.pqEncode]]'s per-subspace argmin
+    * (8 subspaces x 16 sampled codewords, squared-L2, ties to the
+    * lower code). Used by e02 and s08.
+    */
+  private val pqCte = s"""cw AS (SELECT vec_id AS code, embedding AS cv
+            FROM embeddings WHERE vec_id < ${Similarity.PqCodewords}),
+      sub AS (SELECT unnest(range(${Similarity.PqM})) AS s),
+      d8 AS (SELECT unnest(range(${Similarity.Dims / Similarity.PqM})) AS i),
+      dist AS (SELECT e.vec_id, s.s, c.code,
+                 round(SUM(pow(CAST(e.embedding[s.s*8+i.i+1] AS DOUBLE)
+                             - CAST(c.cv[s.s*8+i.i+1] AS DOUBLE), 2)), 6) AS dd
+               FROM embeddings e, cw c, sub s, d8 i
+               GROUP BY e.vec_id, s.s, c.code),
+      best AS (SELECT vec_id, s, code FROM dist
+               QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) = 1)"""
+
+  // -- e02: product-quantization encode — every 64-float vector
+  //    compressed to ONE BIGINT of 8 4-bit codes (64x compression), the
+  //    storage layer of billion-scale IVF-PQ ANN (next to e01's int8
+  //    scalar quantization, which only compresses 4x). Codebooks are
+  //    the deterministic sampled quantizer per subspace; s08 searches
+  //    this code space.
+  private val e02 = Q(
+    "e02_pq_encode",
+    (s, d) => Similarity.pqEncode(Tables.embeddings(s, d)),
+    Some(s"""
+      WITH $pqCte
+      SELECT vec_id,
+             CAST(SUM(code * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS pq
+      FROM best GROUP BY vec_id
+    """.trim))
+
+  // -- s08: PQ-ADC approximate top-k with exact re-rank — the IVF-PQ
+  //    search recipe (asymmetric distance computation): the raw query
+  //    builds a (subspace, code) -> partial-dot lookup table (128 rows,
+  //    broadcast), every vector scores as the DECIMAL-exact sum of its
+  //    codes' partials, and only the 50-deep shortlist pays an exact
+  //    cosine. Completes the quantized-search ladder: s05 re-ranks an
+  //    int8 shortlist, s08 re-ranks a 32-bit PQ shortlist that never
+  //    touches the float vectors until re-rank.
+  private val s08 = Q(
+    "s08_pq_topk",
+    (s, d) => Similarity.pqTopK(Tables.embeddings(s, d), 0L, 10, 50),
+    Some(s"""
+      WITH $pqCte,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      adc AS (SELECT c.code, s.s,
+                CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                             * CAST(q.qv[s.s*8+i.i+1] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p
+              FROM cw c, q, sub s, d8 i GROUP BY c.code, s.s),
+      approx AS (SELECT b.vec_id, SUM(a.p) AS score
+                 FROM best b JOIN adc a ON a.s = b.s AND a.code = b.code
+                 WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+      short AS (SELECT vec_id FROM approx
+                ORDER BY score DESC, vec_id ASC LIMIT 50),
+      dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id, q, dims d
+            GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim))
+
   // -- d10: cross-modal semantic dedup — embedding-LSH candidate pairs
   //    verified by cosine (the semantic signal) and annotated with
   //    textual n-gram Jaccard (the lexical signal) over the SAME ids
@@ -1066,5 +1133,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, e01, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, e01, e02, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
 }

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
   *
@@ -274,6 +274,107 @@ object Similarity {
     ivfAssignWith(embeddings, cents)
       .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** PQ geometry: [[PqM]] subspaces of Dims/PqM dims each, [[PqCodewords]]
+    * codewords per subspace (4 bits), codebooks sampled
+    * deterministically from the first PqCodewords vectors' subvectors
+    * (the PQ analog of [[sampledCentroids]] — oracle-reproducible; a
+    * k-means-trained codebook would slot in exactly like
+    * [[kmeansCentroids]] does for IVF).
+    */
+  val PqM = 8
+  val PqCodewords = 16
+
+  /** per-subspace squared-L2 distance between a vector column and a
+    * codeword column, 6-dp-rounded so the argmin compare is tie-free
+    * against the oracle (the [[cosine]] rounding discipline)
+    */
+  private def subDist(emb: Column, cv: Column, s: Int, sub: Int): Column =
+    round(
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+        (acc, i) => acc +
+          pow(element_at(emb, lit(s * sub) + i + 1).cast(DoubleType) -
+            element_at(cv, lit(s * sub) + i + 1).cast(DoubleType), 2.0)),
+      6)
+
+  /** Product-quantization encode: every vector compressed to one
+    * BIGINT of PqM 4-bit codes (64 float dims -> 32 bits, a 64x
+    * compression). Per subspace, the code is the argmin squared-L2
+    * codeword; ties break to the lower code on both engines.
+    *
+    * 100 TB shape: codebooks are PqCodewords rows broadcast once; the
+    * assignment is one scan computing PqM x PqCodewords rounded
+    * distances per row with a struct-min argmin under the grouping —
+    * no corpus shuffle beyond the per-vector aggregation, same family
+    * as [[ivfAssignWith]].
+    */
+  def pqEncode(embeddings: DataFrame): DataFrame = {
+    val sub = Dims / PqM
+    val books = embeddings.filter(col("vec_id") < PqCodewords)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    // min(struct(dist, code)) is argmin-with-tiebreak: struct ordering
+    // compares dist first, then code — the exact image of the oracle's
+    // ORDER BY d ASC, code ASC
+    val aggs = (0 until PqM).map(s =>
+      min(struct(subDist(col("embedding"), col("cv"), s, sub), col("code"))).as(s"b$s"))
+    embeddings
+      .crossJoin(broadcast(books))
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        (0 until PqM).map(s => col(s"b$s.code") * lit(1L << (4 * s))).reduce(_ + _).as("pq"))
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank (the IVF-PQ search
+    * recipe at billion scale, asymmetric distance computation of
+    * Jégou et al., PAMI 2011): the query is NOT quantized — a
+    * (subspace, code) -> partial-dot lookup table is built against the
+    * raw query (PqM x PqCodewords rows, broadcast), every vector's
+    * approximate score is the sum of its codes' partials, and only the
+    * `shortlist` best approximate scores pay an exact cosine.
+    *
+    * Parity discipline: partials are 6-dp-rounded then summed as
+    * DECIMAL(18,6) — decimal addition is associative, so the shortlist
+    * boundary is identical on both engines regardless of aggregation
+    * order (the Tables.dsum rule applied to ADC).
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, shortlist: Int): DataFrame = {
+    val sub = Dims / PqM
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    val books = embeddings.filter(col("vec_id") < PqCodewords)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    // ADC table: (code, s, partial) — PqM rows per codeword
+    val partials = (0 until PqM).map(s =>
+      round(
+        aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at(col("cv"), lit(s * sub) + i + 1).cast(DoubleType) *
+              element_at(col("qv"), lit(s * sub) + i + 1).cast(DoubleType)),
+        6).cast(DecimalType(18, 6)))
+    val adc = books.crossJoin(broadcast(q))
+      .select(col("code"), posexplode(array(partials: _*)).as(Seq("s", "p")))
+    // unpack each vector's per-subspace code and sum the matching partials
+    val codes = pqEncode(embeddings)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), posexplode(
+        expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
+        .as(Seq("s", "code")))
+    val approx = codes
+      .join(broadcast(adc), Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("p")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(shortlist)
+    embeddings.join(broadcast(approx.select("vec_id")), "vec_id")
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),

@@ -280,6 +280,33 @@ class LlmSpec extends AnyFunSuite {
     assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
   }
 
+  test("e02: PQ codes pack 8 4-bit subspace codes into 32 bits, total over the corpus") {
+    val codes = Catalog.byName("e02_pq_encode").run(spark, sf).cache()
+    assert(codes.count() == embs.count())
+    // every code fits the 8 x 4-bit layout
+    assert(codes.filter(col("pq") < 0L || col("pq") >= (1L << 32)).count() == 0)
+    // codebook vectors must encode to themselves in every subspace
+    // (distance 0 to their own codeword): vec i < 16 -> all nibbles = i
+    val self = codes.filter(col("vec_id") < graft.llm.Similarity.PqCodewords)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for ((id, pq) <- self; s <- 0 until graft.llm.Similarity.PqM)
+      assert(((pq >> (4 * s)) & 15L) == id,
+        s"codebook vector $id not self-coded in subspace $s (pq=$pq)")
+    codes.unpersist()
+  }
+
+  test("s08: PQ-ADC shortlist re-rank recalls most of the brute-force top-10") {
+    val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val pq = Catalog.byName("s08_pq_topk").run(spark, sf).collect()
+    assert(pq.length == 10)
+    val pqIds = pq.map(_.getAs[Long]("vec_id")).toSet
+    // 32-bit codes + 50-deep shortlist: assert a conservative floor
+    // (the re-rank is exact, so misses can only come from ADC ranking
+    // a true top-10 vector below the shortlist cut)
+    assert((brute & pqIds).size >= 5, s"recall too low: ${(brute & pqIds).size}/10")
+  }
+
   test("media features are deterministic and shaped correctly") {
     val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
     val f2 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
