@@ -21,9 +21,15 @@ object Bench {
 
   /** committed certified-quiet per-query table (seconds); regenerate
     * with `tools/run.sh graft.Bench` on a quiet box + jq over
-    * bench_full.json's "queries" map
+    * bench_full.json's "queries" map. Resolved against the cwd first,
+    * then the repo root — a bench launched from elsewhere must still
+    * find the committed table instead of silently reporting every
+    * query as baseline_missing.
     */
-  private val BaselineFile = "BASELINE_QUERIES.json"
+  private val BaselineFile =
+    Seq("BASELINE_QUERIES.json", "/root/repo/BASELINE_QUERIES.json")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse("BASELINE_QUERIES.json")
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

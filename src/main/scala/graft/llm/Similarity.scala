@@ -107,7 +107,13 @@ object Similarity {
     * (1-θ/π)^planes recall, bands lift it to
     * 1-(1-(1-θ/π)^bandBits)^nBands).
     */
-  def bandedCandidates(embeddings: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+  /** hyperplane band table: one row per (vec, band) with the band's
+    * sign-bit value `bv` — the joinable unit for both the batch
+    * self-join ([[bandedCandidates]]) and the asymmetric
+    * delta-vs-corpus probe (the streaming SemanticGate), mirroring
+    * [[Dedup.bandTable]]'s role on the lexical side
+    */
+  def hyperplaneBands(embeddings: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     val bandCols = (0 until planes / bandBits).map { b =>
       val bv = (0 until bandBits)
         .map { i =>
@@ -118,9 +124,13 @@ object Similarity {
         .reduce(_ + _)
       struct(lit(b).as("band"), bv.as("bv"))
     }
-    val bands = embeddings
+    embeddings
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+  }
+
+  def bandedCandidates(embeddings: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    val bands = hyperplaneBands(embeddings, planes, bandBits)
     val l = bands.select(col("band"), col("bv"), col("vec_id").as("v1"))
     val r = bands.select(col("band"), col("bv"), col("vec_id").as("v2"))
     l.join(r, Seq("band", "bv")).filter(col("v1") < col("v2")).select("v1", "v2").distinct()

@@ -46,39 +46,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `partitionCols = Seq("bucket")` folds its generations without
   * losing the bucketed layout.
   */
-object NearDupGate {
-
-  final case class Config(
-      k: Int = 8,
-      r: Int = 2,
-      maxDf: Int = 1000,
-      threshold: Double = 0.8,
-      indexBuckets: Int = 64,
-      // the pruned probe still reads every un-folded generation's files
-      // in the touched buckets, so probe cost grows with generations
-      // between compactions; past this many, step() folds all four
-      // roots itself under the maintenance lease (same recipe as
-      // TrendingTopK). 0 disables — manual compact() windows only.
-      autoFoldGenerations: Int = 64)
-
-  /** index partition key of a band row: which `bucket=` directory the
-    * (band, bv) signature lives in
-    */
-  private[graft] def bandBucket(nb: Int, band: Column, bv: Column): Column =
-    pmod(hash(band, bv), lit(nb))
-
-  /** index partition key of a shingle row (keyed by owning doc) */
-  private[graft] def docBucket(nb: Int, id: Column): Column =
-    pmod(hash(id), lit(nb))
-
-  /** The bucket count is a LAYOUT constant, not a tuning knob: the
-    * admitted index is physically partitioned by it, so probing with a
-    * different value would silently miss candidates and re-admit
-    * duplicates. The first step records it in `indexDir/_buckets`
-    * (underscore-prefixed — parquet readers skip it); every later step
-    * refuses a mismatched Config loudly.
-    */
-  private def assertBucketLayout(spark: SparkSession, indexDir: String, nb: Int): Unit = {
+/** Shared physical-layout guard for the gate indexes ([[NearDupGate]],
+  * [[SemanticGate]]). The bucket count is a LAYOUT constant, not a
+  * tuning knob: the admitted index is physically partitioned by it, so
+  * probing with a different value would silently miss candidates and
+  * re-admit duplicates. The first step records it in
+  * `indexDir/_buckets` (underscore-prefixed — parquet readers skip
+  * it); every later step refuses a mismatched Config loudly.
+  */
+private[streaming] object GateLayout {
+  def assertBuckets(spark: SparkSession, indexDir: String, nb: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def requireStored(): Unit = {
@@ -104,6 +81,36 @@ object NearDupGate {
       } catch { case _: java.io.IOException => requireStored() }
     }
   }
+}
+
+object NearDupGate {
+
+  final case class Config(
+      k: Int = 8,
+      r: Int = 2,
+      maxDf: Int = 1000,
+      threshold: Double = 0.8,
+      indexBuckets: Int = 64,
+      // the pruned probe still reads every un-folded generation's files
+      // in the touched buckets, so probe cost grows with generations
+      // between compactions; past this many, step() folds all four
+      // roots itself under the maintenance lease (same recipe as
+      // TrendingTopK). 0 disables — manual compact() windows only.
+      autoFoldGenerations: Int = 64)
+
+  /** index partition key of a band row: which `bucket=` directory the
+    * (band, bv) signature lives in
+    */
+  private[graft] def bandBucket(nb: Int, band: Column, bv: Column): Column =
+    pmod(hash(band, bv), lit(nb))
+
+  /** index partition key of a shingle row (keyed by owning doc) */
+  private[graft] def docBucket(nb: Int, id: Column): Column =
+    pmod(hash(id), lit(nb))
+
+  /** see [[GateLayout.assertBuckets]] — shared with [[SemanticGate]] */
+  private def assertBucketLayout(spark: SparkSession, indexDir: String, nb: Int): Unit =
+    GateLayout.assertBuckets(spark, indexDir, nb)
 
   /** The corpus-side probe scan: the admitted band index restricted to
     * `buckets` (partition-pruned — only those `bucket=` directories are
