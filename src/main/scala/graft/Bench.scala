@@ -255,6 +255,9 @@ object Bench {
     val trendingDocsPerSec =
       try if (only.nonEmpty) 0.0 else trendingThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] trending probe failed: $e"); 0.0 }
+    val semanticVecsPerSec =
+      try if (only.nonEmpty) 0.0 else semanticThroughput(spark, sfDir, 2000)
+      catch { case e: Throwable => System.err.println(s"[bench] semantic probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -273,7 +276,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -396,6 +399,41 @@ object Bench {
       graft.streaming.TrendingTopK
         .start(spark, src, s"$base/state", s"$base/out", s"$base/ckpt",
           graft.streaming.TrendingTopK.Config(k = 10, capacity = 256))
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Streaming semantic gate vecs/s: an embedding slice streamed twice,
+    * the second pass with remapped vec_ids — every pass-2 vector
+    * collides with pass-1's admitted index, so the probe pays the
+    * gate's full steady-state path (hyperplane banding, bucket-pruned
+    * index probe, cosine verify, intra-batch election, index append)
+    * under maximum duplicate pressure. Same warm-then-time recipe and
+    * two-pass shape as the near-dup probe.
+    */
+  private def semanticThroughput(spark: SparkSession, sfDir: String, nVecs: Int): Double = {
+    semanticRun(spark, WarmDir, 100)
+    semanticRun(spark, sfDir, nVecs)
+  }
+
+  private def semanticRun(spark: SparkSession, sfDir: String, nVecs: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_sem").toString
+    try {
+      val src = s"$base/src"
+      val vecs = Tables.embeddings(spark, sfDir)
+        .selectExpr("vec_id", "embedding", "label")
+        .orderBy("vec_id").limit(math.max(1, nVecs / 2))
+      val n = vecs.count() * 2
+      val off = vecs.agg(org.apache.spark.sql.functions.max("vec_id"))
+        .head().getLong(0) + 1
+      vecs.write.mode("append").json(src)
+      vecs.selectExpr(s"vec_id + $off AS vec_id", "embedding", "label")
+        .write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.SemanticGate
+        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)
