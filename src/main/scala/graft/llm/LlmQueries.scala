@@ -650,6 +650,45 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
+  // -- s09: IVF-PQ top-k — the two verified halves composed into the
+  //    billion-scale production shape: the IVF coarse quantizer (s04's
+  //    probe stage) restricts the search to 4 of 16 posting lists, and
+  //    WITHIN those lists vectors rank by their 32-bit PQ codes via the
+  //    decimal-exact ADC table (s08's scoring) before the exact cosine
+  //    re-rank. The float vectors are touched only at index build and
+  //    for the shortlist finalists.
+  private val s09 = Q(
+    "s09_ivfpq_topk",
+    (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 0L, 10, 16, 4, 50),
+    Some(s"""
+      WITH $ivfAssignCte,
+      $pqCte,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probes AS (SELECT cid FROM asim WHERE vec_id = 0
+                 QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
+      members AS (SELECT a.vec_id FROM assign a
+                  JOIN probes p ON p.cid = a.cid WHERE a.vec_id <> 0),
+      adc AS (SELECT c.code, s.s,
+                CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                             * CAST(q.qv[s.s*8+i.i+1] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p
+              FROM cw c, q, sub s, d8 i GROUP BY c.code, s.s),
+      approx AS (SELECT b.vec_id, SUM(a.p) AS score
+                 FROM best b
+                 JOIN adc a ON a.s = b.s AND a.code = b.code
+                 JOIN members m ON m.vec_id = b.vec_id
+                 GROUP BY b.vec_id),
+      short AS (SELECT vec_id FROM approx
+                ORDER BY score DESC, vec_id ASC LIMIT 50),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id, q, dims d
+            GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim))
+
   // -- d10: cross-modal semantic dedup — embedding-LSH candidate pairs
   //    verified by cosine (the semantic signal) and annotated with
   //    textual n-gram Jaccard (the lexical signal) over the SAME ids
@@ -1133,5 +1172,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, e01, e02, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, e01, e02, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
 }

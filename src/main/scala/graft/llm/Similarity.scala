@@ -357,6 +357,51 @@ object Similarity {
     * order (the Tables.dsum rule applied to ADC).
     */
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, shortlist: Int): DataFrame = {
+    val short = pqApproxScores(embeddings, queryId)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(shortlist)
+    exactRerank(embeddings, queryId, k, short.select("vec_id"))
+  }
+
+  /** IVF-PQ top-k — the billion-scale ANN workhorse assembled from its
+    * two verified halves: the IVF coarse stage restricts the search to
+    * the `nProbe` posting lists nearest the query (scanned fraction ≈
+    * nProbe/nCentroids, as in [[ivfTopKWith]]), and WITHIN those lists
+    * vectors are ranked by PQ-ADC codes (32 bits each, never the float
+    * vectors) before the exact re-rank of the shortlist. At 100 TB the
+    * float vectors are touched exactly twice per query: once at index
+    * build, once for the `shortlist` finalists.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val cents = sampledCentroids(embeddings, nCentroids)
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val probes = cents
+      .crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(nProbe)
+      .select("cid")
+    val members = ivfAssignWith(embeddings, cents)
+      .join(broadcast(probes), "cid")
+      .select("vec_id")
+    val short = pqApproxScores(embeddings, queryId)
+      .join(members, Seq("vec_id"), "leftsemi")
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(shortlist)
+    exactRerank(embeddings, queryId, k, short.select("vec_id"))
+  }
+
+  /** decimal-exact ADC score per non-query vector: the (subspace, code)
+    * -> partial-dot broadcast lookup joined against each vector's
+    * unpacked codes (see [[pqTopK]]'s parity discipline)
+    */
+  private def pqApproxScores(embeddings: DataFrame, queryId: Long): DataFrame = {
     val sub = Dims / PqM
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
@@ -378,13 +423,17 @@ object Similarity {
       .select(col("vec_id"), posexplode(
         expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
         .as(Seq("s", "code")))
-    val approx = codes
+    codes
       .join(broadcast(adc), Seq("s", "code"))
       .groupBy("vec_id")
       .agg(sum(col("p")).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(shortlist)
-    embeddings.join(broadcast(approx.select("vec_id")), "vec_id")
+  }
+
+  /** exact-cosine re-rank of a shortlist id frame (broadcast-sized) */
+  private def exactRerank(
+      embeddings: DataFrame, queryId: Long, k: Int, ids: DataFrame): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    embeddings.join(broadcast(ids), "vec_id")
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),

@@ -307,6 +307,23 @@ class LlmSpec extends AnyFunSuite {
     assert((brute & pqIds).size >= 5, s"recall too low: ${(brute & pqIds).size}/10")
   }
 
+  test("s09: IVF-PQ results come only from probed posting lists and recall reasonably") {
+    val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val out = Catalog.byName("s09_ivfpq_topk").run(spark, sf).collect()
+    assert(out.length == 10)
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    // double approximation (coarse probe AND code ranking): conservative floor
+    assert((brute & ids).size >= 4, s"recall too low: ${(brute & ids).size}/10")
+    // every result must come from one of the 4 probed posting lists —
+    // s09 can never return more centroids than it probes
+    val assign = graft.llm.Similarity.ivfAssign(embs, 16)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = assign.filterKeys(ids.contains).values.toSet
+    assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
+  }
+
   test("media features are deterministic and shaped correctly") {
     val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
     val f2 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
