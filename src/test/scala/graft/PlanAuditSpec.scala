@@ -49,10 +49,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // both quantizers feed the same probe path; the corpus-side scan
     // must see the centroids as a broadcast (nCentroids ~ sqrt(corpus)
     // rows), with the only corpus-wide exchange the vec_id argmax window
-    for (name <- Seq("s04_ivf_topk", "s04b_ivf_kmeans_topk")) {
+    for (name <- Seq("s04_ivf_topk", "s04b_ivf_kmeans_topk",
+        "d14_semdedup", "x05_cluster_mix", "s09_ivfpq_topk")) {
       val plan = planOf(name)
       assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
         s"$name does not broadcast its centroids")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+
+  test("PQ searchers broadcast the ADC lookup table and shortlist, never the corpus") {
+    // the ADC table is PqM x PqCodewords rows and the shortlist is
+    // `shortlist` ids — both must reach the corpus-sized sides as
+    // broadcasts; an exchange of the codes frame toward either would
+    // shuffle the corpus to a 128-row table
+    for (name <- Seq("s08_pq_topk", "s09_ivfpq_topk")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast the ADC table")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
