@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** the per-query dump loop, factored from [[main]] so VerifySpec can
+    * drive it against the shared test session (main stops its session)
+    */
+  private[graft] def runQueries(
+      spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String] = Set.empty): Unit =
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // durable error marker: without it a crashed query is
+          // indistinguishable from a never-enumerated one in the driver's
+          // correctness artifact (r8 silently dropped 15 broken queries).
+          // A plain file, not a dir — the checker only walks subdirs.
+          try Files.writeString(Paths.get(s"$outDir/$name.err"),
+            Option(e.getMessage).getOrElse(e.toString).take(2000))
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name err-marker write failed: $e2") }
+        }
+        // queries may cache intermediates (e.g. the shingle index);
+        // don't let one query's cache pressure the next 50
+        spark.catalog.clearCache()
+      }
+
   def main(args: Array[String]): Unit = {
     // extra args (local iteration only): restrict to the named queries
     val Array(sfDir, outDir) = args.take(2)
@@ -23,26 +51,7 @@ object Verify {
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/$name")
       }
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // durable error marker: without it a crashed query is
-        // indistinguishable from a never-enumerated one in the driver's
-        // correctness artifact (r8 silently dropped 15 broken queries).
-        // A plain file, not a dir — the checker only walks subdirs.
-        try Files.writeString(Paths.get(s"$outDir/$name.err"),
-          Option(e.getMessage).getOrElse(e.toString).take(2000))
-        catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name err-marker write failed: $e2") }
-      }
-      // queries may cache intermediates (e.g. the shingle index);
-      // don't let one query's cache pressure the next 50
-      spark.catalog.clearCache()
-    }
+    runQueries(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
