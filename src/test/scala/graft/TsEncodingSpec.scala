@@ -86,6 +86,39 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where ts and ts_ns disagree")
   }
 
+  test("relational tables' live schemas match the column contract queries compile against") {
+    // the TPC-H-ish side of the drift canary: every dtype here is one
+    // the catalog's queries AND the DuckDB oracle currently agree on.
+    // A regeneration that changes one (int32 key -> int64, double
+    // money -> decimal, NTZ date -> adjusted-UTC) fails HERE with the
+    // observed schema, not as dozens of downstream hash mismatches.
+    def s(name: String) = spark.read.parquet(s"$sf/$name.parquet").schema
+    val region = s("region")
+    assert(region("r_regionkey").dataType == IntegerType, region.treeString)
+    val nation = s("nation")
+    assert(nation("n_nationkey").dataType == IntegerType, nation.treeString)
+    assert(nation("n_regionkey").dataType == IntegerType, nation.treeString)
+    val customer = s("customer")
+    assert(customer("c_custkey").dataType == LongType, customer.treeString)
+    assert(customer("c_nationkey").dataType == IntegerType, customer.treeString)
+    assert(customer("c_acctbal").dataType == DoubleType, customer.treeString)
+    val orders = s("orders")
+    assert(orders("o_orderkey").dataType == LongType, orders.treeString)
+    assert(orders("o_totalprice").dataType == DoubleType, orders.treeString)
+    // the date columns currently arrive as TIMESTAMP(MICROS, local) ->
+    // Spark TIMESTAMP_NTZ; DuckDB reads the same file as naive
+    // TIMESTAMP, so both engines see identical wall-clock values. A
+    // drift to adjusted-UTC would flip Spark to TimestampType while
+    // DuckDB stays naive — surface it here, deliberately.
+    assert(orders("o_orderdate").dataType == TimestampNTZType, orders.treeString)
+    val li = s("lineitem")
+    assert(li("l_orderkey").dataType == LongType, li.treeString)
+    assert(li("l_linenumber").dataType == IntegerType, li.treeString)
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      assert(li(c).dataType == DoubleType, li.treeString)
+    assert(li("l_shipdate").dataType == TimestampNTZType, li.treeString)
+  }
+
   test("documents/embeddings live schemas match the column contract queries compile against") {
     // the same early-warning for the other driver-regenerated tables:
     // every catalog query's column references are pinned here, and a
