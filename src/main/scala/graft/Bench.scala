@@ -21,15 +21,29 @@ object Bench {
 
   /** committed certified-quiet per-query table (seconds); regenerate
     * with `tools/run.sh graft.Bench` on a quiet box + jq over
-    * bench_full.json's "queries" map. Resolved against the cwd first,
-    * then the repo root — a bench launched from elsewhere must still
-    * find the committed table instead of silently reporting every
-    * query as baseline_missing.
+    * bench_full.json's "queries" map. Resolved against
+    * SPARK_GRAFT_REPO_DIR first, then the cwd, then the repo root
+    * derived from this class's own code location
+    * (<repo>/target/scala-2.13/classes) — a bench launched from
+    * anywhere must still find the committed table instead of silently
+    * reporting every query as baseline_missing, without baking in a
+    * machine-specific absolute path.
     */
-  private val BaselineFile =
-    Seq("BASELINE_QUERIES.json", "/root/repo/BASELINE_QUERIES.json")
+  private val BaselineFile = {
+    val fromCodeSource =
+      try {
+        val loc = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        // classes dir (or jar) sits three levels under the repo root
+        Option(loc.getParent).flatMap(p => Option(p.getParent))
+          .flatMap(p => Option(p.getParent))
+          .map(_.resolve("BASELINE_QUERIES.json").toString)
+      } catch { case _: Throwable => None }
+    (sys.env.get("SPARK_GRAFT_REPO_DIR").map(_ + "/BASELINE_QUERIES.json").toSeq ++
+      Seq("BASELINE_QUERIES.json") ++ fromCodeSource)
       .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .getOrElse("BASELINE_QUERIES.json")
+  }
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -258,6 +272,11 @@ object Bench {
     val semanticVecsPerSec =
       try if (only.nonEmpty) 0.0 else semanticThroughput(spark, sfDir, 2000)
       catch { case e: Throwable => System.err.println(s"[bench] semantic probe failed: $e"); 0.0 }
+    // 8k companion (the blocks/neardup recipe): separates the gate's
+    // fixed micro-batch + index-open overhead from its per-vector cost
+    val semanticVecsPerSec8k =
+      try if (only.nonEmpty) 0.0 else semanticRun(spark, sfDir, 8000)
+      catch { case e: Throwable => System.err.println(s"[bench] semantic 8k probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -276,7 +295,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -287,7 +306,40 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     println(s"""{"queries":$qs}""")
     println(summary)
-    spark.stop()
+    cleanExit(spark)
+  }
+
+  /** Clean-exit epilogue. r9's artifact carried rc=1 because the JVM
+    * died with a C++ `std::bad_alloc` (exit 134) during native teardown
+    * AFTER the summary line — a destructor crash at exit must never
+    * flip the artifact's exit code again. Order matters: stop any
+    * streaming machinery and unload the RocksDB state-store providers
+    * while the JVM is healthy, stop the session, sweep the spark-* temp
+    * dirs this run created (normally a shutdown-hook job), flush, and
+    * `halt(0)` so exit hooks with fragile native destructors never run.
+    */
+  private def cleanExit(spark: SparkSession): Unit = {
+    val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    try spark.streams.active.foreach(_.stop())
+    catch { case e: Throwable => System.err.println(s"[bench] stream stop: $e") }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] state-store unload: $e") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark stop: $e") }
+    // halt() below skips the shutdown hooks that would have deleted the
+    // session's local dirs — sweep them here, but ONLY dirs created
+    // since this JVM started (a concurrent JVM's dirs are not ours to
+    // touch; the load gate forbids concurrency, the filter enforces it)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("spark-"))
+        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis >= jvmStart)
+        .foreach(p => rmTree(p.toString))
+    } catch { case e: Throwable => System.err.println(s"[bench] tmp sweep: $e") }
+    System.out.flush(); System.err.flush()
+    Runtime.getRuntime.halt(0)
   }
 
   /** Reference-shaped metric (BASELINE.md "streaming parity"): blocks/s

@@ -14,10 +14,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+        // marker/result mutual exclusion: a stale .err from a prior failed
+        // local run must not survive a now-green re-run into the same
+        // outDir, and a half-written result dir must not survive a failure
+        // (a write can die after analysis succeeds) — otherwise the checker
+        // can see both a result dir and an err marker for one query.
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.err"))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
           // durable error marker: without it a crashed query is
           // indistinguishable from a never-enumerated one in the driver's
           // correctness artifact (r8 silently dropped 15 broken queries).
@@ -31,6 +38,11 @@ object Verify {
         // don't let one query's cache pressure the next 50
         spark.catalog.clearCache()
       }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   def main(args: Array[String]): Unit = {
     // extra args (local iteration only): restrict to the named queries
@@ -51,6 +63,12 @@ object Verify {
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/$name")
       }
+    // The raw wire documents (seq_id, value) too: the codec queries'
+    // oracles (b04/b08) recompute md5/byte-length invariants over the
+    // exact JSON text the envelope wraps — DuckDB can't run CBOR/zstd,
+    // but it can verify the raw side and the roundtrip booleans.
+    blocks.BlockQueries.rawBlocks(spark)
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/raw_blocks")
     runQueries(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2,6 +2,7 @@ package graft.blocks
 
 import graft.Q
 import graft.functions.ColumnFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,8 +13,11 @@ import org.apache.spark.sql.types._
   * carry oracles anchored at `{{FIXTURES}}` — [[graft.Verify]] dumps the
   * flattened entity tables there and substitutes the real path, so the
   * driver's DuckDB gate recomputes them independently. The wire-codec
-  * queries (CBOR/base58/compression) stay rows-only; their exact-value
-  * coverage lives in the ScalaTest specs.
+  * queries (CBOR/base58/compression) emit INVARIANT outputs — md5 and
+  * byte-length of the raw side (recomputable by DuckDB from the dumped
+  * `raw_blocks` fixture) plus roundtrip/size booleans the oracle states
+  * as constants — so the driver's hash gate covers them too; exact
+  * codec bytes stay covered by the ScalaTest specs.
   */
 object BlockQueries {
 
@@ -27,6 +31,18 @@ object BlockQueries {
 
   /** oracle table anchor: `read_parquet` over one dumped entity table */
   private def fx(entity: String) = s"read_parquet('{{FIXTURES}}/$entity/*.parquet')"
+
+  /** The raw wire documents (seq_id, value) — the codec queries' shared
+    * input, also dumped by [[graft.Verify]] as the `raw_blocks` oracle
+    * fixture so b04/b08 can anchor md5/byte-length invariants in DuckDB.
+    */
+  def rawBlocks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
+      .select(
+        get_json_object(col("value"), "$.block.header.height").cast(LongType).as("seq_id"),
+        col("value"))
+  }
 
   // S15/S16: the canonical flatten — one row per transaction. The
   // library API keeps `receipt_ids` array-typed; the catalog projection
@@ -85,29 +101,37 @@ object BlockQueries {
     Some(s"SELECT * FROM ${fx("shards")}"))
 
   // S5/S6/S7: envelope wrap + dual wire format (JSON bytes and CBOR
-  // bytes) with sizes.
+  // bytes). Oracle-checkable image: the JSON side (md5 + byte length)
+  // is recomputed by DuckDB from the raw_blocks fixture; the CBOR side
+  // rides the `cbor_ok` invariant (non-empty AND strictly smaller than
+  // the JSON — true for this block document, where CBOR drops quotes/
+  // braces for length-prefixed fields). Exact CBOR bytes: CodecSpec.
   private val b04 = Q(
     "b04_envelope_wire",
-    (s, _) => {
-      import s.implicits._
-      val raw = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
-      raw
-        .select(
-          get_json_object(col("value"), "$.block.header.height").cast(LongType).as("seq_id"),
-          col("value"))
+    (s, _) =>
+      rawBlocks(s)
         .select(
           col("seq_id"),
-          to_cbor(col("value")).as("payload_cbor"),
-          encode(col("value"), "UTF-8").as("payload_json"))
+          encode(col("value"), "UTF-8").as("jb"),
+          to_cbor(col("value")).as("cb"))
         .select(
           col("seq_id"),
-          length(col("payload_cbor")).cast(LongType).as("cbor_bytes"),
-          length(col("payload_json")).cast(LongType).as("json_bytes"),
-          (length(col("payload_json")) - length(col("payload_cbor"))).cast(LongType)
-            .as("cbor_savings"))
-    })
+          md5(col("jb")).as("json_md5"),
+          length(col("jb")).cast(LongType).as("json_bytes"),
+          (length(col("cb")) > 0 && length(col("cb")) < length(col("jb")))
+            .cast(LongType).as("cbor_ok")),
+    Some(s"""
+      SELECT seq_id, md5(value) AS json_md5,
+             CAST(octet_length(encode(value)) AS BIGINT) AS json_bytes,
+             CAST(1 AS BIGINT) AS cbor_ok
+      FROM ${fx("raw_blocks")}
+    """.trim))
 
   // S14: decode roundtrip — CBOR bytes back to documents, re-flattened.
+  // Oracle: the same projection straight off the `blocks` fixture table
+  // (dumped WITHOUT the codec in the path) — if encode→decode→parse→
+  // flatten corrupts anything, the Spark side diverges from the fixture
+  // and the driver's hash goes red.
   private val b05 = Q(
     "b05_cbor_roundtrip",
     (s, _) => {
@@ -122,9 +146,18 @@ object BlockQueries {
           // digit string, not Decimal38 — see b01 note
           col("total_supply").cast(StringType).as("total_supply"),
           col("n_shards"))
-    })
+    },
+    Some(s"""
+      SELECT block_height, block_hash,
+             total_supply_raw AS total_supply, n_shards
+      FROM ${fx("blocks")}
+    """.trim))
 
   // base58 codec over block hashes: decode to 32 bytes, re-encode.
+  // Oracle invariants: a NEAR epoch id is the base58 of a 32-byte hash,
+  // so decode must yield exactly 32 bytes and re-encode must reproduce
+  // the input verbatim — DuckDB states both as constants over the
+  // fixture's epoch_id column. Arbitrary-payload coverage: CodecSpec.
   private val b06 = Q(
     "b06_base58",
     (s, _) =>
@@ -136,8 +169,14 @@ object BlockQueries {
           base58_decode(col("epoch_id")).as("decoded"),
           base58_encode(base58_decode(col("epoch_id"))).as("reencoded"))
         .withColumn("bytes_len", length(col("decoded")).cast(LongType))
-        .withColumn("roundtrip_ok", col("reencoded") === col("epoch_id"))
-        .drop("decoded"))
+        .withColumn("roundtrip_ok", (col("reencoded") === col("epoch_id")).cast(LongType))
+        .drop("decoded"),
+    Some(s"""
+      SELECT block_height, epoch_id, epoch_id AS reencoded,
+             CAST(32 AS BIGINT) AS bytes_len,
+             CAST(1 AS BIGINT) AS roundtrip_ok
+      FROM ${fx("blocks")}
+    """.trim))
 
   // tx -> final execution outcome across blocks (main.rs:121-124): the
   // receipt_id produced by the tx joins the outcome that lands in a
@@ -173,30 +212,41 @@ object BlockQueries {
       FROM t JOIN o ON o.outcome_id = t.receipt_id AND o.outcome_height >= t.tx_height
     """.trim))
 
-  // S8: compressed envelope wire — wrap with zstd and lz4, unwrap,
-  // verify the roundtrip and report compression ratios.
+  // S8: compressed envelope wire — wrap with zstd AND lz4, unwrap both,
+  // verify the roundtrips. Oracle-checkable image (cf. b04): the raw
+  // side (md5 + bytes) recomputes from the raw_blocks fixture; the
+  // codec side rides `{zstd,lz4}_ok` invariants (payload non-empty AND
+  // unwrap reproduces the input byte-for-byte). Ratios: CodecSpec.
   private val b08 = Q(
     "b08_envelope_compressed",
     (s, _) => {
-      import s.implicits._
-      val raw = Fixtures.blocksJson(Fixtures.baseHeight, N).toDF("value")
+      val raw = rawBlocks(s)
       val z = Envelope.wrap(raw, "cbor", Some("zstd"))
       val l = Envelope.wrap(raw, "cbor", Some("lz4"))
-      val zBack = Envelope.unwrap(z).withColumnRenamed("value", "z_value")
+      val zBack = Envelope.unwrap(z).select(col("seq_id"), col("value").as("z_value"))
+      val lBack = Envelope.unwrap(l).select(col("seq_id"), col("value").as("l_value"))
       val sizes = z.select(col("seq_id"), length(col("payload")).cast(LongType).as("zstd_bytes"))
         .join(l.select(col("seq_id"), length(col("payload")).cast(LongType).as("lz4_bytes")), "seq_id")
       raw
-        .select(get_json_object(col("value"), "$.block.header.height").as("h").cast(LongType)
-          .as("seq_id"), col("value"))
         .join(zBack, "seq_id")
+        .join(lBack, "seq_id")
         .join(sizes, "seq_id")
         .select(
           col("seq_id"),
-          (col("value") === col("z_value")).as("roundtrip_ok"),
-          length(col("value")).cast(LongType).as("raw_bytes"),
-          col("zstd_bytes"),
-          col("lz4_bytes"))
-    })
+          md5(encode(col("value"), "UTF-8")).as("raw_md5"),
+          length(encode(col("value"), "UTF-8")).cast(LongType).as("raw_bytes"),
+          (col("z_value") === col("value") && col("zstd_bytes") > 0)
+            .cast(LongType).as("zstd_ok"),
+          (col("l_value") === col("value") && col("lz4_bytes") > 0)
+            .cast(LongType).as("lz4_ok"))
+    },
+    Some(s"""
+      SELECT seq_id, md5(value) AS raw_md5,
+             CAST(octet_length(encode(value)) AS BIGINT) AS raw_bytes,
+             CAST(1 AS BIGINT) AS zstd_ok,
+             CAST(1 AS BIGINT) AS lz4_ok
+      FROM ${fx("raw_blocks")}
+    """.trim))
 
   // Polymorphic-variant rollup (SURVEY §1.3 "hard" item 3): the
   // tagged-struct action encoding aggregated per variant — null-gated

@@ -326,10 +326,24 @@ object Similarity {
     * no corpus shuffle beyond the per-vector aggregation, same family
     * as [[ivfAssignWith]].
     */
-  def pqEncode(embeddings: DataFrame): DataFrame = {
-    val sub = Dims / PqM
-    val books = embeddings.filter(col("vec_id") < PqCodewords)
+  def pqEncode(embeddings: DataFrame): DataFrame =
+    pqEncodeWith(embeddings, sampledCodebooks(embeddings))
+
+  /** the deterministic sampled PQ codebook table (code, cv) — the PQ
+    * analog of [[sampledCentroids]]
+    */
+  def sampledCodebooks(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < PqCodewords)
       .select(col("vec_id").as("code"), col("embedding").as("cv"))
+
+  /** PQ encode against an EXPLICIT codebook table — the standing-index
+    * form: in production the codebook is FROZEN at train time and every
+    * delta batch encodes against it unchanged, which is exactly what
+    * makes an appended code index bit-identical to a full rebuild
+    * (s10's recipe; SimilaritySpec asserts the equivalence).
+    */
+  def pqEncodeWith(embeddings: DataFrame, books: DataFrame): DataFrame = {
+    val sub = Dims / PqM
     // min(struct(dist, code)) is argmin-with-tiebreak: struct ordering
     // compares dist first, then code — the exact image of the oracle's
     // ORDER BY d ASC, code ASC
@@ -401,13 +415,17 @@ object Similarity {
     * -> partial-dot broadcast lookup joined against each vector's
     * unpacked codes (see [[pqTopK]]'s parity discipline)
     */
-  private def pqApproxScores(embeddings: DataFrame, queryId: Long): DataFrame = {
+  private def pqApproxScores(embeddings: DataFrame, queryId: Long): DataFrame =
+    pqScoresWithCodes(
+      pqEncode(embeddings).filter(col("vec_id") =!= queryId),
+      sampledCodebooks(embeddings),
+      embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv")))
+
+  /** the ADC lookup table (code, s, partial) against a one-row query
+    * frame `q(qv)` — PqM rows per codeword, broadcast-sized
+    */
+  private def adcTable(books: DataFrame, q: DataFrame): DataFrame = {
     val sub = Dims / PqM
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"))
-    val books = embeddings.filter(col("vec_id") < PqCodewords)
-      .select(col("vec_id").as("code"), col("embedding").as("cv"))
-    // ADC table: (code, s, partial) — PqM rows per codeword
     val partials = (0 until PqM).map(s =>
       round(
         aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
@@ -415,18 +433,68 @@ object Similarity {
             element_at(col("cv"), lit(s * sub) + i + 1).cast(DoubleType) *
               element_at(col("qv"), lit(s * sub) + i + 1).cast(DoubleType)),
         6).cast(DecimalType(18, 6)))
-    val adc = books.crossJoin(broadcast(q))
+    books.crossJoin(broadcast(q))
       .select(col("code"), posexplode(array(partials: _*)).as(Seq("s", "p")))
-    // unpack each vector's per-subspace code and sum the matching partials
-    val codes = pqEncode(embeddings)
-      .filter(col("vec_id") =!= queryId)
+  }
+
+  /** ADC scoring over a STANDING code table (vec_id, pq) — the search
+    * half that never touches float vectors: unpack each row's PqM 4-bit
+    * codes, join the broadcast ADC table, sum decimal partials.
+    */
+  def pqScoresWithCodes(codes: DataFrame, books: DataFrame, q: DataFrame): DataFrame =
+    codes
       .select(col("vec_id"), posexplode(
         expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
         .as(Seq("s", "code")))
-    codes
-      .join(broadcast(adc), Seq("s", "code"))
+      .join(broadcast(adcTable(books, q)), Seq("s", "code"))
       .groupBy("vec_id")
       .agg(sum(col("p")).as("score"))
+
+  /** One batch of standing IVF-PQ index rows (vec_id, cid, pq) against
+    * a FROZEN quantizer (cents) + codebook (books) — base build and
+    * delta append are the same call over different batches, and because
+    * both assignments are per-row against frozen tables, append ≡ full
+    * rebuild bit-for-bit (SimilaritySpec asserts it). The vec_id join
+    * of the two per-row assignments is key-partitioned — no corpus^2
+    * term anywhere.
+    */
+  def ivfPqIndexRows(batch: DataFrame, cents: DataFrame, books: DataFrame): DataFrame =
+    ivfAssignWith(batch, cents)
+      .select("vec_id", "cid")
+      .join(pqEncodeWith(batch, books), "vec_id")
+
+  /** IVF-PQ search against a STANDING (vec_id, cid, pq) index — the
+    * operator a 100 TB deployment actually runs per query (s10):
+    * probe the nProbe nearest centroids, ADC-score ONLY those posting
+    * lists' 32-bit codes (the index scan prunes to nProbe/nCentroids
+    * of the corpus and reads no float vectors), exact-cosine re-rank
+    * the shortlist. Unlike [[ivfPqTopK]], nothing is re-encoded: the
+    * float corpus is touched only for the query row and the shortlist.
+    */
+  def ivfPqTopKStanding(
+      embeddings: DataFrame,
+      index: DataFrame,
+      cents: DataFrame,
+      books: DataFrame,
+      queryId: Long,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val probes = cents
+      .crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(nProbe)
+      .select("cid")
+    val members = index
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id", "pq")
+    val short = pqScoresWithCodes(members, books, q)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(shortlist)
+    exactRerank(embeddings, queryId, k, short.select("vec_id"))
   }
 
   /** exact-cosine re-rank of a shortlist id frame (broadcast-sized) */

