@@ -868,11 +868,16 @@ object Curation {
     (s, d) => {
       val t = trainSurvivors(s, d).cache()
       val w1 = Window.partitionBy(lit(1))
+      // p_keep is COMPUTED from order-sensitive double sums (window sums
+      // here, scalar subqueries in DuckDB) and then compared against
+      // unitHash — round it to 6 dp on BOTH engines so a last-ulp sum
+      // difference at a hash boundary can never flip a doc's keep bit
+      // (the rounding discipline constants-thresholded p06 gets for free)
       val pk = t.groupBy("source").agg(sum(col("n_tokens")).as("tokens"))
         .withColumn("share", col("tokens") / sum(col("tokens")).over(w1).cast(DoubleType))
         .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w1))
         .withColumn("p_keep",
-          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w1))
+          round((col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w1), 6))
         .select("source", "p_keep")
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -908,7 +913,7 @@ object Curation {
                      sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh2) AS tshare
               FROM sh2),
       pk2 AS (SELECT source,
-                     (tshare / share) / (SELECT MAX(tshare / share) FROM ts2) AS p_keep
+                     round((tshare / share) / (SELECT MAX(tshare / share) FROM ts2), 6) AS p_keep
               FROM ts2),
       mixed AS (SELECT t.doc_id, t.lang, t.source, t.n_tokens
                 FROM train t JOIN pk2 ON pk2.source = t.source
@@ -949,8 +954,9 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
         .withColumn("share", col("tokens") / sum(col("tokens")).over(w).cast(DoubleType))
         .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w))
+        // 6-dp rounding before the unitHash compare — see x04's pk note
         .withColumn("p_keep",
-          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w))
+          round((col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w), 6))
       val kept = dc
         .join(broadcast(shares.select("cid", "p_keep")), "cid")
         .groupBy("cid")
@@ -977,7 +983,7 @@ object Curation {
                     sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh) AS tshare
              FROM sh),
       pk AS (SELECT cid, n_docs, share, tshare,
-                    (tshare / share) / (SELECT MAX(tshare / share) FROM ts) AS p_keep
+                    round((tshare / share) / (SELECT MAX(tshare / share) FROM ts), 6) AS p_keep
              FROM ts),
       k AS (SELECT dc.cid,
                    SUM(CASE WHEN $duckUnitHash < pk.p_keep THEN 1 ELSE 0 END) AS n_kept
@@ -1073,8 +1079,9 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
         .withColumn("share", col("tokens") / sum(col("tokens")).over(w).cast(DoubleType))
         .withColumn("tshare", sqrt(col("share")) / sum(sqrt(col("share"))).over(w))
+        // 6-dp rounding before the unitHash compare — see x04's pk note
         .withColumn("p_keep",
-          (col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w))
+          round((col("tshare") / col("share")) / max(col("tshare") / col("share")).over(w), 6))
       val kept = docs
         .join(broadcast(shares.select("source", "p_keep")), "source")
         .groupBy("source")
@@ -1099,7 +1106,7 @@ object Curation {
                     sqrt(share) / (SELECT SUM(sqrt(share)) FROM sh) AS tshare
              FROM sh),
       pk AS (SELECT source, n_docs, share, tshare,
-                    (tshare / share) / (SELECT MAX(tshare / share) FROM ts) AS p_keep
+                    round((tshare / share) / (SELECT MAX(tshare / share) FROM ts), 6) AS p_keep
              FROM ts),
       k AS (SELECT d.source,
                    SUM(CASE WHEN $duckUnitHash < pk.p_keep THEN 1 ELSE 0 END) AS n_kept

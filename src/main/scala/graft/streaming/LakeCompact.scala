@@ -121,6 +121,20 @@ object LakeCompact {
     */
   private[graft] var breakRaceHook: () => Unit = () => ()
 
+  /** object-store schemes whose "rename" is copy+delete and does NOT
+    * preserve mtime — the grave-verify mtime comparison is meaningless
+    * there (see the break path in [[withLease]])
+    */
+  private val CopyRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift")
+
+  private[graft] def renamePreservesMtime(fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val scheme =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => fs.getUri.getScheme }
+    !CopyRenameSchemes.contains(Option(scheme).getOrElse("").toLowerCase)
+  }
+
   def withLease[T](spark: SparkSession, root: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
     val (fs, p) = fsOf(spark, root)
@@ -165,14 +179,25 @@ object LakeCompact {
         try if (fs.rename(lock, grave)) {
           // verify we renamed the incarnation we OBSERVED stale, not a
           // fresh lock a cross-process breaker re-created between our
-          // read and the rename (rename preserves mtime on HDFS-like
-          // stores): on mismatch, put it back (or, losing the put-back
-          // to a third acquirer, drop it — that evicted holder aborts
-          // at its own create-then-verify) and report held
+          // read and the rename: on mismatch, put it back (or, losing
+          // the put-back to a third acquirer, drop it — that evicted
+          // holder aborts at its own create-then-verify) and report
+          // held. The mtime half of the pair is only decisive where
+          // rename PRESERVES mtime (HDFS-like stores); on copy-based-
+          // rename object stores the grave's mtime is the rename time
+          // and could never match, which would make every stale lock
+          // unbreakable (put-back forever) — there the verify degrades
+          // to token-only, whose residual race window is the UUID
+          // collision of a breaker re-creating the SAME token
+          // (impossible) rather than the swap race, and the
+          // create-then-verify step below still prevents a double hold.
           val graveMtime =
             try Some(fs.getFileStatus(grave).getModificationTime)
             catch { case _: java.io.FileNotFoundException => None }
-          if (readToken(grave) == observed && graveMtime.contains(observedMtime))
+          val mtimeOk =
+            if (renamePreservesMtime(fs)) graveMtime.contains(observedMtime)
+            else true
+          if (readToken(grave) == observed && mtimeOk)
             fs.delete(grave, false): Unit
           else {
             if (!fs.rename(grave, lock)) fs.delete(grave, false): Unit

@@ -117,6 +117,14 @@ class TsEncodingSpec extends AnyFunSuite {
     for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       assert(li(c).dataType == DoubleType, li.treeString)
     assert(li("l_shipdate").dataType == TimestampNTZType, li.treeString)
+    val supplier = s("supplier")
+    assert(supplier("s_suppkey").dataType == LongType, supplier.treeString)
+    assert(supplier("s_nationkey").dataType == IntegerType, supplier.treeString)
+    assert(supplier("s_acctbal").dataType == DoubleType, supplier.treeString)
+    val part = s("part")
+    assert(part("p_partkey").dataType == LongType, part.treeString)
+    assert(part("p_retailprice").dataType == DoubleType, part.treeString)
+    assert(part("p_size").dataType == IntegerType, part.treeString)
   }
 
   test("documents/embeddings live schemas match the column contract queries compile against") {
