@@ -15,6 +15,20 @@ object LlmQueries {
   private[graft] val MaxDf = 1000
   private[graft] val K = 8 // minhash permutations
   private val R = 2 // rows per LSH band
+  /** amplified permutation count for the 0.5-threshold family (d05 /
+    * x03's jaccard05): 16 perms in 8 bands of r=2. The r=1 banding it
+    * replaces collided at the corpus's BACKGROUND Jaccard j₀ (the
+    * incidental shingle overlap of unrelated docs), so candidates grew
+    * ~j₀·bands·n²/2 — measured n^1.95 on the 10x scale probe
+    * (tools/ScaleProbe: 86k pairs at 5k docs → 7.8M at 50k). Banding
+    * r=2 squares the background term (j₀² ≈ 1e-6 here) while OR-ing 8
+    * bands keeps recall at the 0.5 target: 1-(1-j²)^8 = 90% at j=0.5,
+    * 99.97% at j=0.8 — the documented trade for collision-bounded
+    * candidate growth (measured 86k → 2.2k at sf0.1, and ~n^1.2 on the
+    * probe). At 100 TB raise K2 (more bands) to buy recall back:
+    * candidates stay ∝ j₀²·n² with a 1e-6 constant instead of 1e-3.
+    */
+  private[graft] val K2 = 16
 
   /** shared DuckDB CTE: distinct 3-gram shingles, hashed to the 60-bit
     * md5 image, + stop-shingle cap — `sh(doc_id, h)`. Downstream CTEs
@@ -67,6 +81,23 @@ object LlmQueries {
     sigs AS (SELECT doc_id,
       ${(0 until K).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
       FROM sh GROUP BY doc_id)"""
+
+  /** [[sigCte]] at the amplified [[K2]] permutation count (same CTE
+    * name — the downstream band/jaccard CTEs are shared)
+    */
+  private val sigCteK2 = s"""
+    sigs AS (SELECT doc_id,
+      ${(0 until K2).map(p => s"min(xor(h, ${Dedup.permConst(p)})) AS mh$p").mkString(", ")}
+      FROM sh GROUP BY doc_id)"""
+
+  /** shared DuckDB band CTE: `nPerms` minhashes in r=2 bands named
+    * `cteName(doc_id, band, bv)` — the oracle image of
+    * [[Dedup.bandTable]](k, 2)
+    */
+  private def bandCteR2(cteName: String, nPerms: Int) = s"""
+      $cteName AS (${(0 until nPerms / 2)
+    .map(b => s"SELECT doc_id, $b AS band, mh${b * 2} || '_' || mh${b * 2 + 1} AS bv FROM sigs")
+    .mkString(" UNION ALL ")})"""
 
   /** shared DuckDB tail (follows `sh` + a `cand(d1,d2)` CTE): exact
     * Jaccard over the candidate pairs at `minJac` — the oracle image of
@@ -186,28 +217,25 @@ object LlmQueries {
     """.trim))
 
   // -- d05: n-gram Jaccard pairs >= 0.5 — exact Jaccard computed only
-  //    on LSH candidates (8 single-row bands: collision prob at jac j
-  //    is 1-(1-j)^8, i.e. ~99.6% recall at the 0.5 threshold). The
-  //    round-1 full shingle self-join was Σdf² — correct but quadratic
-  //    in the df cap at scale; candidate-bounding makes the verify cost
-  //    linear in collisions. The oracle applies the identical candidate
+  //    on LSH candidates from amplified banding ([[K2]] = 16 perms in 8
+  //    r=2 bands; see K2's docstring for the measured scaling argument
+  //    vs the r=1 banding this replaces: background-Jaccard collisions
+  //    made r=1 candidates quadratic in the corpus). The round-1 full
+  //    shingle self-join was Σdf² — correct but quadratic in the df cap
+  //    at scale; candidate-bounding makes the verify cost linear in
+  //    collisions. The oracle applies the identical candidate
   //    generation, so the check stays exact.
   private val d05 = Q(
     "d05_ngram_jaccard",
     (s, d) => {
       val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
-      // r=1 bands: each of the K minhash values is its own band key —
-      // the high-recall setting for the lower 0.5 threshold (d03's r=2
-      // tuning targets 0.8)
-      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, 1)
+      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
       Dedup.jaccard(cand, sh).filter(col("jac") >= 0.5).select("d1", "d2", "jac")
     },
     Some(s"""
       WITH $shingleCte,
-      $sigCte,
-      bands AS (${(0 until K)
-        .map(b => s"SELECT doc_id, $b AS band, CAST(mh$b AS VARCHAR) AS bv FROM sigs")
-        .mkString(" UNION ALL ")}),
+      $sigCteK2,
+      ${bandCteR2("bands", K2)},
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
       ${jaccardTail(0.5)}
@@ -219,21 +247,30 @@ object LlmQueries {
   //    shingle index from the corpus. A real 100 TB pipeline computes
   //    that index ONCE: here one scan builds one cached index + one
   //    signature table, and three dedup families read from it —
-  //    exact-fingerprint pairs, high-precision minhash pairs (r=2,
-  //    jac>=0.8), and high-recall n-gram pairs (r=1, jac>=0.5) — so the
-  //    suite costs about as much as its single most expensive member
-  //    instead of the sum. (At lake scale the cache() becomes a
+  //    exact-fingerprint pairs, high-precision minhash pairs (r=2 over
+  //    perms 0..7, jac>=0.8), and high-recall n-gram pairs (r=2 over
+  //    all K2=16 perms, jac>=0.5) — so the suite costs about as much as
+  //    its single most expensive member instead of the sum. Because
+  //    d03's 4 bands are a PREFIX of d05's 8 (same perm pairs 0..7),
+  //    cand03 ⊆ cand05, and the expensive shingle-intersection verify
+  //    runs ONCE over cand05: the minhash08 slice is the jac>=0.8 cut
+  //    of that one pass semi-joined to its own candidate set (Jaccard
+  //    is pair-deterministic, so the slice equals standalone d03 —
+  //    LlmSpec asserts it). (At lake scale the cache() becomes a
   //    persisted silver table; the plan shape is identical.)
   private val x03 = Q(
     "x03_dedup_suite",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val sh = Dedup.shingleIndex(Dedup.shingles(docs), MaxDf).cache()
-      val sigs = Dedup.minhashSigs(sh, K).cache()
-      val p03 = Dedup.jaccard(Dedup.lshCandidates(sigs, K, R), sh)
+      val sigs = Dedup.minhashSigs(sh, K2).cache()
+      val jacAll = Dedup.jaccard(Dedup.lshCandidates(sigs, K2, R), sh).cache()
+      val sigs8 = sigs.select(col("doc_id") +: (0 until K).map(i => col(s"mh$i")): _*)
+      val p03 = jacAll
+        .join(Dedup.lshCandidates(sigs8, K, R), Seq("d1", "d2"), "leftsemi")
         .filter(col("jac") >= 0.8)
         .select(lit("minhash08").as("family"), col("d1"), col("d2"), col("jac"))
-      val p05 = Dedup.jaccard(Dedup.lshCandidates(sigs, K, 1), sh)
+      val p05 = jacAll
         .filter(col("jac") >= 0.5)
         .select(lit("jaccard05").as("family"), col("d1"), col("d2"), col("jac"))
       val fp = docs.select(col("doc_id"), TextAnalysis.contentFingerprint.as("f"))
@@ -245,11 +282,9 @@ object LlmQueries {
     },
     Some(s"""
       WITH $shingleCte,
-      $sigCte,
+      $sigCteK2,
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      bands2 AS (${(0 until K / R)
-        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
-        .mkString(" UNION ALL ")}),
+      ${bandCteR2("bands2", K)},
       cand2 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                 FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
       inter2 AS (SELECT c.d1, c.d2, count(*) AS i
@@ -260,9 +295,7 @@ object LlmQueries {
       p03 AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac
               FROM inter2 JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
               WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.8),
-      bands1 AS (${(0 until K)
-        .map(b => s"SELECT doc_id, $b AS band, CAST(mh$b AS VARCHAR) AS bv FROM sigs")
-        .mkString(" UNION ALL ")}),
+      ${bandCteR2("bands1", K2)},
       cand1 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                 FROM bands1 a JOIN bands1 b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
       inter1 AS (SELECT c.d1, c.d2, count(*) AS i

@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSessions}
+import graft.llm.Similarity
+
+/** Scale-robustness probe for the dedup/LSH tail (VERDICT r9 #4).
+  *
+  * The 100 TB claims for the near-dup family are design arguments
+  * (banded LSH → no all-pairs; SemDeDup → cluster-bounded quadratic
+  * term) verified at a single scale (sf0.1). This probe measures the
+  * claims empirically: synthesize corpora at 1x/2x/5x/10x the sf0.1
+  * row counts with the SAME statistical shape as the driver's
+  * generator (31-word vocabulary, uniform 10..100 words/doc, ~5%
+  * near-dup perturbed copies, ~0.2% exact dups; 64-dim unit vectors
+  * with cluster structure and ~2% semantic twins), run the three
+  * headline dedup queries at each scale, and fit the wall-time
+  * exponent b in t ~ m^b by least squares on (log m, log t).
+  *
+  * Expected shapes, which the committed table in ARCHITECTURE.md
+  * records against observation:
+  *   - d03/x03 (banded MinHash-LSH): ~linear (b ≈ 1). A super-linear
+  *     bend here falsifies the banding claim before a cluster does.
+  *   - d14 as catalogued (nCentroids fixed at 16): super-linear by
+  *     design — the per-cluster pair term grows with m²/nCentroids.
+  *     The knob claim is that scaling nCentroids ∝ m restores ~linear;
+  *     the probe runs BOTH variants so the table shows the knob
+  *     working, not just asserted.
+  *
+  * Larger corpora are a true prefix-closure of smaller ones (the m×
+  * corpus is the first m·base rows of the 10× corpus), so scaling
+  * numbers compare identical structure, not regenerated noise.
+  *
+  * Usage: tools/run.sh graft.tools.ScaleProbe [outBase] [reps]
+  * (writes synthetic parquet under outBase, default /tmp/graft_scaleprobe)
+  */
+object ScaleProbe {
+
+  private val Vocab = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Array("en", "en", "zh", "es", "fr", "de") // en-heavy like the driver
+  private val BaseDocs = 5000 // sf0.1 row counts
+  private val BaseVecs = 2000
+  private val Dims = Similarity.Dims
+  private val Multipliers = Seq(1, 2, 5, 10)
+
+  /** driver-corpus-shaped documents: mostly novel word streams, ~5%
+    * near-dup perturbed copies of an earlier doc, ~0.2% exact dups
+    */
+  private def genDocs(n: Int): IndexedSeq[(Long, String, String, String, Long)] = {
+    val rnd = new scala.util.Random(0xD0C5)
+    val texts = new scala.collection.mutable.ArrayBuffer[String](n)
+    (0 until n).map { i =>
+      val roll = rnd.nextDouble()
+      val text =
+        if (i > 10 && roll < 0.002) texts(rnd.nextInt(i)) // exact dup
+        else if (i > 10 && roll < 0.05) { // near-dup: ~8% word substitutions
+          val base = texts(rnd.nextInt(i)).split(' ')
+          base.map(w => if (rnd.nextDouble() < 0.08) Vocab(rnd.nextInt(Vocab.length)) else w)
+            .mkString(" ")
+        } else {
+          val len = 10 + rnd.nextInt(91)
+          Array.fill(len)(Vocab(rnd.nextInt(Vocab.length))).mkString(" ")
+        }
+      texts += text
+      (i.toLong, text, Langs(rnd.nextInt(Langs.length)),
+        s"src${rnd.nextInt(20)}", text.length.toLong)
+    }
+  }
+
+  /** driver-corpus-shaped embeddings: unit vectors around 16 latent
+    * directions (matching d14's nCentroids so clusters are non-trivial),
+    * ~2% semantic twins (same base + tiny noise → cosine ≥ 0.97)
+    */
+  private def genVecs(n: Int): IndexedSeq[(Long, Seq[Float], Int)] = {
+    val rnd = new scala.util.Random(0xE14B)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat).toSeq
+    }
+    val latents = Array.fill(16)(Array.fill(Dims)(rnd.nextGaussian()))
+    val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]](n)
+    (0 until n).map { i =>
+      val v =
+        if (i > 10 && rnd.nextDouble() < 0.02)
+          vecs(rnd.nextInt(i)).map(_ + 0.02 * rnd.nextGaussian()) // twin
+        else {
+          val c = latents(rnd.nextInt(16))
+          c.map(_ + 0.6 * rnd.nextGaussian())
+        }
+      vecs += v
+      (i.toLong, unit(v), rnd.nextInt(4))
+    }
+  }
+
+  /** d14's pair logic with nCentroids as the parameter the docstring
+    * names as the operational scale knob (LlmQueries.scala d14)
+    */
+  private def semDedup(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val assign = Similarity.ivfAssign(emb, nCentroids).cache()
+    val a = assign.select(col("cid"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = assign.select(col("cid"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val dropped = a.join(b, "cid")
+      .filter(col("v1") < col("v2") &&
+        round(Similarity.cosine(col("e1"), col("e2")), 6) >= 0.4)
+      .select(col("v2").as("vec_id")).distinct()
+    assign.join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dropped") === 1L, 0L).otherwise(1L).as("keep"))
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def bestOf(reps: Int)(body: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** least-squares slope of log t on log m */
+  private def exponent(pts: Seq[(Int, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scaleprobe")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cores = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSessions.local("graft-scaleprobe", cores)
+    import spark.implicits._
+
+    // one generation at 10x; every m× dir is a row-count prefix of it
+    val docs10 = genDocs(BaseDocs * Multipliers.max)
+    val vecs10 = genVecs(BaseVecs * Multipliers.max)
+    Multipliers.foreach { m =>
+      val dir = s"$outBase/x$m"
+      docs10.take(BaseDocs * m)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(cores)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      vecs10.take(BaseVecs * m)
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cores)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    val queries = Seq("d03_minhash_lsh", "d14_semdedup", "x03_dedup_suite")
+    // warmup: JIT + codegen on the smallest slice, untimed
+    queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
+    materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
+    queries.foreach { q =>
+      results(q) = Multipliers.map { m =>
+        val t = bestOf(reps)(materialize(SparkEntry.queries(q)(spark, s"$outBase/x$m")))
+        println(f"""{"probe":"$q","mult":$m,"sec":$t%.3f}""")
+        (m, t)
+      }
+    }
+    // the knob variant: nCentroids grows with the corpus (16·m)
+    results("d14_scaled_centroids") = Multipliers.map { m =>
+      val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
+      val t = bestOf(reps)(materialize(semDedup(emb, 16 * m)))
+      println(f"""{"probe":"d14_scaled_centroids","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
+    val exps = results.map { case (q, pts) =>
+      f""""$q":{"exponent":${exponent(pts)}%.2f,"times":[${pts.map(p => f"${p._2}%.3f").mkString(",")}]}"""
+    }
+    println(s"""{"metric":"scale_probe","multipliers":[${Multipliers.mkString(",")}],${exps.mkString(",")}}""")
+    spark.stop()
+  }
+}
