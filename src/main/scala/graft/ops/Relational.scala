@@ -557,22 +557,32 @@ object Relational {
   //    asserting the rsd=0.01 HLL estimate lands within 5% of exact —
   //    a 5-sigma margin, robust to testdata regeneration. The sketch
   //    stays engine-internal; the bound is the driver's hard signal.
+  //    Exact and approx run as SEPARATE single-row aggregations joined
+  //    at the end: mixing countDistinct with approx_count_distinct in
+  //    one agg puts the HLL under the multi-distinct Expand rewrite,
+  //    where partial_approx_count_distinct is keyed by the distinct
+  //    values themselves — one 16 KB rsd=0.01 HLL buffer PER DISTINCT
+  //    KEY (measured 8.1 s vs 0.8 s for q24's pure-distinct plan at
+  //    sf0.1; split, the HLL is one global buffer per partition again).
   private val q24b = Q(
     "q24b_approx_count_distinct",
-    (s, d) =>
-      lineitem(s, d)
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    (s, d) => {
+      val li = lineitem(s, d)
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      exact.crossJoin(approx) // 1-row x 1-row
         .select(
           col("n_parts"),
           col("n_orders"),
           (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.05))
             .cast(LongType).as("parts_within_5pct"),
           (abs(col("ao") - col("n_orders")) <= col("n_orders") * lit(0.05))
-            .cast(LongType).as("orders_within_5pct")),
+            .cast(LongType).as("orders_within_5pct"))
+    },
     Some("""
       SELECT COUNT(DISTINCT l_partkey) AS n_parts,
              COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -104,6 +104,31 @@ class LlmSpec extends AnyFunSuite {
     assert(exact.except(lsh).count() == 0)
   }
 
+  test("d05 amplified banding recall >= 0.9 vs brute-force jaccard >= 0.5") {
+    // pins the K2 docstring's recall claim: the r=2 amplified banding
+    // trades <= 10% recall at the 0.5 boundary for collision-bounded
+    // candidates. Ground truth = full inverted-index self-join (all
+    // pairs sharing any capped shingle can reach jac >= 0.5; feasible
+    // at this sf, exactly what banding exists to avoid at scale).
+    val sh = Dedup.shingleIndex(Dedup.shingles(docs), graft.llm.LlmQueries.MaxDf)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("h64"))
+      .join(sh.select(col("doc_id").as("d2"), col("h64")), "h64")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4) >= 0.5)
+      .select("d1", "d2")
+    val nExact = exact.count()
+    assert(nExact > 0, "planted near-dups must produce jac >= 0.5 ground-truth pairs")
+    val missed = exact.except(
+      Catalog.byName("d05_ngram_jaccard").run(spark, sf).select("d1", "d2")).count()
+    assert(missed.toDouble / nExact <= 0.1,
+      s"amplified banding missed $missed of $nExact ground-truth pairs")
+  }
+
   test("native simhash48 equals the HOF formulation row-for-row") {
     import spark.implicits._
     val edge = Seq(
