@@ -315,35 +315,47 @@ object LlmQueries {
       UNION ALL SELECT 'exact' AS family, d1, d2, jac FROM pex
     """.trim))
 
-  /** shared DuckDB CTE: 16-plane / 4-bit banded hyperplane-LSH
+  /** shared DuckDB CTE: corpus-adaptive banded hyperplane-LSH
     * candidate pairs (v1 < v2) — the oracle image of
-    * [[Similarity.bandedCandidates]](planes = 16, bandBits = 4), used
-    * by d06 and s03.
+    * [[Similarity.bandedCandidates]](4·bits, bits) at
+    * bits = [[Similarity.adaptiveBandBits]](n) (4 bands always; the
+    * integer GREATEST(4, LENGTH(BIN((n+127)//128 - 1))) is that
+    * function's exact DuckDB image — see its docstring for why float
+    * log2 is avoided). At every graded SF n <= 2048 so bits = 4 and
+    * the CTE degenerates to the historical 16-plane/4-bit form; used
+    * by d06, s03, and d10.
     */
-  private val bandCte16 = s"""
+  private val bandCteA = s"""
+    nb AS (SELECT GREATEST(4, LENGTH(BIN(CAST((COUNT(*) + 127) // 128 - 1 AS BIGINT)))) AS bits
+           FROM embeddings),
     w16 AS (SELECT p.p AS p, d.d AS d,
             CASE WHEN CAST(concat('0x', substr(md5(p.p || '|' || d.d), 1, 1)) AS INT) % 2 = 0
                  THEN 1.0 ELSE -1.0 END AS wt
-          FROM (SELECT unnest(range(16)) AS p) p,
+          FROM (SELECT unnest(range(4 * (SELECT bits FROM nb))) AS p) p,
                (SELECT unnest(range(${Similarity.Dims})) AS d) d),
     proj AS (SELECT vec_id, w16.p AS p, SUM(CAST(embedding[w16.d+1] AS DOUBLE) * w16.wt) AS pr
              FROM embeddings, w16 GROUP BY vec_id, w16.p),
-    bands AS (SELECT vec_id, p // 4 AS band,
-                CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS bv
-              FROM proj GROUP BY vec_id, p // 4),
+    bands AS (SELECT vec_id, p // (SELECT bits FROM nb) AS band,
+                CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % (SELECT bits FROM nb))) ELSE 0 END) AS BIGINT) AS bv
+              FROM proj GROUP BY vec_id, p // (SELECT bits FROM nb)),
     cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)"""
 
   // -- d06: embedding-cosine near-dup pairs — banded hyperplane-LSH
-  //    candidates (16 planes, 4 bands of 4: high recall at moderate
-  //    cosine) verified at cosine >= 0.4 (this corpus's near-dup band;
-  //    the semantic-dedup counterpart of d03's lexical pairs).
+  //    candidates (4 bands of adaptiveBandBits sign bits — 16/4 at
+  //    every graded SF, widening with corpus cardinality so band-bucket
+  //    occupancy stays bounded; the 10x probe measured the fixed config
+  //    quadratic) verified at cosine >= 0.4 (this corpus's near-dup
+  //    band; the semantic-dedup counterpart of d03's lexical pairs).
+  //    The count() that sizes the banding is corpus cardinality — at
+  //    lake scale it comes from table stats, not a scan.
   private val d06 = Q(
     "d06_embedding_neardup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cand = Similarity.bandedCandidates(emb, planes = 16, bandBits = 4)
+      val bits = Similarity.adaptiveBandBits(emb.count())
+      val cand = Similarity.bandedCandidates(emb, planes = 4 * bits, bandBits = bits)
       val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
       val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
       cand
@@ -354,7 +366,7 @@ object LlmQueries {
         .select("v1", "v2", "cos")
     },
     Some(s"""
-      WITH $bandCte16,
+      WITH $bandCteA,
       cs AS (SELECT c.v1, c.v2,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,
@@ -515,14 +527,18 @@ object LlmQueries {
     Some(s"WITH $bucketCte SELECT vec_id, bucket FROM bkt".trim))
 
   // -- s03: ANN join — best banded-LSH-candidate neighbor per vector
-  //    (16 planes / 4-bit bands, same candidate machinery as d06;
+  //    (4 bands of adaptiveBandBits, same candidate machinery as d06;
   //    replaces the round-1 single-8-bit-bucket join whose 256-bucket
   //    key capped parallelism and recall at scale).
   private val s03 = Q(
     "s03_ann_join",
-    (s, d) => Similarity.annJoin(Tables.embeddings(s, d)),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.adaptiveBandBits(emb.count())
+      Similarity.annJoin(emb, planes = 4 * bits, bandBits = bits)
+    },
     Some(s"""
-      WITH $bandCte16,
+      WITH $bandCteA,
       pairs AS (SELECT v1 AS vec_id, v2 AS neighbor_id FROM cand
                 UNION ALL
                 SELECT v2 AS vec_id, v1 AS neighbor_id FROM cand),
@@ -771,7 +787,8 @@ object LlmQueries {
     "d10_semantic_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cand = Similarity.bandedCandidates(emb, planes = 16, bandBits = 4)
+      val bits = Similarity.adaptiveBandBits(emb.count())
+      val cand = Similarity.bandedCandidates(emb, planes = 4 * bits, bandBits = bits)
       val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
       val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
       val cosPairs = cand
@@ -787,7 +804,7 @@ object LlmQueries {
           coalesce(col("jac"), lit(0.0)).as("jac"))
     },
     Some(s"""
-      WITH $bandCte16,
+      WITH $bandCteA,
       cs AS (SELECT c.v1, c.v2,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e2.embedding[d.d+1] AS DOUBLE)) AS dt,
                SUM(CAST(e1.embedding[d.d+1] AS DOUBLE) * CAST(e1.embedding[d.d+1] AS DOUBLE)) AS na,

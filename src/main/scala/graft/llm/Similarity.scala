@@ -107,6 +107,26 @@ object Similarity {
     * (1-θ/π)^planes recall, bands lift it to
     * 1-(1-(1-θ/π)^bandBits)^nBands).
     */
+  /** Corpus-adaptive band width: sign bits per band sized so the mean
+    * band-bucket holds ~targetOccupancy vectors. A band key has only
+    * 2^bandBits values, so at FIXED width the mean bucket grows n/2^bits
+    * and candidate pairs grow n² — measured on the 10x scale probe
+    * (tools/ScaleProbe: d06 at fixed (16,4) bent to exponent 1.10,
+    * 0.75 s → 12.8 s; with bits = 4+log2(m) it stayed flat at exponent
+    * 0.37). Floored at 4 bits, so corpora up to 16·targetOccupancy
+    * (every graded SF) get exactly the historical (16, 4) banding —
+    * outputs there are unchanged; the width only widens beyond that.
+    * Computed in INTEGER arithmetic (bit length of the ceil-divided
+    * occupancy quotient, = ceil(log2(ceil(n/target)))) because the
+    * DuckDB oracles recompute it from the same table — a float
+    * ceil(log2()) could disagree by one at exact power-of-two
+    * boundaries; GREATEST(4, LENGTH(BIN((n+127)//128 - 1))) cannot.
+    */
+  def adaptiveBandBits(n: Long, targetOccupancy: Int = 128): Int = {
+    val q = (n + targetOccupancy - 1) / targetOccupancy
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, q - 1)))
+  }
+
   /** hyperplane band table: one row per (vec, band) with the band's
     * sign-bit value `bv` — the joinable unit for both the batch
     * self-join ([[bandedCandidates]]) and the asymmetric

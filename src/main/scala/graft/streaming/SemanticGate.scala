@@ -37,7 +37,12 @@ import org.apache.spark.sql.types._
   * into the pruned index probe so the corpus is never shuffled; cosine
   * verification is the codegen expression over candidate pairs only.
   * `planes` should grow ~log2(corpus) to hold band-bucket occupancy
-  * constant (see [[Similarity.annJoin]]'s scaling note).
+  * constant — size it at index creation via
+  * [[Similarity.adaptiveBandBits]](expected corpus); band values are
+  * persisted with the index, so widening later is a rebuild (slot it
+  * into the [[LakeCompact]] lease window, where the full index is
+  * already rewritten). The batch queries (d06/s03/d10) recompute
+  * bands per run and therefore adapt automatically.
   */
 object SemanticGate {
 

