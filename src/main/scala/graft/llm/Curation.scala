@@ -1160,5 +1160,50 @@ object Curation {
       WHERE cum_tokens <= 800
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04, x05)
+  // -- p08: deterministic GLOBAL SHUFFLE + shard assignment — the final
+  //    write step of training-data assembly: every epoch reader needs
+  //    the corpus in a pseudo-random order, split into N balanced
+  //    shards. The naive spec (`ORDER BY random()` + row_number) is
+  //    both non-deterministic and a single-partition global sort — a
+  //    scale-killer. This shape gets the same statistical guarantee
+  //    with NO global sort: shard = floor(u·N) from one doc_id hash
+  //    (map-side, balanced in expectation), intra-shard position from a
+  //    SECOND independent hash via a per-shard window (N parallel
+  //    sorts, each 1/N of the corpus), and a round-robin interleave
+  //    `global_pos = (pos-1)·N + shard` that defines a total
+  //    pseudo-random read order without ever materializing one
+  //    partition. Replay-stable: assignments are pure functions of
+  //    doc_id, so re-runs, repartitions, and corpus appends never
+  //    reshuffle existing rows' shards. At 100 TB: N scales with
+  //    corpus/shard-size, writes partition by shard, and the window
+  //    sort runs inside each shard's hash partition.
+  private val p08 = Q(
+    "p08_shard_shuffle",
+    (s, d) => {
+      val nShards = 8
+      val shard = floor(unitHash(col("doc_id")) * nShards).cast(LongType)
+      // independent order hash: a '#o'-salted doc_id image, so shard
+      // membership and intra-shard order are decorrelated
+      val ordU = graft.functions.ColumnFns.md5_prefix64(
+        concat(col("doc_id").cast(StringType), lit("#o")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("ou"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"), ordU.as("ou"))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select(
+          col("doc_id"), col("shard"), col("pos"),
+          ((col("pos") - 1L) * nShards + col("shard")).as("global_pos"))
+    },
+    Some(s"""
+      WITH a AS (SELECT doc_id,
+          CAST(floor($duckUnitHash * 8) AS BIGINT) AS shard,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#o'), 1, 15)) AS BIGINT) AS ou
+        FROM documents),
+      r AS (SELECT doc_id, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY ou, doc_id) AS BIGINT) AS pos
+        FROM a)
+      SELECT doc_id, shard, pos, (pos - 1) * 8 + shard AS global_pos FROM r
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04, x05)
 }

@@ -931,6 +931,41 @@ object LlmQueries {
       LIMIT 1
     """.trim))
 
+  // -- s11: metadata-FILTERED ANN top-k — the retrieval shape vector
+  //    stores actually serve ("nearest WHERE <predicate>"), here the
+  //    odd-label half of the corpus. Pre-filter semantics: the
+  //    predicate prunes posting-list members between scan and distance
+  //    computation, so the answer always holds k matching rows when the
+  //    probed lists contain k — a post-filter on s04's output could
+  //    return as few as k/2 here. Same standing quantizer, probe knob,
+  //    and scan fraction as s04; selectivity trades recall, not plan
+  //    shape.
+  private val s11 = Q(
+    "s11_filtered_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKFiltered(
+        emb, 0L, 10, Similarity.sampledCentroids(emb, 16), 4,
+        col("label") % 2 === 1)
+    },
+    Some(s"""
+      WITH $ivfAssignCte,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probes AS (SELECT cid FROM asim WHERE vec_id = 0
+                 QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.cid = a.cid, q, dims d
+            WHERE e.vec_id <> 0 AND e.label % 2 = 1
+            GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -1080,6 +1115,61 @@ object LlmQueries {
             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
       FROM a
+    """.trim))
+
+  // -- t10: Gopher-style quality RULE FLAGS (Rae et al. 2021,
+  //    arXiv:2112.11446 §A1.1) — where t02 emits one blended score,
+  //    real curation pipelines gate on named per-rule booleans so every
+  //    rejection is attributable and thresholds tune independently.
+  //    Word-count bounds, mean-word-length band, symbol-to-word ratio,
+  //    min distinct stopwords; every rule compares against the
+  //    6-dp-ROUNDED statistic on both engines so boundary rows are
+  //    tie-free (repo decimal discipline). Pure per-row expressions:
+  //    codegen'd, shuffle-free, scan-speed at 100 TB.
+  private val t10 = Q(
+    "t10_gopher_rules",
+    (s, d) => {
+      val nw = TextAnalysis.nTokens
+      val mwl = round(TextAnalysis.meanWordLen, 6)
+      val sym = round(TextAnalysis.symbolRatio, 6)
+      val hits = TextAnalysis.stopwordHits()
+      val rLen = (nw >= 50L && nw <= 100000L).cast(LongType)
+      val rMwl = (mwl >= 3.0 && mwl <= 10.0).cast(LongType)
+      val rSym = (sym <= 0.1).cast(LongType)
+      val rStop = (hits >= 2L).cast(LongType)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        mwl.as("mean_word_len"),
+        sym.as("symbol_ratio"),
+        hits.as("stop_hits"),
+        rLen.as("r_len"),
+        rMwl.as("r_word_len"),
+        rSym.as("r_symbols"),
+        rStop.as("r_stopwords"),
+        (rLen * rMwl * rSym * rStop).as("gopher_pass"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / len(string_split(text, ' ')), 6) AS mwl,
+          round(CAST((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3.0 AS DOUBLE)
+                / len(string_split(text, ' ')), 6) AS sym,
+          CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS stop_hits
+        FROM documents),
+      r AS (SELECT *,
+          CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+          CAST(CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_word_len,
+          CAST(CASE WHEN sym <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbols,
+          CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords
+        FROM b)
+      SELECT doc_id, n_words, mwl AS mean_word_len, sym AS symbol_ratio, stop_hits,
+             r_len, r_word_len, r_symbols, r_stopwords,
+             r_len * r_word_len * r_symbols * r_stopwords AS gopher_pass
+      FROM r
     """.trim))
 
   // -- m01: multimodal metadata (binary column + typed meta) —
@@ -1292,5 +1382,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, e01, e02, t01, t02, t03, t04, t08, t09, m01, m02, m03, m04, m05)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05)
 }

@@ -313,6 +313,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED ANN — the vector-search shape real retrieval
+    * runs ("nearest neighbors WHERE lang='en' AND quality>τ"), which a
+    * post-filter on plain top-k cannot express (filtering k results
+    * after the fact under-fills the answer when the predicate is
+    * selective). Pre-filter semantics over the SAME standing posting
+    * lists: the predicate prunes posting-list members at scan time
+    * (codegen'd filter between the parquet scan and the distance
+    * computation — no second index, no re-clustering), then the exact
+    * cosine ranks only survivors, so the answer always carries k
+    * matching rows when k exist in the probed lists.
+    *
+    * 100 TB shape: identical to [[ivfTopKWith]] — the filter tightens
+    * the probe scan (predicate pushdown reaches the posting parquet
+    * when the predicate hits indexed columns), it never widens any
+    * shuffle. Selectivity only affects recall (fewer survivors per
+    * list); raise nProbe to buy it back, same knob as unfiltered IVF.
+    */
+  def ivfTopKFiltered(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      cents: DataFrame,
+      nProbe: Int,
+      pred: Column): DataFrame =
+    // the query row rides along regardless of the predicate (it only
+    // supplies qv; the vec_id =!= queryId guard drops it from results)
+    ivfTopKWith(
+      embeddings.filter(pred || col("vec_id") === queryId),
+      queryId, k, cents, nProbe)
+
   /** PQ geometry: [[PqM]] subspaces of Dims/PqM dims each, [[PqCodewords]]
     * codewords per subspace (4 bits), codebooks sampled
     * deterministically from the first PqCodewords vectors' subvectors

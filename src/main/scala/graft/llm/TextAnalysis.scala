@@ -58,6 +58,26 @@ object TextAnalysis {
         punctRatio * lit(0.2),
       6)
 
+  /** number of DISTINCT marker words present — the Gopher-style
+    * "must contain at least 2 stop words" signal (a cheap gibberish
+    * detector: real prose almost surely hits 2+ of the top-10 function
+    * words, keyboard mash almost surely hits 0)
+    */
+  def stopwordHits(lang: String = "en"): Column =
+    expr(s"size(array_intersect(array_distinct(split(text, ' ')), ${markerArray(lang)}))")
+      .cast(LongType)
+
+  /** Gopher-style symbol-to-word ratio: '#' and '…'-as-'...'
+    * occurrences per whitespace word. Counted by replace-and-diff (not
+    * regex) so the count is the same non-overlapping left-to-right
+    * scan in any engine.
+    */
+  def symbolRatio: Column = {
+    val nHash = length(col("text")) - length(expr("replace(text, '#', '')"))
+    val nEll = (length(col("text")) - length(expr("replace(text, '...', '')"))) / lit(3.0)
+    (nHash + nEll).cast(DoubleType) / nTokens
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, and single
     * non-alphanumeric symbols
     */

@@ -343,4 +343,49 @@ class CurationSpec extends AnyFunSuite {
       if (share < uniform - 1e-6) assert(target > share)
     }
   }
+
+  test("p08: shard shuffle is a deterministic balanced permutation with a total read order") {
+    val a = Catalog.byName("p08_shard_shuffle").run(spark, sf)
+    val b = Catalog.byName("p08_shard_shuffle").run(spark, sf)
+    assert(a.except(b).count() == 0, "rerun must not move any row")
+    val rows = a.collect()
+    assert(rows.length == docs.count(), "every doc lands in exactly one shard slot")
+    // shards are 0..7 and balanced within binomial slack (2x of fair share)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    val fair = rows.length / 8.0
+    for ((s, members) <- byShard)
+      assert(members.length < 2 * fair && members.length > fair / 2,
+        s"shard $s holds ${members.length} of ${rows.length}")
+    // intra-shard positions are contiguous 1..n_s (an epoch reader can
+    // seek by position without gaps)
+    for ((s, members) <- byShard) {
+      val pos = members.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to members.length.toLong), s"shard $s positions not dense")
+    }
+    // the round-robin interleave is injective => a well-defined total order
+    val gp = rows.map(_.getAs[Long]("global_pos"))
+    assert(gp.distinct.length == gp.length, "global_pos collision")
+    // and shard order must not simply follow doc_id order (it's a
+    // shuffle): some adjacent global positions come from far-apart ids
+    val byGp = rows.sortBy(_.getAs[Long]("global_pos")).map(_.getAs[Long]("doc_id"))
+    val monotone = byGp.zip(byGp.tail).count { case (x, y) => y == x + 1 }
+    assert(monotone < rows.length / 10, "read order degenerated to ingestion order")
+  }
+
+  test("p08: shard is the documented pure doc_id hash (append-stable by construction)") {
+    // independent JVM-side recompute of floor(md5prefix60(doc_id)/2^60 * 8):
+    // purity of the assignment is what makes corpus appends unable to
+    // reshuffle existing rows — pin the exact function, not just determinism
+    val got = Catalog.byName("p08_shard_shuffle").run(spark, sf)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, shard) <- got) {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val expect = math.floor(java.lang.Long.parseLong(hex, 16) / math.pow(2, 60) * 8).toLong
+      assert(shard == expect, s"doc $id: shard $shard != $expect")
+    }
+  }
 }

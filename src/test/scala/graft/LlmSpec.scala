@@ -341,6 +341,58 @@ class LlmSpec extends AnyFunSuite {
     assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
   }
 
+  test("s11: filtered top-k returns only predicate rows, from probed lists, with fair recall") {
+    val rows = Catalog.byName("s11_filtered_topk").run(spark, sf).collect()
+    assert(rows.length == 10, s"filtered search returned ${rows.length} rows")
+    assert(rows.forall(_.getAs[Int]("label") % 2 == 1), "a non-matching row leaked through")
+    // descending cosine, vec_id tiebreak
+    val cs = rows.map(r => (-r.getAs[Double]("cos"), r.getAs[Long]("vec_id")))
+    assert(cs.sameElements(cs.sorted), "results not ranked by cosine desc")
+    // pre-filter semantics: recall vs the FILTERED brute force (a
+    // post-filter on s04's unfiltered answer could keep as few as
+    // k/2 matches; pre-filter must find most of the true filtered top-10)
+    val brute = llm.Similarity
+      .topK(embs.filter(col("label") % 2 === 1 || col("vec_id") === 0L), 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((brute & got).size >= 5, s"filtered recall too low: ${(brute & got).size}/10")
+    // every result still comes from one of the <= 4 probed posting lists
+    val assign = graft.llm.Similarity.ivfAssign(embs, 16)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(assign).size <= 4, "results span more lists than nProbe")
+  }
+
+  test("t10: gopher rule flags agree with independently recomputed statistics") {
+    val flags = Catalog.byName("t10_gopher_rules").run(spark, sf).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(flags.length == texts.size)
+    val markers = graft.llm.TextAnalysis.markers("en").toSet
+    for (r <- flags) {
+      val text = texts(r.getAs[Long]("doc_id"))
+      val words = text.split(" ", -1)
+      assert(r.getAs[Long]("n_words") == words.length)
+      val mwl = BigDecimal(text.replace(" ", "").length.toDouble / words.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mwl) < 1e-9)
+      val hits = words.distinct.count(markers.contains)
+      assert(r.getAs[Long]("stop_hits") == hits)
+      val expect = Seq(
+        r.getAs[Long]("r_len") == (if (words.length >= 50 && words.length <= 100000) 1L else 0L),
+        r.getAs[Long]("r_word_len") == (if (mwl >= 3.0 && mwl <= 10.0) 1L else 0L),
+        r.getAs[Long]("r_stopwords") == (if (hits >= 2) 1L else 0L))
+      assert(expect.forall(identity), s"doc ${r.getAs[Long]("doc_id")} rule flags diverged")
+      val prod = r.getAs[Long]("r_len") * r.getAs[Long]("r_word_len") *
+        r.getAs[Long]("r_symbols") * r.getAs[Long]("r_stopwords")
+      assert(r.getAs[Long]("gopher_pass") == prod)
+    }
+    // the rule set must actually discriminate on this corpus (a filter
+    // that passes or fails everything tests nothing)
+    val passes = flags.count(_.getAs[Long]("gopher_pass") == 1L)
+    assert(passes > 0 && passes < flags.length, s"degenerate rule set: $passes/${flags.length}")
+  }
+
   test("e02: PQ codes pack 8 4-bit subspace codes into 32 bits, total over the corpus") {
     val codes = Catalog.byName("e02_pq_encode").run(spark, sf).cache()
     assert(codes.count() == embs.count())
