@@ -253,6 +253,13 @@ object Bench {
     val blocksPerSec8k =
       try if (only.nonEmpty) 0.0 else ingestRun(spark, 8000)
       catch { case e: Throwable => System.err.println(s"[bench] 8k streaming probe failed: $e"); 0.0 }
+    // bus-source companion to the file-drop pair: same ingest pipeline,
+    // wire delivered through the graftbus DataSourceV2 offsets instead
+    // of file listing — the delta between the two numbers is the
+    // source-machinery cost, everything downstream is shared
+    val busBlocksPerSec =
+      try if (only.nonEmpty) 0.0 else busThroughput(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] bus probe failed: $e"); 0.0 }
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
@@ -295,7 +302,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -380,6 +387,36 @@ object Bench {
         .awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
       nBlocks / secs
+    } finally rmTree(base)
+  }
+
+  /** graftbus-source ingest blocks/s: identical pipeline to
+    * [[ingestRun]] but the wire arrives through the DataSourceV2
+    * bus source's offset machinery (4 partitions, byte-offset
+    * admission) instead of file listing. Same warm-then-time recipe.
+    */
+  private def busThroughput(spark: SparkSession): Double = {
+    busRun(spark, 200) // JIT the bus reader path, untimed
+    busRun(spark, 2000)
+  }
+
+  private[graft] def busRun(spark: SparkSession, nBlocks: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_bus").toString
+    try {
+      val topic = s"$base/topic"
+      val nParts = 4
+      graft.sources.BusSource.createTopic(topic, nParts)
+      val blocks = graft.blocks.Fixtures.blocksJson(3000000L, nBlocks)
+      for ((g, i) <- blocks.grouped(math.max(1, nBlocks / nParts)).zipWithIndex)
+        graft.sources.BusSource.append(topic, i % nParts, g)
+      val lines = spark.readStream.format("graftbus")
+        .option("path", topic).load().selectExpr("value")
+      val t0 = System.nanoTime()
+      graft.streaming.BlockIngest
+        .startFrom(spark, lines, s"$base/lake", s"$base/ckpt")
+        .awaitTermination()
+      nBlocks / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)
   }
 

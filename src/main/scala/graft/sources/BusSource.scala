@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftbus` — a DataSourceV2 micro-batch streaming source over a
+  * file-backed, partitioned, append-only message log: the sandbox
+  * image of the reference's JetStream subject (file-backed stream,
+  * durable consumer, replay-from-start, explicit ack —
+  * borealis-consumer/src/main.rs:574-592,640-669). No broker runs in
+  * this sandbox, so the BROKER is modeled (a directory of per-partition
+  * append-only logs on any shared filesystem) while the CLIENT half —
+  * the part a Spark engine actually owns — is fully real:
+  *
+  *  - **offset control (S3/S13)**: offsets are per-partition byte
+  *    positions, serialized into the checkpoint as JSON; a restarted
+  *    query resumes from the committed offset exactly like a durable
+  *    JetStream consumer resumes from its ack floor. `startingoffsets`
+  *    earliest|latest ≡ `DeliverPolicy::All` | `::New`.
+  *  - **admission control (S4)**: `maxbytespertrigger` caps each
+  *    micro-batch (Spark's `ReadMaxBytes` limit), so a backfill drains
+  *    the log in bounded batches before tailing — the
+  *    `StreamWhileSyncing` gate without a hand-rolled actor.
+  *  - **partitioned parallel read (S16)**: one `InputPartition` per bus
+  *    partition per batch; readers are executor-side and independent.
+  *  - **torn-write safety**: producers may crash mid-line; consumers
+  *    only ever advance to the last newline-terminated record, so a
+  *    partial trailing line is invisible until its terminator lands
+  *    (the file-source analog of a partially-published message never
+  *    being delivered).
+  *
+  * Schema is Kafka-shaped — `partition INT, offset BIGINT, value
+  * STRING` — so `selectExpr("value")` slots into the source-agnostic
+  * [[graft.streaming.BlockIngest.startFrom]] unchanged, which is the
+  * point: swapping file-drop ingest for bus ingest touches ONE line of
+  * caller code, same as swapping in `format("kafka")` on a cluster
+  * with a real broker.
+  *
+  * Scale notes: the log directory must live on a filesystem all
+  * executors see (the same contract JetStream's file store has for its
+  * server). Offsets are byte positions, so `latestOffsets` stats the
+  * file and only scans backward from EOF for the torn-tail probe —
+  * O(tail), not O(log). Batch reads (`spark.read.format("graftbus")`)
+  * plan the full range once for bulk bootstrap (S22 shape).
+  */
+class BusSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftbus"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BusSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graftbus requires .option(\"path\", <topic dir>)")
+    new BusTable(path)
+  }
+}
+
+object BusSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  private def logFile(dir: String, p: Int) = new java.io.File(dir, s"p$p/log")
+
+  /** producer/admin half (tests and probes): create a topic directory
+    * with `partitions` empty per-partition logs
+    */
+  def createTopic(dir: String, partitions: Int): Unit =
+    (0 until partitions).foreach { p =>
+      val f = logFile(dir, p)
+      f.getParentFile.mkdirs()
+      f.createNewFile(): Unit
+    }
+
+  /** append newline-terminated records to one partition's log (the
+    * publish op, main.rs:362-379; append-only like a JetStream file
+    * store — records are immutable once their terminator is written)
+    */
+  def append(dir: String, partition: Int, lines: Seq[String]): Unit = {
+    val out = new java.io.FileOutputStream(logFile(dir, partition), true)
+    try out.write(lines.map(_ + "\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** append raw bytes WITHOUT a terminator — test hook for the
+    * torn-write contract (a crashed producer's partial record)
+    */
+  def appendTorn(dir: String, partition: Int, bytes: Array[Byte]): Unit = {
+    val out = new java.io.FileOutputStream(logFile(dir, partition), true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
+  def partitions(dir: String): Seq[Int] = {
+    val subs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    subs.filter(f => f.isDirectory && f.getName.matches("p\\d+"))
+      .map(_.getName.drop(1).toInt).sorted.toSeq
+  }
+
+  /** per-partition end offsets, advanced only to the last
+    * newline-terminated record: scan backward from EOF in one bounded
+    * tail read (partial trailing lines stay invisible)
+    */
+  def latestOffsets(dir: String): Map[Int, Long] =
+    partitions(dir).map { p =>
+      val f = logFile(dir, p)
+      val len = f.length()
+      p -> (if (len == 0) 0L else lastTerminated(f, len))
+    }.toMap
+
+  private def lastTerminated(f: java.io.File, len: Long): Long = {
+    val in = new java.io.RandomAccessFile(f, "r")
+    try {
+      val chunk = 1 << 16
+      var end = len
+      while (end > 0) {
+        val start = math.max(0L, end - chunk)
+        val buf = new Array[Byte]((end - start).toInt)
+        in.seek(start)
+        in.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return start + i + 1
+          i -= 1
+        }
+        end = start
+      }
+      0L
+    } finally in.close()
+  }
+}
+
+private[sources] class BusTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graftbus:$dir"
+  override def schema(): StructType = BusSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new BusScan(dir, options)
+    }
+}
+
+private[sources] class BusScan(dir: String, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = BusSource.Schema
+  override def description(): String = s"graftbus $dir"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BusMicroBatchStream(dir, options)
+  /** bulk-bootstrap shape: one batch over the full terminated range */
+  override def toBatch: Batch = new Batch {
+    private val ends = BusSource.latestOffsets(dir)
+    override def planInputPartitions(): Array[InputPartition] =
+      ends.toArray.sortBy(_._1).map { case (p, end) =>
+        BusRange(new java.io.File(dir, s"p$p/log").getAbsolutePath, p, 0L, end)
+      }
+    override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
+  }
+}
+
+/** checkpoint-serializable offset: per-partition byte positions (the
+  * consumer's ack floor)
+  */
+private[sources] case class BusOffset(ends: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    ends.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+private[sources] object BusOffset {
+  def fromJson(json: String): BusOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    BusOffset(node.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+  }
+}
+
+private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val startLatest =
+    options.getOrDefault("startingoffsets", "earliest").toLowerCase == "latest"
+  private val maxBytes = Option(options.get("maxbytespertrigger")).map(_.toLong)
+
+  /** Trigger.AvailableNow contract: snapshot the log tails once at
+    * query start; every batch's admission then caps at the snapshot, so
+    * the query drains exactly the pre-subscription backlog (in
+    * limit-sized batches) and terminates even while producers keep
+    * appending — the WaitForFullSync gate (S4).
+    */
+  @volatile private var availableNowCap: Option[Map[Int, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(BusSource.latestOffsets(dir))
+
+  override def initialOffset(): Offset =
+    if (startLatest) BusOffset(BusSource.latestOffsets(dir))
+    else BusOffset(BusSource.partitions(dir).map(_ -> 0L).toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxBytes.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
+
+  /** cap the batch at the limit, advancing partitions round-robin-fairly
+    * (each gets an equal share of the byte budget, aligned DOWN to its
+    * last record terminator inside the share so no record is split)
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[BusOffset].ends
+    val live = BusSource.latestOffsets(dir)
+    // under AvailableNow, never admit past the start-of-query snapshot
+    val latest = availableNowCap match {
+      case Some(cap) => live.map { case (p, e) => p -> math.min(e, cap.getOrElse(p, 0L)) }
+      case None => live
+    }
+    limit match {
+      case mb: ReadMaxBytes =>
+        val parts = latest.keys.toSeq.sorted
+        val share = math.max(1L, mb.maxBytes / math.max(1, parts.size))
+        BusOffset(parts.map { p =>
+          val s = from.getOrElse(p, 0L)
+          val hardEnd = math.min(latest(p), s + share)
+          // align the capped end to a record boundary by scanning the
+          // [s, hardEnd] window's tail; full-range ends are already aligned
+          val end =
+            if (hardEnd == latest(p)) hardEnd
+            else alignToNewline(new java.io.File(dir, s"p$p/log"), s, hardEnd)
+          p -> end
+        }.toMap)
+      case _ => BusOffset(latest)
+    }
+  }
+
+  private def alignToNewline(f: java.io.File, start: Long, cap: Long): Long = {
+    if (cap <= start) return start
+    val in = new java.io.RandomAccessFile(f, "r")
+    try {
+      val buf = new Array[Byte]((cap - start).toInt)
+      in.seek(start)
+      in.readFully(buf)
+      var i = buf.length - 1
+      while (i >= 0) {
+        if (buf(i) == '\n') return start + i + 1
+        i -= 1
+      }
+      start // no complete record fits the budget: hold position
+    } finally in.close()
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].ends
+    val e = end.asInstanceOf[BusOffset].ends
+    e.toArray.sortBy(_._1).flatMap { case (p, endOff) =>
+      val startOff = s.getOrElse(p, 0L)
+      if (endOff > startOff)
+        Some(BusRange(new java.io.File(dir, s"p$p/log").getAbsolutePath, p, startOff, endOff))
+      else None
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
+  override def deserializeOffset(json: String): Offset = BusOffset.fromJson(json)
+  override def commit(end: Offset): Unit = () // ack ≡ checkpoint commit
+  override def stop(): Unit = ()
+}
+
+/** one bus partition's byte range for one batch */
+private[sources] case class BusRange(path: String, partition: Int, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] object BusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[BusRange]
+    new PartitionReader[InternalRow] {
+      private val in = new java.io.RandomAccessFile(r.path, "r")
+      in.seek(r.start)
+      private var pos = r.start
+      private var row: InternalRow = _
+      private val line = new java.io.ByteArrayOutputStream(256)
+
+      override def next(): Boolean = {
+        if (pos >= r.end) return false
+        val recordStart = pos
+        line.reset()
+        var b = in.read()
+        pos += 1
+        while (b != -1 && b != '\n' && pos <= r.end) {
+          line.write(b)
+          b = in.read()
+          pos += 1
+        }
+        // ranges end on record boundaries by construction, so b == '\n'
+        row = new GenericInternalRow(Array[Any](
+          r.partition, recordStart, UTF8String.fromBytes(line.toByteArray)))
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}
