@@ -1,0 +1,167 @@
+package graft.functions
+
+/** REAL pure-JVM media container codecs for the uncompressed formats —
+  * RIFF/PCM WAV (audio) and PPM P6 (image). Both formats are public
+  * specifications simple enough to parse without any codec library, so
+  * the multimodal pipeline's decode step is genuinely real for them;
+  * only compressed codecs (JPEG/MP3/H.264) remain behind
+  * [[graft.llm.Multimodal]]'s clearly-marked stub, because this
+  * container ships no codec libraries.
+  *
+  * Everything here is byte-exact and integer-only on the hot path, so
+  * decoded statistics are reproducible by the DuckDB oracle from the
+  * same integer formulas — a wrong header offset, endianness slip, or
+  * off-by-one in either the writer or the parser diverges the numbers
+  * and fails the hash gate.
+  */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------- WAV
+
+  /** minimal RIFF/WAVE writer: PCM16 mono little-endian, the canonical
+    * 44-byte header layout
+    */
+  def wavWrite(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataLen) // riff chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // fmt chunk size (PCM)
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(1) // channels: mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataLen)
+    for (s <- samples) buf.putShort(s)
+    buf.array()
+  }
+
+  final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int, samples: Array[Short])
+
+  /** real RIFF parser: walks the chunk list (tolerating extra chunks
+    * like LIST/INFO in any position and odd-length chunk padding per
+    * the RIFF spec), reads the fmt contract, decodes the data chunk's
+    * little-endian PCM16 frames. Throws on structural corruption
+    * rather than guessing.
+    */
+  def wavParse(bytes: Array[Byte]): Wav = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, s"truncated RIFF: ${bytes.length} bytes")
+    require(tag() == "RIFF", "not a RIFF container")
+    buf.getInt // riff size (trusted only as a hint; chunk walk is bounded by the buffer)
+    require(tag() == "WAVE", "RIFF is not WAVE")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(), s"chunk $id overruns container")
+      val chunkStart = buf.position()
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val fmt = buf.getShort
+          require(fmt == 1, s"not PCM (format $fmt)")
+          channels = buf.getShort.toInt
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort.toInt
+        case "data" =>
+          data = new Array[Byte](size)
+          buf.get(data)
+        case _ => () // skip unknown chunk (LIST, fact, ...)
+      }
+      // advance to next chunk: declared size + RIFF word-align padding
+      buf.position(chunkStart + size + (size & 1))
+    }
+    require(sampleRate > 0 && bits == 16 && channels == 1,
+      s"unsupported fmt: rate=$sampleRate bits=$bits ch=$channels")
+    require(data != null, "no data chunk")
+    val n = data.length / 2
+    val out = new Array[Short](n)
+    val db = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { out(i) = db.getShort; i += 1 }
+    Wav(sampleRate, channels, bits, out)
+  }
+
+  // ---------------------------------------------------------------- PPM
+
+  /** minimal PPM P6 writer: binary RGB, maxval 255 */
+  def ppmWrite(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  final case class Ppm(w: Int, h: Int, rgb: Array[Byte])
+
+  /** real PPM P6 parser: handles the spec's whitespace runs and
+    * `#`-comment lines between header tokens, asserts maxval 255,
+    * reads exactly w*h*3 raster bytes
+    */
+  def ppmParse(bytes: Array[Byte]): Ppm = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else in = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < bytes.length && !" \n\r\t".contains(bytes(pos).toChar)) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 PPM")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"unsupported maxval $maxval")
+    pos += 1 // the single whitespace byte after maxval, per spec
+    require(bytes.length - pos >= w * h * 3,
+      s"raster truncated: ${bytes.length - pos} < ${w * h * 3}")
+    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)
+    Ppm(w, h, rgb)
+  }
+
+  /** real nearest-neighbor resize on a parsed raster: integer source
+    * mapping `src = dst * srcDim / dstDim` (floor), byte-exact and
+    * therefore oracle-reproducible
+    */
+  def ppmResize(img: Ppm, dw: Int, dh: Int): Ppm = {
+    val out = new Array[Byte](dw * dh * 3)
+    var v = 0
+    while (v < dh) {
+      val sy = v * img.h / dh
+      var u = 0
+      while (u < dw) {
+        val sx = u * img.w / dw
+        val si = (sy * img.w + sx) * 3
+        val di = (v * dw + u) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1); out(di + 2) = img.rgb(si + 2)
+        u += 1
+      }
+      v += 1
+    }
+    Ppm(dw, dh, out)
+  }
+}

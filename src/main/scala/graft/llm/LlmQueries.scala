@@ -1307,6 +1307,82 @@ object LlmQueries {
   //    across all SFs (verified), so ascii(substr(text,1,1)) ≡ the
   //    JVM's signed-byte toInt, and (w*scale).toInt ≡ floor for the
   //    positive scale.
+  // -- m06: REAL audio decode — actual RIFF/PCM16 WAV files (real
+  //    writer, real chunk-walking parser, no codec library needed for
+  //    the uncompressed container) with integer-sawtooth content, so
+  //    the oracle re-derives peak / total amplitude / zero crossings
+  //    from the same formulas without touching binaries. Any header
+  //    offset, endianness, or sample-decode bug in EITHER direction
+  //    diverges the statistics and fails the hash gate. Upgrades the
+  //    m02 stub story: only compressed codecs remain stubbed.
+  private val m06 = Q(
+    "m06_wav_decode",
+    (s, d) =>
+      Multimodal
+        .wavFeatures(s, Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id, 8000 AS sr,
+                        400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+                 FROM documents),
+      sm AS (SELECT media_id, sr, n, i.i AS i,
+               ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+             FROM p, (SELECT unnest(range(600)) AS i) i WHERE i.i < n),
+      lg AS (SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM sm)
+      SELECT media_id,
+             CAST(sr AS BIGINT) AS sample_rate,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(sum(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+      FROM lg GROUP BY media_id, sr, n
+    """.trim))
+
+  // -- m07: REAL image decode + resize — actual PPM P6 files parsed by
+  //    a real header/raster reader (whitespace/comment handling, maxval
+  //    contract), channel sums over the raster, then a REAL
+  //    nearest-neighbor resize into an aspect-preserving 8-px box with
+  //    integer source mapping (sx = u·w/dw) — every decoded and resized
+  //    statistic byte-exactly reproduced by the oracle from the fixture
+  //    formulas. Upgrades the m04 stub the same way as m06/m02.
+  private val m07 = Q(
+    "m07_ppm_decode",
+    (s, d) =>
+      Multimodal
+        .ppmFeatures(s, Multimodal.ppmTable(s, Tables.documents(s, d)), maxDim = 8)
+        .toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id,
+                        16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                 FROM documents),
+      px AS (SELECT media_id, w, h,
+               SUM((x.x * 3 + y.y * 5 + media_id) % 256) AS sum_r,
+               SUM((x.x * 7 + y.y + 2 * media_id) % 256) AS sum_g,
+               SUM((x.x + y.y * 11 + 3 * media_id) % 256) AS sum_b
+             FROM p, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+             WHERE x.x < w AND y.y < h GROUP BY media_id, w, h),
+      d AS (SELECT media_id, w, h,
+              GREATEST(1, (w * 8) // GREATEST(w, h)) AS dw,
+              GREATEST(1, (h * 8) // GREATEST(w, h)) AS dh
+            FROM p),
+      rz AS (SELECT d.media_id,
+               SUM(((u.u * w // dw) * 3 + (v.v * h // dh) * 5 + d.media_id) % 256) AS rsum_r,
+               SUM(((u.u * w // dw) * 7 + (v.v * h // dh) + 2 * d.media_id) % 256) AS rsum_g,
+               SUM(((u.u * w // dw) + (v.v * h // dh) * 11 + 3 * d.media_id) % 256) AS rsum_b
+             FROM d, (SELECT unnest(range(8)) AS u) u, (SELECT unnest(range(8)) AS v) v
+             WHERE u.u < dw AND v.v < dh GROUP BY d.media_id),
+      dm AS (SELECT media_id, w, h, dw, dh FROM d)
+      SELECT px.media_id,
+             CAST(px.w AS BIGINT) AS width, CAST(px.h AS BIGINT) AS height,
+             CAST(px.sum_r AS BIGINT) AS sum_r, CAST(px.sum_g AS BIGINT) AS sum_g,
+             CAST(px.sum_b AS BIGINT) AS sum_b,
+             CAST(dm.dw AS BIGINT) AS dst_w, CAST(dm.dh AS BIGINT) AS dst_h,
+             CAST(rz.rsum_r AS BIGINT) AS rsum_r, CAST(rz.rsum_g AS BIGINT) AS rsum_g,
+             CAST(rz.rsum_b AS BIGINT) AS rsum_b
+      FROM px JOIN dm ON dm.media_id = px.media_id
+              JOIN rz ON rz.media_id = px.media_id
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -1382,5 +1458,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -164,4 +164,63 @@ class CodecSpec extends AnyFunSuite {
     assert(zstdCompress(doc).length < doc.length / 2)
     assert(lz4Compress(doc).length < doc.length)
   }
+
+  test("WAV writer/parser round-trip property; canonical 44-byte header") {
+    import graft.functions.MediaCodecs._
+    check(Prop.forAll(Gen.listOf(Arbitrary.arbitrary[Short]), Gen.choose(1, 192000)) {
+      (ss, rate) =>
+        val wav = wavParse(wavWrite(ss.toArray, rate))
+        wav.sampleRate == rate && wav.samples.toSeq == ss &&
+        wav.channels == 1 && wav.bitsPerSample == 16
+    })
+    val bytes = wavWrite(Array[Short](1, -1), 8000)
+    assert(bytes.length == 44 + 4)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    // PCM16 LE: 1 -> 01 00, -1 -> ff ff
+    assert(bytes.slice(44, 48).toSeq == Seq[Byte](1, 0, -1, -1))
+  }
+
+  test("WAV parser walks unknown chunks (LIST before data, odd-size padding)") {
+    import graft.functions.MediaCodecs._
+    val base = wavWrite(Array[Short](5, -5, 7), 16000)
+    // splice a 3-byte LIST chunk (odd size => 1 pad byte) between fmt and data
+    val head = base.take(36) // RIFF..WAVE + fmt chunk
+    val tail = base.drop(36) // data chunk
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = head ++ list ++ tail
+    val wav = wavParse(spliced)
+    assert(wav.samples.toSeq == Seq[Short](5, -5, 7) && wav.sampleRate == 16000)
+    // structural corruption is rejected, not guessed at
+    intercept[IllegalArgumentException](wavParse(base.take(10)))
+    intercept[IllegalArgumentException](wavParse("JUNK".getBytes ++ base.drop(4)))
+  }
+
+  test("PPM writer/parser round-trip; header comments and whitespace per spec") {
+    import graft.functions.MediaCodecs._
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 37 % 256).toByte)
+    val img = ppmParse(ppmWrite(3, 2, rgb))
+    assert(img.w == 3 && img.h == 2 && img.rgb.toSeq == rgb.toSeq)
+    // a spec-legal header with comment lines and mixed whitespace
+    val commented = "P6 # comment\n# another\n 3\t2 # dims\n255\n".getBytes("US-ASCII") ++ rgb
+    val img2 = ppmParse(commented)
+    assert(img2.w == 3 && img2.h == 2 && img2.rgb.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](ppmParse(ppmWrite(3, 2, rgb).dropRight(1)))
+    intercept[IllegalArgumentException](
+      ppmParse("P6\n1 1\n65535\n??????".getBytes("US-ASCII")))
+  }
+
+  test("PPM nearest-neighbor resize matches a brute-force reference") {
+    import graft.functions.MediaCodecs._
+    check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {
+      (w, h, dw, dh) =>
+        val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 7) % 256).toByte)
+        val out = ppmResize(Ppm(w, h, rgb), dw, dh)
+        val expect = for {
+          v <- 0 until dh; u <- 0 until dw; c <- 0 until 3
+        } yield rgb(((v * h / dh) * w + (u * w / dw)) * 3 + c)
+        out.w == dw && out.h == dh && out.rgb.toSeq == expect
+    })
+  }
 }
