@@ -279,27 +279,51 @@ private[sources] case class BusRange(path: String, partition: Int, start: Long, 
     extends InputPartition
 
 private[sources] object BusReaderFactory extends PartitionReaderFactory {
+  /** buffered chunk size: bounds reader memory regardless of how large
+    * an uncapped (allAvailable) range is, while keeping syscalls at
+    * one per megabyte instead of one per byte
+    */
+  private val ChunkSize = 1 << 20
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[BusRange]
     new PartitionReader[InternalRow] {
       private val in = new java.io.RandomAccessFile(r.path, "r")
       in.seek(r.start)
-      private var pos = r.start
+      private var pos = r.start // logical range cursor
+      private val buf = new Array[Byte](ChunkSize)
+      private var bufLen = 0
+      private var bufOff = 0
       private var row: InternalRow = _
       private val line = new java.io.ByteArrayOutputStream(256)
+
+      private def refill(): Boolean = {
+        val want = math.min(ChunkSize.toLong, r.end - pos - (bufLen - bufOff)).toInt
+        if (want <= 0) return bufOff < bufLen
+        // preserve any un-consumed tail (a record spanning chunks)
+        if (bufOff > 0 && bufOff < bufLen)
+          System.arraycopy(buf, bufOff, buf, 0, bufLen - bufOff)
+        bufLen -= bufOff
+        bufOff = 0
+        val n = in.read(buf, bufLen, math.min(want, ChunkSize - bufLen))
+        if (n > 0) bufLen += n
+        bufOff < bufLen
+      }
 
       override def next(): Boolean = {
         if (pos >= r.end) return false
         val recordStart = pos
         line.reset()
-        var b = in.read()
-        pos += 1
-        while (b != -1 && b != '\n' && pos <= r.end) {
-          line.write(b)
-          b = in.read()
-          pos += 1
+        var done = false
+        while (!done) {
+          if (bufOff >= bufLen && !refill()) done = true // defensive: range should end on '\n'
+          else {
+            val b = buf(bufOff)
+            bufOff += 1
+            pos += 1
+            if (b == '\n') done = true else line.write(b.toInt)
+          }
         }
-        // ranges end on record boundaries by construction, so b == '\n'
         row = new GenericInternalRow(Array[Any](
           r.partition, recordStart, UTF8String.fromBytes(line.toByteArray)))
         true
