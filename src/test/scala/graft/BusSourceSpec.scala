@@ -106,6 +106,46 @@ class BusSourceSpec extends AnyFunSuite {
     assert(seen2.toSeq == Seq("partial", "whole1"))
   }
 
+  test("delivery matches a byte-level reference model under random append/torn sequences (property)") {
+    // model: each partition is the raw byte string appended so far; the
+    // delivered records are exactly the '\n'-terminated prefix, split on
+    // '\n', with each record's offset = byte position of its first byte
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val nParts = 1 + rnd.nextInt(3)
+      val dir = newTopic(nParts)
+      val model = Array.fill(nParts)(new StringBuilder)
+      for (_ <- 0 until 12) {
+        val p = rnd.nextInt(nParts)
+        rnd.nextInt(3) match {
+          case 0 => // whole records
+            val lines = Seq.fill(1 + rnd.nextInt(3))(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+            BusSource.append(dir, p, lines)
+            lines.foreach(l => model(p) ++= l + "\n")
+          case 1 => // torn fragment, no terminator
+            val frag = rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+            BusSource.appendTorn(dir, p, frag.getBytes("UTF-8"))
+            model(p) ++= frag
+          case 2 => // terminate whatever is outstanding (possibly empty record)
+            BusSource.appendTorn(dir, p, "\n".getBytes("UTF-8"))
+            model(p) += '\n'
+        }
+      }
+      val expected = (for (p <- 0 until nParts) yield {
+        val bytes = model(p).toString
+        val cut = bytes.lastIndexOf('\n') + 1 // only the terminated prefix delivers
+        var off = 0L
+        bytes.take(cut).split("\n", -1).dropRight(1).map { rec =>
+          val r = (p, off, rec); off += rec.getBytes("UTF-8").length + 1; r
+        }
+      }).flatten.toSet
+      val got = spark.read.format("graftbus").option("path", dir).load().collect()
+        .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"), r.getAs[String]("value")))
+        .toSet
+      assert(got == expected, s"seed $seed diverged:\n got=$got\n exp=$expected")
+    }
+  }
+
   test("startingoffsets=latest subscribes at the tail (DeliverPolicy::New)") {
     val dir = newTopic(1)
     BusSource.append(dir, 0, Seq("old1", "old2"))

@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // must see the centroids as a broadcast (nCentroids ~ sqrt(corpus)
     // rows), with the only corpus-wide exchange the vec_id argmax window
     for (name <- Seq("s04_ivf_topk", "s04b_ivf_kmeans_topk",
-        "d14_semdedup", "x05_cluster_mix", "s09_ivfpq_topk")) {
+        "d14_semdedup", "x05_cluster_mix", "s09_ivfpq_topk", "s11_filtered_topk")) {
       val plan = planOf(name)
       assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
         s"$name does not broadcast its centroids")
@@ -99,8 +99,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // operator whose 100 TB contract is "runs at scan speed"
     for (name <- Seq(
         "t01_lang_id", "t02_quality_score", "t03_token_count", "t04_fingerprint",
-        "t08_normalize_unicode", "t09_pii_redact",
-        "e01_quantize_int8", "d04_simhash", "p01_split_assign", "m01_multimodal_meta")) {
+        "t08_normalize_unicode", "t09_pii_redact", "t10_gopher_rules",
+        "e01_quantize_int8", "d04_simhash", "p01_split_assign", "m01_multimodal_meta",
+        "m06_wav_decode", "m07_ppm_decode")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n$plan")
     }
