@@ -566,6 +566,30 @@ object LlmQueries {
   //    deterministic doc_id hash (u < 0.8 = corpus, else delta); the
   //    band join is asymmetric (delta x corpus, never corpus x corpus),
   //    so candidate cost scales with |delta|, not |corpus|^2.
+  /** shared oracle for d11 (in-query index) and d15 (standing parquet
+    * index): both compute the exact corpus-vs-delta banded near-dup
+    * pairs, and an index over the whole corpus answers identically to
+    * the in-query rebuild — one oracle covers both, the s10/s09 twin
+    * recipe applied to the lexical family.
+    */
+  private lazy val incrementalNearDupOracle: String = {
+    def uh(q: String) =
+      s"CAST(concat('0x', substr(md5(CAST($q.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
+    s"""
+      WITH $shingleCte,
+      $sigCte,
+      bands AS (${(0 until K / R)
+        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+               WHERE ${uh("a")} < 0.8 AND ${uh("b")} >= 0.8),
+      $jaccardCtes
+      SELECT d1 AS corpus_doc, d2 AS delta_doc, jac
+      FROM (${jaccardSelect(0.8)})
+      """.trim
+  }
+
   private val d11 = Q(
     "d11_incremental_neardup",
     (s, d) => {
@@ -581,23 +605,66 @@ object LlmQueries {
       Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
         .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
     },
-    Some {
-      def uh(q: String) =
-        s"CAST(concat('0x', substr(md5(CAST($q.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
-      s"""
-      WITH $shingleCte,
-      $sigCte,
-      bands AS (${(0 until K / R)
-        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
-        .mkString(" UNION ALL ")}),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-               WHERE ${uh("a")} < 0.8 AND ${uh("b")} >= 0.8),
-      $jaccardCtes
-      SELECT d1 AS corpus_doc, d2 AS delta_doc, jac
-      FROM (${jaccardSelect(0.8)})
-      """.trim
-    })
+    Some(incrementalNearDupOracle))
+
+  // -- d15: near-dup against a STANDING lexical index — s10's recipe
+  //    applied to the MinHash family, closing the same honest gap d11
+  //    carried (it re-shingles and re-signs the corpus inside the
+  //    query). The persisted index holds the two tables a production
+  //    dedup service keeps warm: the capped (doc_id, h64) shingle
+  //    inverted index and the (doc_id, band, bv) LSH band table. Both
+  //    are per-doc pure functions, and the one corpus-wide input — the
+  //    stop-shingle set — is FROZEN at build time as versioned index
+  //    state (exactly s10's frozen quantizer/codebook), so a delta
+  //    batch appended against the frozen stops is provably identical
+  //    to a full rebuild. The search: encode ONLY the delta (shingle +
+  //    sign against frozen stops), band-join it against the standing
+  //    parquet bands, Jaccard-verify candidates with corpus shingle
+  //    sets read from the index — the corpus text is never touched.
+  //    Index over the whole corpus => same answers as d11's in-query
+  //    rebuild => same oracle.
+  private val d15 = Q(
+    "d15_standing_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
+        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
+      // one shingle explosion for the whole entry: stops, base, tail,
+      // and delta all slice the cached (doc_id, h64) table instead of
+      // re-exploding their share of the corpus (text is the widest
+      // intermediate of the family — this is d11's cache reasoning
+      // applied across the build+search composite)
+      val shAll = Dedup.shingles(docs).select("doc_id", "h64").cache()
+      // frozen index state: the corpus-wide stop set (df > MaxDf)
+      val stops = shAll
+        .groupBy("h64").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxDf).select("h64")
+      def encode(pred: org.apache.spark.sql.Column) = {
+        val sh = shAll.filter(pred)
+          .join(broadcast(stops), Seq("h64"), "left_anti")
+        (sh, Dedup.bandTable(Dedup.minhashSigs(sh, K), K, R))
+      }
+      val idxDir = new java.io.File("target/graft_idx/d15_neardup").getAbsolutePath
+      // standing build, the production way: base written once, a later
+      // batch APPENDED against the same frozen stops
+      val (shBase, bdBase) = encode(u < 0.8 && col("doc_id") % 10 =!= 7)
+      shBase.write.mode("overwrite").parquet(s"$idxDir/shingles")
+      bdBase.write.mode("overwrite").parquet(s"$idxDir/bands")
+      val (shTail, bdTail) = encode(u < 0.8 && col("doc_id") % 10 === 7)
+      shTail.write.mode("append").parquet(s"$idxDir/shingles")
+      bdTail.write.mode("append").parquet(s"$idxDir/bands")
+      // search: delta-only encode, probe the standing parquet
+      val (shDelta, bdDelta) = encode(u >= 0.8)
+      val cand = s.read.parquet(s"$idxDir/bands")
+        .select(col("band"), col("bv"), col("doc_id").as("d1"))
+        .join(bdDelta.select(col("band"), col("bv"), col("doc_id").as("d2")),
+          Seq("band", "bv"))
+        .select("d1", "d2").distinct()
+      val sh = s.read.parquet(s"$idxDir/shingles").unionByName(shDelta)
+      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
+        .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
+    },
+    Some(incrementalNearDupOracle))
 
   // -- e01: int8 scalar quantization of the embedding column — the
   //    compression step an ANN index at 100 TB runs before storage
@@ -1458,5 +1525,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -341,6 +341,28 @@ class LlmSpec extends AnyFunSuite {
     assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
   }
 
+  test("d15: standing lexical index equals a full rebuild; search answers match d11 exactly") {
+    // running the entry builds the base+append parquet index eagerly
+    val standingAns = Catalog.byName("d15_standing_neardup").run(spark, sf)
+    val inlineAns = Catalog.byName("d11_incremental_neardup").run(spark, sf)
+    assert(standingAns.except(inlineAns).isEmpty && inlineAns.except(standingAns).isEmpty,
+      "standing-index search diverged from the in-query rebuild")
+    // base + appended batches against the frozen stop set must equal a
+    // single-shot encode of the whole corpus (the s06/s10 equivalence
+    // claim, lexical edition)
+    val docsAll = Tables.documents(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast("string")) /
+      lit(1152921504606846976.0)
+    val rebuilt = Dedup
+      .bandTable(Dedup.minhashSigs(Dedup.shingleIndex(Dedup.shingles(docsAll), 1000), 8), 8, 2)
+      .join(docsAll.filter(u < 0.8).select("doc_id"), "doc_id")
+      .select("doc_id", "band", "bv")
+    val standing = spark.read.parquet("target/graft_idx/d15_neardup/bands")
+      .select("doc_id", "band", "bv")
+    assert(standing.except(rebuilt).isEmpty && rebuilt.except(standing).isEmpty,
+      "append ≠ rebuild for the standing band table")
+  }
+
   test("s11: filtered top-k returns only predicate rows, from probed lists, with fair recall") {
     val rows = Catalog.byName("s11_filtered_topk").run(spark, sf).collect()
     assert(rows.length == 10, s"filtered search returned ${rows.length} rows")

@@ -83,6 +83,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "standing search re-scans the float corpus as much as the rebuild path")
   }
 
+  test("d15 probes a standing parquet lexical index") {
+    // the search stage must scan the persisted shingle/band parquet,
+    // not re-shingle the corpus (the delta side is the only text touch)
+    val plan = planOf("d15_standing_neardup")
+    assert(plan.contains("graft_idx"), "standing shingle/band parquet not scanned")
+  }
+
   test("c02's bloom prefilter is a codegen expression, not a ScalaUDF") {
     // the probe runs on every train-side shingle — the hottest row path
     // of the operator. A ScalaUDF there breaks whole-stage codegen for
