@@ -391,6 +391,67 @@ object Curation {
     },
     Some(contamOracle))
 
+  /** c03 verdict threshold: a train doc is flagged when >= 20% of its
+    * distinct 5-grams appear anywhere in the test split.
+    */
+  val ContamRatio = 0.2
+
+  // -- c03: per-document contamination RATIO + verdict — the doc-level
+  //    decision layer over c01/c02's pair counts (the published
+  //    decontamination recipes drop a train doc when the overlapping
+  //    fraction of its n-grams crosses a threshold, not on first
+  //    collision). The test split's distinct shingle HASHES collapse
+  //    to one corpus-independent set (tiny: |test shingles|, not
+  //    |test docs| x positions) broadcast against the train side, so
+  //    the verdict is one map-side left join + one doc-keyed
+  //    aggregation — no train x test pair blow-up at any corpus size;
+  //    at 100 TB the broadcast set swaps for c02's bloom prefilter
+  //    with an exact-verify tail, same output. The ratio is one
+  //    bigint/bigint double division (exact IEEE both engines) and
+  //    the verdict compares that raw double against the threshold —
+  //    rounding only the emitted image (t05's rank-on-raw rule).
+  private val c03 = Q(
+    "c03_contamination_ratio",
+    (s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), ContamN)
+        .withColumn("u", unitHash(col("doc_id")))
+      val testSet = sh.filter(col("u") >= 0.95)
+        .select(col("h64")).distinct()
+        .withColumn("hit", lit(1L))
+      val ratio = col("n_hit") / col("n_shingles")
+      sh.filter(col("u") < 0.9)
+        .join(broadcast(testSet), Seq("h64"), "left")
+        .groupBy(col("doc_id").as("train_doc"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(
+          col("train_doc"), col("n_shingles"), col("n_hit"),
+          round(ratio, 6).as("hit_ratio"),
+          (ratio >= lit(ContamRatio)).as("contaminated"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, $duckUnitHash AS u
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, u,
+                    CAST(concat('0x', substr(md5(
+                      ${(0 until ContamN).map(k => s"toks[i.i+${k + 1}]").mkString(" || ' ' || ")}
+                    ), 1, 15)) AS BIGINT) AS h64
+             FROM t, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
+             WHERE len(toks) >= $ContamN AND i.i <= len(toks) - $ContamN),
+      te AS (SELECT DISTINCT h64 FROM sh WHERE u >= 0.95),
+      agg AS (SELECT tr.doc_id AS train_doc,
+                     count(*) AS n_shingles,
+                     SUM(CASE WHEN te.h64 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+              FROM sh tr LEFT JOIN te ON tr.h64 = te.h64
+              WHERE tr.u < 0.9
+              GROUP BY 1)
+      SELECT train_doc, n_shingles, CAST(n_hit AS BIGINT) AS n_hit,
+             round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS hit_ratio,
+             CAST(n_hit AS DOUBLE) / n_shingles >= $ContamRatio AS contaminated
+      FROM agg
+    """.trim))
+
   // -- v01: corpus vocabulary — top-1000 terms by frequency (the
   //    tokenizer-training view). The window runs over the POST-agg
   //    vocabulary (distinct terms), not the corpus: a global top-k on
@@ -1205,5 +1266,59 @@ object Curation {
       SELECT doc_id, shard, pos, (pos - 1) * 8 + shard AS global_pos FROM r
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, t05, t06, t07, d08, d13, c01, c02, v01, v02, v03, v04, x01, x02, x04, x05)
+  // -- p09: curriculum ordering — the stage-sequenced read order
+  //    quality-curriculum training uses (clean docs first, noisier
+  //    later). Stage is a CONSTANT-thresholded bin on the stopword
+  //    ratio (t01's quality proxy; thresholds are literals, so the
+  //    stage is a map-side pure function — no global quantile pass),
+  //    and the within-stage pseudo-random order is p08's recipe
+  //    re-partitioned by (stage, shard): each window sorts one
+  //    stage-shard slice (never a whole stage, never the corpus), and
+  //    `(rank-1)·nShards + shard` interleaves the shards into a total
+  //    per-stage order. global_pos = stage·2^40 + pos_in_stage is an
+  //    ORDER KEY (sparse, not dense — same contract as p08's
+  //    interleave): 2^40 caps a stage at ~10^12 positions, beyond any
+  //    single curriculum stage. Everything is a pure function of
+  //    (doc_id, text), so appends and re-runs never reorder existing
+  //    rows.
+  private val p09 = Q(
+    "p09_curriculum",
+    (s, d) => {
+      val nShards = 8
+      val stopR = TextAnalysis.stopwordRatio()
+      val stage = when(stopR >= 0.15, 0L).when(stopR >= 0.10, 1L)
+        .when(stopR >= 0.05, 2L).otherwise(3L)
+      val shard = floor(unitHash(col("doc_id")) * nShards).cast(LongType)
+      val ordU = graft.functions.ColumnFns.md5_prefix64(
+        concat(col("doc_id").cast(StringType), lit("#c")))
+      val w = Window.partitionBy(col("stage"), col("shard")).orderBy(col("ou"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stage.as("stage"), shard.as("shard"), ordU.as("ou"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .select(
+          col("doc_id"), col("stage"), col("shard"),
+          ((col("rk") - 1L) * nShards + col("shard")).as("pos_in_stage"))
+        .withColumn("global_pos", col("stage") * lit(1L << 40) + col("pos_in_stage"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x)))
+            AS DOUBLE) / len(string_split(text, ' ')) AS sr
+        FROM documents),
+      a AS (SELECT doc_id,
+          CASE WHEN sr >= 0.15 THEN 0 WHEN sr >= 0.10 THEN 1
+               WHEN sr >= 0.05 THEN 2 ELSE 3 END AS stage,
+          CAST(floor($duckUnitHash * 8) AS BIGINT) AS shard,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#c'), 1, 15)) AS BIGINT) AS ou
+        FROM t),
+      r AS (SELECT doc_id, CAST(stage AS BIGINT) AS stage, shard,
+          CAST(row_number() OVER (PARTITION BY stage, shard ORDER BY ou, doc_id) AS BIGINT) AS rk
+        FROM a)
+      SELECT doc_id, stage, shard, (rk - 1) * 8 + shard AS pos_in_stage,
+             stage * ${1L << 40} + (rk - 1) * 8 + shard AS global_pos
+      FROM r
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, x01, x02, x04, x05)
 }

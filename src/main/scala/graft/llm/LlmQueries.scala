@@ -1033,6 +1033,101 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
+  // -- s12: BM25 lexical top-k retrieval — the term-match twin of the
+  //    vector family (s01-s11), and the retrieval shape RAG /
+  //    decontamination pipelines run against a lexical index. The
+  //    corpus (u < 0.95) is flattened to the classic inverted-index
+  //    relations — postings tf(doc, term), df(term), doc length
+  //    dl(doc) — and each query doc (u >= 0.95) probes with its top-4
+  //    terms by (tf, term) so the posting join's cost is bounded by
+  //    |queries| x qTerms x avg-posting-length, never |corpus|^2. At
+  //    100 TB the postings partition by term (the join key), df
+  //    broadcasts (vocabulary-sized), and the dl join is doc_id-keyed
+  //    and bucketable; impact-ordered posting truncation is the knob
+  //    this plan leaves open. Scoring is the RATIONAL-idf BM25 variant
+  //    (t05's reasoning: (N-df+0.5)/(df+0.5) without the ln() wrapper
+  //    — exact IEEE ops on both engines, no libm last-ulp parity
+  //    risk); per-term contributions are rounded to 6dp and summed as
+  //    DECIMAL(18,6) so the score is order-insensitive and the rank
+  //    boundary engine-identical (the q50/x05 decimal discipline).
+  private val s12 = Q(
+    "s12_bm25_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K1 = 1.2
+      val B = 0.75
+      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
+        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
+      val tf = Tables.documents(s, d)
+        .withColumn("u", u)
+        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
+      val corpusTf = tf.filter(col("u") < 0.95).drop("u")
+      val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val df = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
+      // corpus-wide scalars, frozen as literals (t05's count() shape):
+      // exact integers so avgdl enters the formula as dl*N/sumdl —
+      // one double division instead of an engine-specific AVG.
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      val nCorpus = stats.getLong(0).toDouble
+      val sumDl = stats.getLong(1).toDouble
+      val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+      val qTerms = tf.filter(col("u") >= 0.95)
+        .withColumn("qr", row_number().over(wq))
+        .filter(col("qr") <= 4)
+        .select(col("doc_id").as("query_doc"), col("term"))
+      val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val lenNorm = lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+      val tfNorm = col("tf").cast(DoubleType) * lit(K1 + 1.0) /
+        (col("tf").cast(DoubleType) + lit(K1) * lenNorm)
+      val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+      val scored = qTerms
+        .join(corpusTf.withColumnRenamed("doc_id", "corpus_doc"), "term")
+        .join(broadcast(df), "term")
+        .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+        .groupBy("query_doc", "corpus_doc")
+        .agg(sum(contrib).as("sdec"))
+      val wr = Window.partitionBy("query_doc").orderBy(col("sdec").desc, col("corpus_doc"))
+      scored
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("query_doc"), col("corpus_doc"),
+          col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
+    },
+    Some(s"""
+      WITH tf AS (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      / 1152921504606846976.0 AS u,
+                    unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tfc AS (SELECT doc_id, u, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM ctf GROUP BY 1),
+      dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+      qt AS (SELECT doc_id AS query_doc, term FROM tfc WHERE u >= 0.95
+             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 4),
+      contrib AS (SELECT q.query_doc, c.doc_id AS corpus_doc,
+                    CAST(round(((st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+                      * (CAST(c.tf AS DOUBLE) * 2.2
+                         / (CAST(c.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * st.n / st.s))), 6)
+                      AS DECIMAL(18, 6)) AS contrib
+                  FROM qt q
+                  JOIN ctf c USING (term)
+                  JOIN dfc USING (term)
+                  JOIN dl ON dl.doc_id = c.doc_id
+                  CROSS JOIN st),
+      scored AS (SELECT query_doc, corpus_doc, SUM(contrib) AS sdec
+                 FROM contrib GROUP BY 1, 2)
+      SELECT query_doc, corpus_doc, CAST(sdec AS DOUBLE) AS score,
+             CAST(row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY sdec DESC, corpus_doc ASC) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_doc
+                                 ORDER BY sdec DESC, corpus_doc ASC) <= 5
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -1525,5 +1620,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

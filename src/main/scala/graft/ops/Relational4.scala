@@ -561,6 +561,75 @@ object Relational4 {
       FROM lineitem GROUP BY l_returnflag
     """.trim))
 
+  // -- q53: CDC MERGE/upsert APPLY — q51 collapses a change stream to
+  //    latest-per-key; this is the other half: applying a change batch
+  //    (updates, inserts, delete tombstones) onto a standing snapshot,
+  //    the MERGE INTO every lakehouse table-maintenance job runs. The
+  //    batch derives from the 2001+ orders slice: per-customer recent
+  //    spend, with key%10==7 as tombstones and key%10==3 re-keyed past
+  //    the snapshot range as inserts. Semantics are the standard
+  //    three-arm MERGE: matched+U -> update (bal += spend), matched+D
+  //    -> drop, unmatched delta -> insert, unmatched snapshot -> keep.
+  //    The apply is ONE full-outer join keyed on the primary key —
+  //    full outer cannot broadcast, so both sides shuffle on k once;
+  //    at 100 TB the snapshot side prunes to only the files whose
+  //    key zone-maps intersect the delta (z01's layout machinery —
+  //    Delta/Iceberg-style merge touches the delta's partitions, not
+  //    the table). Money flows through the dsum DECIMAL discipline;
+  //    the update add is a single IEEE op on engine-identical operands.
+  private val q53 = Q(
+    "q53_merge_upsert",
+    (s, d) => {
+      val delta = orders(s, d)
+        .filter(col("o_orderdate") >= tsLit("2001-01-01 00:00:00"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+        .withColumn("op",
+          when(col("o_custkey") % 10 === 7, "D")
+            .when(col("o_custkey") % 10 === 3, "I")
+            .otherwise("U"))
+        .select(
+          when(col("op") === "I", col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("k"),
+          col("spend"), col("op"))
+      val snap = customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+      snap.join(delta, Seq("k"), "full_outer")
+        .filter(coalesce(col("op") =!= "D", lit(true)))
+        .select(
+          col("k").as("c_custkey"),
+          coalesce(col("c_name"), concat(lit("new-"), col("k"))).as("c_name"),
+          round(
+            when(col("op").isNull, col("c_acctbal"))
+              .when(col("c_acctbal").isNull, col("spend"))
+              .otherwise(col("c_acctbal") + col("spend")), 2).as("c_acctbal"),
+          when(col("op").isNull, "kept")
+            .when(col("c_acctbal").isNull, "inserted")
+            .otherwise("updated").as("action"))
+    },
+    Some("""
+      WITH delta0 AS (SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+               CASE WHEN o_custkey % 10 = 7 THEN 'D'
+                    WHEN o_custkey % 10 = 3 THEN 'I' ELSE 'U' END AS op
+             FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+             GROUP BY o_custkey),
+      delta AS (SELECT CASE WHEN op = 'I' THEN o_custkey + 10000000 ELSE o_custkey END AS k,
+                       spend, op
+                FROM delta0),
+      snap AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer)
+      SELECT coalesce(s.k, d.k) AS c_custkey,
+             coalesce(s.c_name, 'new-' || CAST(d.k AS VARCHAR)) AS c_name,
+             round(CASE WHEN d.op IS NULL THEN s.c_acctbal
+                        WHEN s.c_acctbal IS NULL THEN d.spend
+                        ELSE s.c_acctbal + d.spend END, 2) AS c_acctbal,
+             CASE WHEN d.op IS NULL THEN 'kept'
+                  WHEN s.c_acctbal IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS action
+      FROM snap s FULL OUTER JOIN delta d ON s.k = d.k
+      WHERE d.op IS NULL OR d.op <> 'D'
+    """.trim))
+
   val queries: Seq[Q] =
-    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, z01)
+    Seq(q22b, q35, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, z01)
 }
