@@ -1038,9 +1038,14 @@ object LlmQueries {
   //    decontamination pipelines run against a lexical index. The
   //    corpus (u < 0.95) is flattened to the classic inverted-index
   //    relations — postings tf(doc, term), df(term), doc length
-  //    dl(doc) — and each query doc (u >= 0.95) probes with its top-4
-  //    terms by (tf, term) so the posting join's cost is bounded by
-  //    |queries| x qTerms x avg-posting-length, never |corpus|^2. At
+  //    dl(doc) — and each query doc (the u >= 0.99 slice: a query
+  //    BATCH is operationally small and independent of corpus size)
+  //    probes with its top-4 terms by (tf, term) so the posting join's
+  //    cost is bounded by |queries| x qTerms x avg-posting-length,
+  //    never |corpus|^2 — on this 31-term synthetic vocabulary every
+  //    posting list is ~|corpus| long (df ≈ N), the worst case for
+  //    lexical retrieval, which is exactly why the batch knob and the
+  //    posting-truncation knob exist. At
   //    100 TB the postings partition by term (the join key), df
   //    broadcasts (vocabulary-sized), and the dl join is doc_id-keyed
   //    and bucketable; impact-ordered posting truncation is the knob
@@ -1058,6 +1063,8 @@ object LlmQueries {
       val B = 0.75
       val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
         lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
+      // one explode+agg for all four consumers (corpus postings, df,
+      // dl, query-term selection) — the d11/d15 cache reasoning
       val tf = Tables.documents(s, d)
         .withColumn("u", u)
         .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
@@ -1072,7 +1079,7 @@ object LlmQueries {
       val nCorpus = stats.getLong(0).toDouble
       val sumDl = stats.getLong(1).toDouble
       val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
-      val qTerms = tf.filter(col("u") >= 0.95)
+      val qTerms = tf.filter(col("u") >= 0.99)
         .withColumn("qr", row_number().over(wq))
         .filter(col("qr") <= 4)
         .select(col("doc_id").as("query_doc"), col("term"))
@@ -1105,7 +1112,7 @@ object LlmQueries {
       dl AS (SELECT doc_id, SUM(tf) AS dl FROM ctf GROUP BY 1),
       dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
       st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
-      qt AS (SELECT doc_id AS query_doc, term FROM tfc WHERE u >= 0.95
+      qt AS (SELECT doc_id AS query_doc, term FROM tfc WHERE u >= 0.99
              QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 4),
       contrib AS (SELECT q.query_doc, c.doc_id AS corpus_doc,
                     CAST(round(((st.n - dfc.df + 0.5) / (dfc.df + 0.5))

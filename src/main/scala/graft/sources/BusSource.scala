@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,13 +58,17 @@ import org.apache.spark.unsafe.types.UTF8String
 class BusSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftbus"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = BusSource.Schema
+  // write-side schemas are caller-shaped (`value` + optional
+  // `partition`), so the provider must accept an external schema; reads
+  // ignore it (BusScan always produces the canonical read schema)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graftbus requires .option(\"path\", <topic dir>)")
-    new BusTable(path)
+    new BusTable(path, schema)
   }
 }
 
@@ -141,14 +148,21 @@ object BusSource {
   }
 }
 
-private[sources] class BusTable(dir: String) extends Table with SupportsRead {
+private[sources] class BusTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftbus:$dir"
-  override def schema(): StructType = BusSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new BusScan(dir, options)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new BusWrite(dir, info.schema())
     }
 }
 
@@ -332,4 +346,148 @@ private[sources] object BusReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** The PUBLISH half of the bus (reference S9, at-least-once publish —
+  * borealis-indexer/src/main.rs:362-379): `df.write`/`writeStream
+  * .format("graftbus")` appends rows to the topic's per-partition logs
+  * with a two-phase, epoch-idempotent commit:
+  *
+  *  1. executors buffer rows per bus partition and write each buffer to
+  *     a private `pending/` file (attempt-unique name — a zombie task
+  *     attempt can never interleave bytes with the winner);
+  *  2. the DRIVER's commit appends the winning attempts' pending files
+  *     to the logs in (taskId, partition) order and then records the
+  *     epoch in a `commits` ledger. A replayed epoch (restart from
+  *     checkpoint re-delivers the last unacknowledged batch) finds its
+  *     ledger entry and skips the append — the FileStreamSink manifest
+  *     idea applied to an append-only log, upgrading Spark's
+  *     at-least-once redelivery to exactly-once publish for every
+  *     epoch whose ledger line landed. The unclosable window is a
+  *     driver crash BETWEEN log append and ledger append (duplicates
+  *     on replay): that residue is at-least-once, matching the
+  *     reference's own publish contract.
+  *
+  * Rows route by an explicit `partition` column when the input carries
+  * one, else by a stable hash of `value` — pure functions of the row,
+  * so a replayed epoch rebuilds byte-identical pending files. Torn-
+  * write safety is preserved: log appends are whole newline-terminated
+  * blocks, so a crash mid-append leaves only an unterminated tail that
+  * readers already ignore.
+  */
+private[sources] class BusWrite(dir: String, schema: StructType) extends Write {
+  require(schema.fieldNames.contains("value") && schema("value").dataType == StringType,
+    s"graftbus sink needs a STRING `value` column (got ${schema.simpleString})")
+  private val valueIdx = schema.fieldIndex("value")
+  private val partIdx = if (schema.fieldNames.contains("partition")) schema.fieldIndex("partition") else -1
+  private def nParts: Int = {
+    val n = BusSource.partitions(dir).size
+    require(n > 0, s"graftbus sink: $dir has no partitions — BusSource.createTopic first")
+    n
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val parts = nParts
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      BusWriterFactory(dir, parts, valueIdx, partIdx)
+    // batch publish runs the append arm unconditionally: Spark calls
+    // commit exactly once per batch write job
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      BusWrite.appendAll(dir, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      BusWrite.deletePending(messages)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val parts = nParts
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      BusWriterFactory(dir, parts, valueIdx, partIdx)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val ledger = new java.io.File(dir, "commits")
+      val committed = if (!ledger.exists()) Set.empty[String]
+        else scala.io.Source.fromFile(ledger, "UTF-8").getLines().toSet
+      if (committed.contains(epochId.toString)) BusWrite.deletePending(messages)
+      else {
+        BusWrite.appendAll(dir, messages)
+        val out = new java.io.FileOutputStream(ledger, true)
+        try out.write(s"$epochId\n".getBytes("UTF-8")) finally out.close()
+      }
+    }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      BusWrite.deletePending(messages)
+  }
+}
+
+/** executor-shipped writer factory — a flat value type so neither the
+  * Write nor its anonymous Batch/StreamingWrite shells ride along in
+  * the task closure (they are driver-side and not serializable)
+  */
+private[sources] case class BusWriterFactory(
+    dir: String, nParts: Int, valueIdx: Int, partIdx: Int)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BusDataWriter(dir, nParts, valueIdx, partIdx, s"b-$partitionId-$taskId")
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new BusDataWriter(dir, nParts, valueIdx, partIdx, s"e$epochId-$partitionId-$taskId")
+}
+
+/** pending-file manifest one task hands the driver: (busPartition, path)
+  * pairs, ordered so the driver's append order is deterministic
+  */
+private[sources] case class BusPendingMsg(taskId: Long, files: Seq[(Int, String)])
+    extends WriterCommitMessage
+
+private[sources] object BusWrite {
+  def appendAll(dir: String, messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: BusPendingMsg => m }.sortBy(_.taskId)
+    for (m <- msgs; (p, path) <- m.files) {
+      val src = new java.io.File(path)
+      if (src.exists()) {
+        val bytes = java.nio.file.Files.readAllBytes(src.toPath)
+        val out = new java.io.FileOutputStream(new java.io.File(dir, s"p$p/log"), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    deletePending(messages)
+  }
+
+  def deletePending(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: BusPendingMsg => m }
+      .foreach(_.files.foreach { case (_, path) => new java.io.File(path).delete(): Unit })
+}
+
+/** buffers rows per bus partition; task commit flushes each non-empty
+  * buffer to one attempt-unique pending file (never the log itself —
+  * only the driver's epoch commit touches the logs)
+  */
+private[sources] class BusDataWriter(
+    dir: String, nParts: Int, valueIdx: Int, partIdx: Int, tag: String)
+    extends DataWriter[InternalRow] {
+  private val bufs = Array.fill(nParts)(new java.io.ByteArrayOutputStream())
+
+  override def write(row: InternalRow): Unit = {
+    val value = row.getUTF8String(valueIdx)
+    val p =
+      if (partIdx >= 0 && !row.isNullAt(partIdx)) Math.floorMod(row.getInt(partIdx), nParts)
+      else Math.floorMod(value.hashCode, nParts)
+    val b = bufs(p)
+    b.write(value.getBytes)
+    b.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val taskId = tag.split("-").last.toLong
+    val files = for (p <- 0 until nParts if bufs(p).size() > 0) yield {
+      val pending = new java.io.File(dir, s"p$p/pending")
+      pending.mkdirs()
+      val f = new java.io.File(pending, s"$tag-a${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(bufs(p).toByteArray) finally out.close()
+      p -> f.getAbsolutePath
+    }
+    BusPendingMsg(taskId, files)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
