@@ -260,6 +260,12 @@ object Bench {
     val busBlocksPerSec =
       try if (only.nonEmpty) 0.0 else busThroughput(spark)
       catch { case e: Throwable => System.err.println(s"[bench] bus probe failed: $e"); 0.0 }
+    // publish-side companion: bus -> bus relay through the graftbus
+    // SINK's two-phase epoch commit; the delta vs the read-side number
+    // is the publish machinery's cost (pending files + ledger)
+    val busPublishPerSec =
+      try if (only.nonEmpty) 0.0 else busPublishThroughput(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] bus publish probe failed: $e"); 0.0 }
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
@@ -302,7 +308,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -417,6 +423,42 @@ object Bench {
         .startFrom(spark, lines, s"$base/lake", s"$base/ckpt")
         .awaitTermination()
       nBlocks / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** graftbus PUBLISH blocks/s: a bus -> bus relay (read one topic
+    * through the source's offset machinery, publish to another through
+    * the sink's pending-file + ledger commit). Shares the source path
+    * with [[busRun]], so subtracting isolates the sink cost.
+    */
+  private def busPublishThroughput(spark: SparkSession): Double = {
+    busPublishRun(spark, 200) // JIT the publish path, untimed
+    busPublishRun(spark, 2000)
+  }
+
+  private[graft] def busPublishRun(spark: SparkSession, nBlocks: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_buspub").toString
+    try {
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val nParts = 4
+      graft.sources.BusSource.createTopic(src, nParts)
+      graft.sources.BusSource.createTopic(dst, nParts)
+      val blocks = graft.blocks.Fixtures.blocksJson(5000000L, nBlocks)
+      for ((g, i) <- blocks.grouped(math.max(1, nBlocks / nParts)).zipWithIndex)
+        graft.sources.BusSource.append(src, i % nParts, g)
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graftbus").option("path", src).load()
+        .selectExpr("value")
+        .writeStream.format("graftbus").option("path", dst)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val delivered = graft.sources.BusSource.latestOffsets(dst).values.sum
+      require(delivered > 0, "bus publish probe delivered nothing")
+      nBlocks / secs
     } finally rmTree(base)
   }
 

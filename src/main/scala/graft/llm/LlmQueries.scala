@@ -1055,6 +1055,46 @@ object LlmQueries {
   //    risk); per-term contributions are rounded to 6dp and summed as
   //    DECIMAL(18,6) so the score is order-insensitive and the rank
   //    boundary engine-identical (the q50/x05 decimal discipline).
+  /** shared oracle for s12 (in-query relations) and s13 (standing
+    * parquet index): BM25's index relations — postings, df, dl, corpus
+    * stats — are all associative aggregates, so an index built
+    * base+append and merged at read answers identically to the
+    * in-query rebuild; one oracle covers both (the d11/d15 twin rule).
+    */
+  private lazy val bm25Oracle: String = s"""
+      WITH tf AS (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      / 1152921504606846976.0 AS u,
+                    unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tfc AS (SELECT doc_id, u, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM ctf GROUP BY 1),
+      dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+      qt AS (SELECT doc_id AS query_doc, term FROM tfc WHERE u >= 0.99
+             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 4),
+      contrib AS (SELECT q.query_doc, c.doc_id AS corpus_doc,
+                    CAST(round(((st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+                      * (CAST(c.tf AS DOUBLE) * 2.2
+                         / (CAST(c.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * st.n / st.s))), 6)
+                      AS DECIMAL(18, 6)) AS contrib
+                  FROM qt q
+                  JOIN ctf c USING (term)
+                  JOIN dfc USING (term)
+                  JOIN dl ON dl.doc_id = c.doc_id
+                  CROSS JOIN st),
+      scored AS (SELECT query_doc, corpus_doc, SUM(contrib) AS sdec
+                 FROM contrib GROUP BY 1, 2)
+      SELECT query_doc, corpus_doc, CAST(sdec AS DOUBLE) AS score,
+             CAST(row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY sdec DESC, corpus_doc ASC) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_doc
+                                 ORDER BY sdec DESC, corpus_doc ASC) <= 5
+    """.trim
+
   private val s12 = Q(
     "s12_bm25_topk",
     (s, d) => {
@@ -1101,39 +1141,92 @@ object LlmQueries {
         .select(col("query_doc"), col("corpus_doc"),
           col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
     },
-    Some(s"""
-      WITH tf AS (SELECT doc_id,
-                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                      / 1152921504606846976.0 AS u,
-                    unnest(string_split(text, ' ')) AS term
-                  FROM documents),
-      tfc AS (SELECT doc_id, u, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
-      ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95),
-      dl AS (SELECT doc_id, SUM(tf) AS dl FROM ctf GROUP BY 1),
-      dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
-      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
-      qt AS (SELECT doc_id AS query_doc, term FROM tfc WHERE u >= 0.99
-             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 4),
-      contrib AS (SELECT q.query_doc, c.doc_id AS corpus_doc,
-                    CAST(round(((st.n - dfc.df + 0.5) / (dfc.df + 0.5))
-                      * (CAST(c.tf AS DOUBLE) * 2.2
-                         / (CAST(c.tf AS DOUBLE)
-                            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * st.n / st.s))), 6)
-                      AS DECIMAL(18, 6)) AS contrib
-                  FROM qt q
-                  JOIN ctf c USING (term)
-                  JOIN dfc USING (term)
-                  JOIN dl ON dl.doc_id = c.doc_id
-                  CROSS JOIN st),
-      scored AS (SELECT query_doc, corpus_doc, SUM(contrib) AS sdec
-                 FROM contrib GROUP BY 1, 2)
-      SELECT query_doc, corpus_doc, CAST(sdec AS DOUBLE) AS score,
-             CAST(row_number() OVER (PARTITION BY query_doc
-                                     ORDER BY sdec DESC, corpus_doc ASC) AS BIGINT) AS rank
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY query_doc
-                                 ORDER BY sdec DESC, corpus_doc ASC) <= 5
-    """.trim))
+    Some(bm25Oracle))
+
+  // -- s13: BM25 against a STANDING persisted lexical search index —
+  //    d15's standing-index recipe applied to s12 (as s10 is to s09).
+  //    The persisted index holds the four relations a production
+  //    lexical search service keeps warm: postings (doc, term, tf),
+  //    df partials, dl, and corpus-stat partials (n, sum dl). Every
+  //    one is an ASSOCIATIVE aggregate, so a delta batch appends its
+  //    own partial rows and the search merges partials at read time —
+  //    no rebuild, no frozen corpus-dependent state at all (unlike
+  //    d15's stop set there is nothing to freeze: the query encode is
+  //    a pure function of the query doc), append provably ≡ full
+  //    rebuild, same oracle as s12. At 100 TB the postings files
+  //    partition by term (the probe key), df/stats partials stay
+  //    vocabulary-/constant-sized, and a compaction that pre-merges
+  //    partials is an optimization, never a correctness step.
+  private val s13 = Q(
+    "s13_bm25_standing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K1 = 1.2
+      val B = 0.75
+      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
+        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
+      val tf = Tables.documents(s, d)
+        .withColumn("u", u)
+        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
+      val idxDir = new java.io.File("target/graft_idx/s13_bm25").getAbsolutePath
+      // standing build, the production way: base written once, a later
+      // batch APPENDED as its own partial-aggregate rows
+      def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
+        // persist the batch across its four index writes: without it
+        // each write job re-runs the explode+agg (8 recomputes total
+        // for the build; measured ~1.5s of the entry's time at sf0.1)
+        val batch = tf.filter(col("u") < 0.95 && pred).drop("u").persist()
+        try {
+          batch.write.mode(mode).parquet(s"$idxDir/postings")
+          // (a coalesce(1) on the small df/dl writes was tried and
+          // REVERTED: it propagates up and runs the whole agg pipeline
+          // on one task — AQE's post-shuffle coalescing already keeps
+          // these outputs to a handful of files without serializing
+          // the aggregation)
+          batch.groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode(mode).parquet(s"$idxDir/df")
+          val dlB = batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          dlB.write.mode(mode).parquet(s"$idxDir/dl")
+          dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+            .write.mode(mode).parquet(s"$idxDir/stats")
+        } finally batch.unpersist(): Unit
+      }
+      writeBatch(col("doc_id") % 10 =!= 7, "overwrite")
+      writeBatch(col("doc_id") % 10 === 7, "append")
+      // search: merge the partials at read, probe the standing
+      // postings — the corpus text is never touched
+      val postings = s.read.parquet(s"$idxDir/postings")
+      val df = s.read.parquet(s"$idxDir/df").groupBy("term").agg(sum(col("df")).as("df"))
+      val dl = s.read.parquet(s"$idxDir/dl")
+      val st = s.read.parquet(s"$idxDir/stats")
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
+      val nCorpus = st.getLong(0).toDouble
+      val sumDl = st.getLong(1).toDouble
+      val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+      val qTerms = tf.filter(col("u") >= 0.99)
+        .withColumn("qr", row_number().over(wq))
+        .filter(col("qr") <= 4)
+        .select(col("doc_id").as("query_doc"), col("term"))
+      val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val lenNorm = lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+      val tfNorm = col("tf").cast(DoubleType) * lit(K1 + 1.0) /
+        (col("tf").cast(DoubleType) + lit(K1) * lenNorm)
+      val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+      val scored = qTerms
+        .join(postings.withColumnRenamed("doc_id", "corpus_doc"), "term")
+        .join(broadcast(df), "term")
+        .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+        .groupBy("query_doc", "corpus_doc")
+        .agg(sum(contrib).as("sdec"))
+      val wr = Window.partitionBy("query_doc").orderBy(col("sdec").desc, col("corpus_doc"))
+      scored
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("query_doc"), col("corpus_doc"),
+          col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
+    },
+    Some(bm25Oracle))
 
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
@@ -1627,5 +1720,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

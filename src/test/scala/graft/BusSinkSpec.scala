@@ -116,6 +116,11 @@ class BusSinkSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("the bench publish probe relays a backlog and reports a positive rate") {
+    val rate = graft.Bench.busPublishRun(spark, 200)
+    assert(rate > 0, s"publish probe rate $rate")
+  }
+
   test("partition column routing wraps out-of-range ids instead of crashing") {
     val dir = newTopic(2)
     val write = new BusWrite(dir,
