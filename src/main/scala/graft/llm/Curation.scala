@@ -1320,5 +1320,90 @@ object Curation {
       FROM r
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, x01, x02, x04, x05)
+  // -- x06: MULTIMODAL assembly — the composed pipeline for a corpus
+  //    whose documents carry audio + image + text together: REAL WAV
+  //    decode (m06's RIFF/PCM parser) and REAL PPM decode (m07's
+  //    raster parser) feed per-modality quality gates, joined 1:1 on
+  //    doc_id with the text stats, and the three-way survivors pack
+  //    into p03's lang-partitioned token bins. Every gate is INTEGER
+  //    arithmetic (crossings floor; brightness band as
+  //    100·3·w·h <= sum_rgb <= 160·3·w·h, division-free; token-count
+  //    band), so the composite carries zero float-parity surface. The
+  //    joins are doc_id-keyed 1:1 (co-partitionable at any scale); the
+  //    decode stages are per-row map partitions; the only window is
+  //    p03's per-lang cumulative — the whole composite is one shuffle
+  //    family deep. Dropped docs keep their verdict row (bin NULL):
+  //    audit output, not just the survivor set.
+  private val x06 = Q(
+    "x06_multimodal_assembly",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val wav = Multimodal.wavFeatures(s, Multimodal.wavTable(s, docs)).toDF()
+        .select(col("media_id").as("doc_id"), col("peak"), col("crossings"))
+      val img = Multimodal.ppmFeatures(s, Multimodal.ppmTable(s, docs), maxDim = 8).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          (col("sum_r") + col("sum_g") + col("sum_b")).as("sum_rgb"))
+      val txt = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val j = txt.join(wav, "doc_id").join(img, "doc_id")
+        .withColumn("audio_ok", col("crossings") >= 5L)
+        .withColumn("image_ok",
+          col("sum_rgb") >= lit(100L) * 3L * col("width") * col("height") &&
+            col("sum_rgb") <= lit(160L) * 3L * col("width") * col("height"))
+        .withColumn("text_ok", col("n_tokens").between(8L, 400L))
+        .withColumn("keep", col("audio_ok") && col("image_ok") && col("text_ok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      j.withColumn("cum_kept",
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L)).over(w))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          col("audio_ok"), col("image_ok"), col("text_ok"), col("keep"),
+          when(col("keep"),
+            floor((col("cum_kept") - col("n_tokens")) / lit(PackBudget)))
+            .cast(LongType).as("bin"))
+    },
+    Some(s"""
+      WITH wp AS (SELECT doc_id AS media_id, 8000 AS sr,
+                         400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+                  FROM documents),
+      sm AS (SELECT media_id, sr, n, i.i AS i,
+               ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+             FROM wp, (SELECT unnest(range(600)) AS i) i WHERE i.i < n),
+      lg AS (SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM sm),
+      wav AS (SELECT media_id AS doc_id,
+                SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS crossings
+              FROM lg GROUP BY media_id),
+      ip AS (SELECT doc_id AS media_id,
+                    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+             FROM documents),
+      img AS (SELECT media_id AS doc_id, w, h,
+                SUM((x.x * 3 + y.y * 5 + media_id) % 256)
+                + SUM((x.x * 7 + y.y + 2 * media_id) % 256)
+                + SUM((x.x + y.y * 11 + 3 * media_id) % 256) AS sum_rgb
+              FROM ip, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+              WHERE x.x < w AND y.y < h GROUP BY media_id, w, h),
+      txt AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+      g AS (SELECT t.doc_id, t.lang, t.n_tokens,
+              wav.crossings >= 5 AS audio_ok,
+              img.sum_rgb >= 100 * 3 * img.w * img.h
+                AND img.sum_rgb <= 160 * 3 * img.w * img.h AS image_ok,
+              t.n_tokens BETWEEN 8 AND 400 AS text_ok
+            FROM txt t JOIN wav ON wav.doc_id = t.doc_id
+                       JOIN img ON img.doc_id = t.doc_id),
+      k AS (SELECT *, audio_ok AND image_ok AND text_ok AS keep,
+              SUM(CASE WHEN audio_ok AND image_ok AND text_ok THEN n_tokens ELSE 0 END)
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_kept
+            FROM g)
+      SELECT doc_id, lang, n_tokens, audio_ok, image_ok, text_ok, keep,
+             CASE WHEN keep
+                  THEN CAST(floor((cum_kept - n_tokens) / $PackBudget) AS BIGINT)
+             END AS bin
+      FROM k
+    """.trim))
+
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, x01, x02, x04, x05, x06)
 }

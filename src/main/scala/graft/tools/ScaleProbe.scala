@@ -122,6 +122,44 @@ object ScaleProbe {
         when(col("dropped") === 1L, 0L).otherwise(1L).as("keep"))
   }
 
+  /** s12's BM25 scoring with the query batch as the parameter: the
+    * catalogued entry queries with the u>=0.99 SLICE (grows with the
+    * corpus, so the posting join's candidate volume grows ~m² on this
+    * fixed 31-term vocabulary); the production shape is a FIXED query
+    * batch over a growing corpus, where cost grows only with posting
+    * length (~m). The probe runs both so the table shows the knob.
+    */
+  private def bm25Fixed(docs: DataFrame, nQueries: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val corpusTf = tf.filter(col("doc_id") >= nQueries)
+    val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfr = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nCorpus = stats.getLong(0).toDouble
+    val sumDl = stats.getLong(1).toDouble
+    val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    val qTerms = tf.filter(col("doc_id") < nQueries)
+      .withColumn("qr", org.apache.spark.sql.functions.row_number().over(wq))
+      .filter(col("qr") <= 4)
+      .select(col("doc_id").as("query_doc"), col("term"))
+    val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val lenNorm = lit(0.25) + lit(0.75) * col("dl").cast("double") * lit(nCorpus) / lit(sumDl)
+    val tfNorm = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") + lit(1.2) * lenNorm)
+    val scored = qTerms
+      .join(corpusTf.withColumnRenamed("doc_id", "corpus_doc"), "term")
+      .join(broadcast(dfr), "term")
+      .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+      .groupBy("query_doc", "corpus_doc")
+      .agg(sum(round(idf * tfNorm, 6)).as("s"))
+    val wr = Window.partitionBy("query_doc").orderBy(col("s").desc, col("corpus_doc"))
+    scored.withColumn("rank", org.apache.spark.sql.functions.row_number().over(wr))
+      .filter(col("rank") <= 5)
+  }
+
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -164,7 +202,8 @@ object ScaleProbe {
 
     val queries = Seq(
       "d03_minhash_lsh", "d14_semdedup", "x03_dedup_suite",
-      "d06_embedding_neardup", "s09_ivfpq_topk", "d10_semantic_dedup")
+      "d06_embedding_neardup", "s09_ivfpq_topk", "d10_semantic_dedup",
+      "s12_bm25_topk")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
@@ -190,6 +229,13 @@ object ScaleProbe {
       val bits = 4 + (math.log(m.toDouble) / math.log(2)).ceil.toInt
       val t = bestOf(reps)(materialize(embNearDup(emb, 4 * bits, bits)))
       println(f"""{"probe":"d06_scaled_planes","mult":$m,"bits":$bits,"sec":$t%.3f}""")
+      (m, t)
+    }
+
+    results("s12_fixed_queries") = Multipliers.map { m =>
+      val docs = graft.Tables.documents(spark, s"$outBase/x$m")
+      val t = bestOf(reps)(materialize(bm25Fixed(docs, 50)))
+      println(f"""{"probe":"s12_fixed_queries","mult":$m,"sec":$t%.3f}""")
       (m, t)
     }
 

@@ -90,6 +90,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("graft_idx"), "standing shingle/band parquet not scanned")
   }
 
+  test("BM25 searchers broadcast df/dl and s13 probes the standing index") {
+    // the posting join's small sides (query terms, vocabulary-sized df,
+    // per-doc dl) must broadcast — an exchange of the postings toward
+    // any of them would shuffle the corpus to a vocabulary-sized table
+    for (name <- Seq("s12_bm25_topk", "s13_bm25_standing")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast df/dl")
+      assert(plan.contains("WindowGroupLimit"), s"$name lost the partial top-k")
+    }
+    // the standing search must scan the persisted postings parquet
+    assert(planOf("s13_bm25_standing").contains("graft_idx"),
+      "s13 does not scan the standing postings index")
+  }
+
+  test("c03's test-shingle set broadcasts into the train-side left join") {
+    val plan = planOf("c03_contamination_ratio")
+    assert(plan.contains("BroadcastHashJoin"), "c03 shuffles the train side to the test set")
+  }
+
+  test("q53's merge apply is one key-partitioned full-outer join") {
+    val plan = planOf("q53_merge_upsert")
+    assert(plan.contains("FullOuter"), "q53 lost its full-outer merge join")
+    // exactly one join in the apply: snapshot x collapsed delta
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length == 1,
+      s"q53 plans more than the single merge join:\n$plan")
+  }
+
   test("c02's bloom prefilter is a codegen expression, not a ScalaUDF") {
     // the probe runs on every train-side shingle — the hottest row path
     // of the operator. A ScalaUDF there breaks whole-stage codegen for
