@@ -1228,6 +1228,158 @@ object LlmQueries {
     },
     Some(bm25Oracle))
 
+  // -- s14: HYBRID retrieval — BM25 lexical ranking fused with dense
+  //    cosine ranking by reciprocal-rank fusion (RRF, k=60), the shape
+  //    modern retrieval stacks actually serve (sparse recalls exact
+  //    terms, dense recalls paraphrase; RRF needs no score
+  //    calibration because it consumes RANKS, which also makes it
+  //    parity-trivial: rrf = 1/(60+r_lex) + 1/(60+r_dense) is two
+  //    exact IEEE divisions and one add). Queries are the u >= 0.99
+  //    docs that carry an embedding (doc_id ≡ vec_id id space); each
+  //    side ranks its own corpus (text u < 0.95 / vectors u < 0.95)
+  //    top-10, and the fusion full-outer joins the two lists per query
+  //    — a doc found by only one side still scores (coalesce 0 for
+  //    the missing rank). Scale: the lexical side is s12's bounded
+  //    posting join; the dense side broadcasts the query batch against
+  //    the vector corpus (s07's shape — swap in the s04/s10 IVF probe
+  //    beyond brute-force range); the fusion join touches only the
+  //    2x top-10 lists per query.
+  private val s14 = Q(
+    "s14_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K1 = 1.2
+      val B = 0.75
+      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
+        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
+      val emb = Tables.embeddings(s, d)
+      val uVec = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast(StringType)) /
+        lit(1152921504606846976.0)
+      // ---- lexical side: s12's relations, queries restricted to the
+      //      embedded ids so both sides rank the same query batch
+      val tf = Tables.documents(s, d)
+        .withColumn("u", u)
+        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
+      val corpusTf = tf.filter(col("u") < 0.95).drop("u")
+      val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val df = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      val nCorpus = stats.getLong(0).toDouble
+      val sumDl = stats.getLong(1).toDouble
+      val embIds = emb.select(col("vec_id"))
+      val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+      val qTerms = tf.filter(col("u") >= 0.99)
+        .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
+        .withColumn("qr", row_number().over(wq))
+        .filter(col("qr") <= 4)
+        .select(col("doc_id").as("query_doc"), col("term"))
+      val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val lenNorm = lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+      val tfNorm = col("tf").cast(DoubleType) * lit(K1 + 1.0) /
+        (col("tf").cast(DoubleType) + lit(K1) * lenNorm)
+      val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+      val wl = Window.partitionBy("query_doc").orderBy(col("sdec").desc, col("corpus_doc"))
+      val lex = qTerms
+        .join(corpusTf.withColumnRenamed("doc_id", "corpus_doc"), "term")
+        .join(broadcast(df), "term")
+        .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+        .groupBy("query_doc", "corpus_doc")
+        .agg(sum(contrib).as("sdec"))
+        .withColumn("lex_rank", row_number().over(wl).cast(LongType))
+        .filter(col("lex_rank") <= 10)
+        .select("query_doc", "corpus_doc", "lex_rank")
+      // ---- dense side: brute-force cosine of the query batch against
+      //      the vector corpus, ranked on the 6-dp image (s01's rule)
+      val qv = emb.filter(uVec >= 0.99)
+        .select(col("vec_id").as("query_doc"), col("embedding").as("qv"))
+      val cv = emb.filter(uVec < 0.95)
+        .select(col("vec_id").as("corpus_doc"), col("embedding").as("cv"))
+      val wd = Window.partitionBy("query_doc").orderBy(col("cos").desc, col("corpus_doc"))
+      val dense = cv.crossJoin(broadcast(qv))
+        .select(col("query_doc"), col("corpus_doc"),
+          round(Similarity.cosine(col("cv"), col("qv")), 6).as("cos"))
+        .withColumn("vec_rank", row_number().over(wd).cast(LongType))
+        .filter(col("vec_rank") <= 10)
+        .select("query_doc", "corpus_doc", "vec_rank")
+      // ---- fusion: RRF over the union of both top-10 lists
+      val rrf = coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+      val wr = Window.partitionBy("query_doc").orderBy(col("rrf_raw").desc, col("corpus_doc"))
+      lex.join(dense, Seq("query_doc", "corpus_doc"), "full_outer")
+        .withColumn("rrf_raw", rrf)
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("query_doc"), col("corpus_doc"), col("lex_rank"), col("vec_rank"),
+          round(col("rrf_raw"), 6).as("rrf"), col("rank"))
+    },
+    Some(s"""
+      WITH tf AS (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      / 1152921504606846976.0 AS u,
+                    unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tfc AS (SELECT doc_id, u, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM ctf GROUP BY 1),
+      dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+      qt AS (SELECT doc_id AS query_doc, term FROM tfc
+             WHERE u >= 0.99 AND doc_id IN (SELECT vec_id FROM embeddings)
+             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 4),
+      contrib AS (SELECT q.query_doc, c.doc_id AS corpus_doc,
+                    CAST(round(((st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+                      * (CAST(c.tf AS DOUBLE) * 2.2
+                         / (CAST(c.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * st.n / st.s))), 6)
+                      AS DECIMAL(18, 6)) AS contrib
+                  FROM qt q
+                  JOIN ctf c USING (term)
+                  JOIN dfc USING (term)
+                  JOIN dl ON dl.doc_id = c.doc_id
+                  CROSS JOIN st),
+      lexs AS (SELECT query_doc, corpus_doc, SUM(contrib) AS sdec
+               FROM contrib GROUP BY 1, 2),
+      lex AS (SELECT query_doc, corpus_doc,
+                CAST(row_number() OVER (PARTITION BY query_doc
+                                        ORDER BY sdec DESC, corpus_doc ASC) AS BIGINT) AS lex_rank
+              FROM lexs
+              QUALIFY row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY sdec DESC, corpus_doc ASC) <= 10),
+      uv AS (SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u
+             FROM embeddings),
+      qvs AS (SELECT vec_id AS query_doc, embedding AS qv FROM uv WHERE u >= 0.99),
+      cvs AS (SELECT vec_id AS corpus_doc, embedding AS cv FROM uv WHERE u < 0.95),
+      dx AS (SELECT q.query_doc, c.corpus_doc,
+               round(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE))
+                 / (sqrt(SUM(CAST(c.cv[d.d+1] AS DOUBLE) * CAST(c.cv[d.d+1] AS DOUBLE)))
+                  * sqrt(SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)))), 6) AS cos
+             FROM cvs c, qvs q, (SELECT unnest(range(64)) AS d) d
+             GROUP BY q.query_doc, c.corpus_doc),
+      dense AS (SELECT query_doc, corpus_doc,
+                  CAST(row_number() OVER (PARTITION BY query_doc
+                                          ORDER BY cos DESC, corpus_doc ASC) AS BIGINT) AS vec_rank
+                FROM dx
+                QUALIFY row_number() OVER (PARTITION BY query_doc
+                                           ORDER BY cos DESC, corpus_doc ASC) <= 10),
+      fused AS (SELECT coalesce(l.query_doc, v.query_doc) AS query_doc,
+                       coalesce(l.corpus_doc, v.corpus_doc) AS corpus_doc,
+                       l.lex_rank, v.vec_rank,
+                       coalesce(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                         + coalesce(1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)), 0.0) AS rrf_raw
+                FROM lex l FULL OUTER JOIN dense v
+                  ON l.query_doc = v.query_doc AND l.corpus_doc = v.corpus_doc)
+      SELECT query_doc, corpus_doc, lex_rank, vec_rank,
+             round(rrf_raw, 6) AS rrf,
+             CAST(row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY rrf_raw DESC, corpus_doc ASC) AS BIGINT) AS rank
+      FROM fused
+      QUALIFY row_number() OVER (PARTITION BY query_doc
+                                 ORDER BY rrf_raw DESC, corpus_doc ASC) <= 5
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -1720,5 +1872,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }
