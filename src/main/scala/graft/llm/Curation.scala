@@ -701,6 +701,100 @@ object Curation {
         FROM c) WHERE rank <= 20
     """.trim))
 
+  /** one BPE merge round over a (doc_id, i, w) token stream: returns
+    * (the winning pair with its count, the stream with that pair
+    * merged greedily left-to-right). Factored so v05 iterates it.
+    */
+  private def mergeRound(stream: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val wIsl = Window.partitionBy("doc_id", "island").orderBy("i")
+    val top = stream
+      .withColumn("wn", lead(col("w"), 1).over(wDoc))
+      .filter(col("wn").isNotNull)
+      .groupBy(col("w").as("p1"), col("wn").as("p2")).agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("p1"), col("p2")).limit(1)
+    val merged = stream
+      .withColumn("wn", lead(col("w"), 1).over(wDoc))
+      .crossJoin(broadcast(top.select("p1", "p2")))
+      .withColumn("m",
+        coalesce(col("w") === col("p1") && col("wn") === col("p2"), lit(false)))
+      .withColumn("mrn", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
+      .withColumn("island", when(col("m"), col("i") - col("mrn")))
+      .withColumn("rel", when(col("m"), row_number().over(wIsl) - 1))
+      .withColumn("start", col("m") && col("rel") % 2 === 0)
+      .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("doc_id"), col("i"),
+        when(col("start"), concat(col("p1"), lit("_"), col("p2")))
+          .otherwise(col("w")).as("w"))
+    (top, merged)
+  }
+
+  /** rounds of BPE training v05 runs (and its oracle mirrors) */
+  val BpeRounds = 3
+
+  // -- v05: MULTI-ROUND BPE training — v04's single greedy merge round
+  //    iterated to a merge LIST, the actual tokenizer-training loop
+  //    (count pairs -> adopt the winner -> re-merge the stream ->
+  //    recount). Emits each round's learned merge with its pre-merge
+  //    frequency: the merge table a BPE tokenizer ships. Every round is
+  //    the same window algebra over the (doc_id, position) stream —
+  //    per-doc-keyed windows and ONE broadcast of the single winning
+  //    pair, so a round costs one token-stream pass at any corpus
+  //    size and the loop is rounds x linear (rounds is the vocab-size
+  //    knob, corpus-independent). The oracle chains the identical CTE
+  //    block per round, generated by the same loop — one code path
+  //    defines both engines' semantics.
+  private val v05 = Q(
+    "v05_bpe_train",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      var stream = toks
+      var merges: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to BpeRounds) {
+        val (top, next) = mergeRound(stream)
+        val m = top.select(lit(r.toLong).as("round"), col("p1"), col("p2"), col("tc"))
+        merges = if (merges == null) m else merges.unionByName(m)
+        stream = next
+      }
+      merges
+    },
+    Some {
+      val base = """t0 AS (SELECT doc_id, i.i AS i, toks[i.i+1] AS w
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+                      (SELECT unnest(range((SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) i
+                 WHERE i.i < len(toks))"""
+      val rounds = (1 to BpeRounds).map { r =>
+        val in = s"t${r - 1}"
+        s"""
+      pr$r AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS wn FROM $in),
+      top$r AS (SELECT w AS p1, wn AS p2, count(*) AS tc FROM pr$r WHERE wn IS NOT NULL
+              GROUP BY 1, 2 ORDER BY count(*) DESC, 1, 2 LIMIT 1),
+      m1$r AS (SELECT t.doc_id, t.i, t.w, top$r.p1, top$r.p2,
+                    coalesce(t.w = top$r.p1 AND
+                             lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.i) = top$r.p2,
+                             false) AS m
+             FROM $in t, top$r),
+      m2$r AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS mrn FROM m1$r),
+      m3$r AS (SELECT *, CASE WHEN m THEN i - mrn END AS island FROM m2$r),
+      m4$r AS (SELECT *, CASE WHEN m THEN row_number()
+                         OVER (PARTITION BY doc_id, island ORDER BY i) - 1 END AS rel FROM m3$r),
+      m5$r AS (SELECT *, coalesce(m AND rel % 2 = 0, false) AS start FROM m4$r),
+      m6$r AS (SELECT *, coalesce(lag(start) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
+             FROM m5$r),
+      t$r AS (SELECT doc_id, i,
+                   CASE WHEN start THEN p1 || '_' || p2 ELSE w END AS w
+            FROM m6$r WHERE NOT consumed)"""
+      }.mkString(",")
+      val union = (1 to BpeRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, CAST(tc AS BIGINT) AS tc FROM top$r")
+        .mkString(" UNION ALL ")
+      s"WITH $base,$rounds\n      $union".trim
+    })
+
   private val v03 = Q(
     "v03_collocations",
     (s, d) => {
@@ -1405,5 +1499,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, x01, x02, x04, x05, x06)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, x01, x02, x04, x05, x06)
 }

@@ -94,7 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the posting join's small sides (query terms, vocabulary-sized df,
     // per-doc dl) must broadcast — an exchange of the postings toward
     // any of them would shuffle the corpus to a vocabulary-sized table
-    for (name <- Seq("s12_bm25_topk", "s13_bm25_standing")) {
+    for (name <- Seq("s12_bm25_topk", "s13_bm25_standing", "s14_hybrid_rrf")) {
       val plan = planOf(name)
       assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast df/dl")
       assert(plan.contains("WindowGroupLimit"), s"$name lost the partial top-k")
