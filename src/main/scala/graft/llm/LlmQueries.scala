@@ -623,6 +623,71 @@ object LlmQueries {
   //    sets read from the index — the corpus text is never touched.
   //    Index over the whole corpus => same answers as d11's in-query
   //    rebuild => same oracle.
+  /** d16 span n-gram width */
+  private val SpanN = 8
+
+  // -- d16: exact duplicated-SPAN extraction — the suffix-array-family
+  //    dedup (find every maximal text span that also occurs in another
+  //    document, the "memorized passage" remover), re-expressed as
+  //    positional-shingle run coalescing: POSITIONAL 8-gram shingles
+  //    (not the dedup family's distinct sets), cross-doc df to mark
+  //    shingles seen in >= 2 documents, then per-doc island detection
+  //    (pos - row_number) merges consecutive duplicated positions into
+  //    maximal spans [start, start + len). Span length in tokens =
+  //    last_pos - first_pos + N. Scale: the df aggregation and the
+  //    mark join both key on the 60-bit h64 (never text); the island
+  //    windows are doc_id-partitioned; nothing is all-pairs — cost is
+  //    one token-stream pass + one hash-keyed join, the map-reduce
+  //    analog of the suffix-array pipeline. Integer-only output.
+  private val d16 = Q(
+    "d16_dup_spans",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // positional shingles: every position, hashed — repeats kept
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= SpanN)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, least(size(toks) - $SpanN, ${Dedup.MaxShinglePositions - 1})), " +
+              s"i -> concat_ws(' ', slice(toks, i + 1, $SpanN)))")).as(Seq("pos", "shingle")))
+        .select(col("doc_id"), col("pos"),
+          graft.functions.ColumnFns.md5_prefix64(col("shingle")).as("h64"))
+      // shingles that occur in >= 2 distinct documents
+      val dup = sh.groupBy("h64")
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("h64")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      sh.join(dup, "h64")
+        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("island", col("pos") - col("rn"))
+        .groupBy("doc_id", "island")
+        .agg(
+          min(col("pos")).cast(LongType).as("span_start"),
+          (max(col("pos")) - min(col("pos")) + SpanN).cast(LongType).as("span_tokens"),
+          count(lit(1)).cast(LongType).as("n_shingles"))
+        .drop("island")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, i.i AS pos,
+               CAST(concat('0x', substr(md5(
+                 ${(0 until SpanN).map(k => s"toks[i.i+${k + 1}]").mkString(" || ' ' || ")}
+               ), 1, 15)) AS BIGINT) AS h64
+             FROM t, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
+             WHERE len(toks) >= $SpanN AND i.i <= len(toks) - $SpanN),
+      dup AS (SELECT h64 FROM sh GROUP BY h64 HAVING count(DISTINCT doc_id) >= 2),
+      mk AS (SELECT sh.doc_id, sh.pos,
+               CAST(row_number() OVER (PARTITION BY sh.doc_id ORDER BY sh.pos) AS BIGINT) AS rn
+             FROM sh JOIN dup USING (h64))
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) - MIN(pos) + $SpanN AS BIGINT) AS span_tokens,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM (SELECT doc_id, pos, pos - rn AS island FROM mk)
+      GROUP BY doc_id, island
+    """.trim))
+
   private val d15 = Q(
     "d15_standing_neardup",
     (s, d) => {
@@ -1872,5 +1937,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }
