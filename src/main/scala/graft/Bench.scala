@@ -269,6 +269,12 @@ object Bench {
     val docsPerSec =
       try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
+    // CDC apply probe: change rows/s through MergeApply's collapse +
+    // three-arm merge + generation/manifest commit, across multiple
+    // micro-batches so each merge joins a GROWING standing snapshot
+    val mergeChangesPerSec =
+      try if (only.nonEmpty) 0.0 else mergeApplyThroughput(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] merge probe failed: $e"); 0.0 }
     // the near-dup gate pays a fixed micro-batch overhead plus a
     // per-doc cost; committing BOTH batch sizes (the blocks/blocks_8k
     // recipe) keeps the two separable in the artifact instead of
@@ -308,7 +314,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -423,6 +429,44 @@ object Bench {
         .startFrom(spark, lines, s"$base/lake", s"$base/ckpt")
         .awaitTermination()
       nBlocks / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** CDC apply changes/s through MergeApply: drop 8 change files, run
+    * the streaming apply (AvailableNow drains them as micro-batches),
+    * so later batches merge against the snapshot the earlier ones
+    * built — the steady-state shape, not an empty-lake special case.
+    */
+  private def mergeApplyThroughput(spark: SparkSession): Double = {
+    mergeApplyRun(spark, 2000) // JIT the merge path, untimed
+    mergeApplyRun(spark, 20000)
+  }
+
+  private[graft] def mergeApplyRun(spark: SparkSession, nChanges: Int): Double = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_bench_merge").toString
+    try {
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      val rnd = new scala.util.Random(0xCDC)
+      val nFiles = 8
+      val perFile = nChanges / nFiles
+      for (f <- 0 until nFiles) {
+        val lines = (0 until perFile).map { i =>
+          val k = rnd.nextInt(nChanges / 4) // keys repeat: real upsert pressure
+          val op = if (rnd.nextInt(10) == 0) "D" else "U"
+          s"""{"k":$k,"op":"$op","value":${(f * perFile + i).toDouble},"version":${f * perFile + i}}"""
+        }
+        Files.write(Paths.get(s"$src/c$f.json"), lines.mkString("\n").getBytes("UTF-8"))
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.MergeApply
+        .start(spark, src, s"$base/lake", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(graft.streaming.MergeApply.currentGen(s"$base/lake") >= 0, "merge probe applied nothing")
+      (perFile.toLong * nFiles) / secs
     } finally rmTree(base)
   }
 

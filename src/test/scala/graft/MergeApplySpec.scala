@@ -75,6 +75,11 @@ class MergeApplySpec extends AnyFunSuite {
     assert(snapshotMap(lake) == Map(1L -> (10.0, 1L)))
   }
 
+  test("the bench merge probe applies a multi-batch feed and reports a positive rate") {
+    val rate = graft.Bench.mergeApplyRun(spark, 800)
+    assert(rate > 0, s"merge probe rate $rate")
+  }
+
   test("stale changes lose to newer applied state; fresh tombstones win") {
     val lake = s"${newBase()}/lake"
     MergeApply.applyBatch(spark,
