@@ -701,6 +701,55 @@ object Curation {
         FROM c) WHERE rank <= 20
     """.trim))
 
+  // -- p10: fractional-EPOCH repetition schedule — data recipes assign
+  //    per-source epoch factors like "src0 x 2.3" (high-quality sources
+  //    repeat, low-quality subsample): every doc emits floor(f) copies
+  //    plus one more iff an independent '#e'-salted doc hash falls
+  //    under the fractional part, so a 2.3-factor source contributes
+  //    EXACTLY its docs twice plus a deterministic 30% third-epoch
+  //    subset — in expectation and replay-stably (pure function of
+  //    doc_id, the p01/p08 discipline). Factors are (whole, frac)
+  //    literal pairs, so no engine computes frac(2.3) in floats. The
+  //    copy fan-out is a map-side explode of a bounded sequence; no
+  //    shuffle anywhere — the schedule runs at scan speed at any
+  //    corpus size.
+  private val p10 = Q(
+    "p10_epoch_schedule",
+    (s, d) => {
+      val whole = when(col("source") === "src0", 2L)
+        .when(col("source") === "src1", 1L)
+        .when(col("source") === "src2", 0L)
+        .otherwise(1L)
+      val frac = when(col("source") === "src0", 0.3)
+        .when(col("source") === "src1", 0.0)
+        .when(col("source") === "src2", 0.4)
+        .otherwise(0.5)
+      val u = graft.functions.ColumnFns.md5_prefix64(
+        concat(col("doc_id").cast(StringType), lit("#e"))) /
+        lit(1152921504606846976.0) // 2^60, the house unit hash
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (whole + (u < frac).cast(LongType)).as("n_copies"))
+        .filter(col("n_copies") > 0L)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(expr("sequence(0L, n_copies - 1)")).as("epoch_idx"))
+    },
+    Some(s"""
+      WITH a AS (SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                      WHEN 'src2' THEN 0 ELSE 1 END
+          + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#e'), 1, 15)) AS BIGINT)
+                      / 1152921504606846976.0
+                   < CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.0
+                                 WHEN 'src2' THEN 0.4 ELSE 0.5 END
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM documents)
+      SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+             CAST(e.e AS BIGINT) AS epoch_idx
+      FROM a, (SELECT unnest(range(4)) AS e) e
+      WHERE n_copies > 0 AND e.e < n_copies
+    """.trim))
+
   /** one BPE merge round over a (doc_id, i, w) token stream: returns
     * (the winning pair with its count, the stream with that pair
     * merged greedily left-to-right). Factored so v05 iterates it.
@@ -1499,5 +1548,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, x01, x02, x04, x05, x06)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, x01, x02, x04, x05, x06)
 }
