@@ -476,6 +476,59 @@ object Curation {
       WHERE rank <= 1000
     """.trim))
 
+  // -- v07: vocabulary COVERAGE — per-source OOV rate against the
+  //    v01-style frequency-ranked vocabulary, truncated to the top
+  //    [[V07VocabSize]] types (deliberately smaller than the corpus
+  //    type count so coverage is non-trivial). The question a tokenizer
+  //    team asks before shipping a vocab: which sources fall outside
+  //    it, and by how much. 100 TB shape: the vocab is an aggregate
+  //    (type-count rows) broadcast to a map-side left join over the
+  //    token stream; one corpus-wide shuffle for the type counts, one
+  //    map-side-combined groupBy(source) — no token-keyed join against
+  //    anything corpus-sized. oov_rate follows the 6-dp rounding
+  //    parity discipline (computed on exact BIGINT counts).
+  private val V07VocabSize = 16
+  private val v07 = Q(
+    "v07_vocab_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= V07VocabSize)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      docs
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"),
+          countDistinct(when(col("in_vocab").isNull, col("term"))).as("oov_types"))
+        .withColumn("oov_rate",
+          round((col("n_tokens") - col("n_in_vocab")) / col("n_tokens").cast(DoubleType), 6))
+        .select("source", "n_tokens", "n_in_vocab", "oov_types", "oov_rate")
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term)
+        WHERE rank <= $V07VocabSize),
+      toks AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      SELECT t.source,
+             count(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+             CAST(count(DISTINCT CASE WHEN v.term IS NULL THEN t.term END) AS BIGINT) AS oov_types,
+             round(CAST(count(*) - SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.source
+    """.trim))
+
   // -- p04: domain-mixing weights — per-(source, lang) token shares and
   //    the sampling weight that would flatten the mixture to uniform
   //    across strata (weight = target_share / actual_share; a target
@@ -756,14 +809,23 @@ object Curation {
     */
   private def mergeRound(stream: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // both consumers (the pair count and the merge) read the input
+    // stream; without a persist the stream's lineage is inlined into
+    // each, so round r recomputes round r-1 twice — 2^rounds scans of
+    // the corpus by the last round (observed: 9 parquet scans / 35
+    // window ops in the 3-round physical plan; 18 -> 1 scans with the
+    // persist). MEMORY_AND_DISK spills corpus-sized rounds; the 100 TB
+    // shape checkpoints each round's stream to the lake, and this
+    // persist is the single-cluster analog of that barrier.
+    val in = stream.persist()
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     val wIsl = Window.partitionBy("doc_id", "island").orderBy("i")
-    val top = stream
+    val top = in
       .withColumn("wn", lead(col("w"), 1).over(wDoc))
       .filter(col("wn").isNotNull)
       .groupBy(col("w").as("p1"), col("wn").as("p2")).agg(count(lit(1)).as("tc"))
       .orderBy(col("tc").desc, col("p1"), col("p2")).limit(1)
-    val merged = stream
+    val merged = in
       .withColumn("wn", lead(col("w"), 1).over(wDoc))
       .crossJoin(broadcast(top.select("p1", "p2")))
       .withColumn("m",
@@ -782,6 +844,42 @@ object Curation {
 
   /** rounds of BPE training v05 runs (and its oracle mirrors) */
   val BpeRounds = 3
+
+  /** shared oracle scaffolding for v05/v06: the positional token CTE
+    * `t0` plus [[BpeRounds]] chained merge-round CTE blocks ending in
+    * `t<BpeRounds>` (and per-round `top<r>` winners) — generated by
+    * the same loop that drives the engine rounds.
+    */
+  private lazy val bpeRoundsCte: String = {
+    val base = """t0 AS (SELECT doc_id, i.i AS i, toks[i.i+1] AS w
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+                      (SELECT unnest(range((SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) i
+                 WHERE i.i < len(toks))"""
+    val rounds = (1 to BpeRounds).map { r =>
+      val in = s"t${r - 1}"
+      s"""
+      pr$r AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS wn FROM $in),
+      top$r AS (SELECT w AS p1, wn AS p2, count(*) AS tc FROM pr$r WHERE wn IS NOT NULL
+              GROUP BY 1, 2 ORDER BY count(*) DESC, 1, 2 LIMIT 1),
+      m1$r AS (SELECT t.doc_id, t.i, t.w, top$r.p1, top$r.p2,
+                    coalesce(t.w = top$r.p1 AND
+                             lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.i) = top$r.p2,
+                             false) AS m
+             FROM $in t, top$r),
+      m2$r AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS mrn FROM m1$r),
+      m3$r AS (SELECT *, CASE WHEN m THEN i - mrn END AS island FROM m2$r),
+      m4$r AS (SELECT *, CASE WHEN m THEN row_number()
+                         OVER (PARTITION BY doc_id, island ORDER BY i) - 1 END AS rel FROM m3$r),
+      m5$r AS (SELECT *, coalesce(m AND rel % 2 = 0, false) AS start FROM m4$r),
+      m6$r AS (SELECT *, coalesce(lag(start) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
+             FROM m5$r),
+      t$r AS (SELECT doc_id, i,
+                   CASE WHEN start THEN p1 || '_' || p2 ELSE w END AS w
+            FROM m6$r WHERE NOT consumed)"""
+    }.mkString(",")
+    s"$base,$rounds"
+  }
 
   // -- v05: MULTI-ROUND BPE training — v04's single greedy merge round
   //    iterated to a merge LIST, the actual tokenizer-training loop
@@ -811,37 +909,44 @@ object Curation {
       merges
     },
     Some {
-      val base = """t0 AS (SELECT doc_id, i.i AS i, toks[i.i+1] AS w
-                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
-                      (SELECT unnest(range((SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) i
-                 WHERE i.i < len(toks))"""
-      val rounds = (1 to BpeRounds).map { r =>
-        val in = s"t${r - 1}"
-        s"""
-      pr$r AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS wn FROM $in),
-      top$r AS (SELECT w AS p1, wn AS p2, count(*) AS tc FROM pr$r WHERE wn IS NOT NULL
-              GROUP BY 1, 2 ORDER BY count(*) DESC, 1, 2 LIMIT 1),
-      m1$r AS (SELECT t.doc_id, t.i, t.w, top$r.p1, top$r.p2,
-                    coalesce(t.w = top$r.p1 AND
-                             lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.i) = top$r.p2,
-                             false) AS m
-             FROM $in t, top$r),
-      m2$r AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
-                         OVER (PARTITION BY doc_id ORDER BY i) AS mrn FROM m1$r),
-      m3$r AS (SELECT *, CASE WHEN m THEN i - mrn END AS island FROM m2$r),
-      m4$r AS (SELECT *, CASE WHEN m THEN row_number()
-                         OVER (PARTITION BY doc_id, island ORDER BY i) - 1 END AS rel FROM m3$r),
-      m5$r AS (SELECT *, coalesce(m AND rel % 2 = 0, false) AS start FROM m4$r),
-      m6$r AS (SELECT *, coalesce(lag(start) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
-             FROM m5$r),
-      t$r AS (SELECT doc_id, i,
-                   CASE WHEN start THEN p1 || '_' || p2 ELSE w END AS w
-            FROM m6$r WHERE NOT consumed)"""
-      }.mkString(",")
       val union = (1 to BpeRounds)
         .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, CAST(tc AS BIGINT) AS tc FROM top$r")
         .mkString(" UNION ALL ")
-      s"WITH $base,$rounds\n      $union".trim
+      s"WITH $bpeRoundsCte\n      $union".trim
+    })
+
+  // -- v06: APPLY the trained tokenizer — v05's loop re-run with the
+  //    merged stream carried through to the end, reporting per-doc
+  //    token counts before and after the learned merges (the
+  //    compression the tokenizer actually buys, the number a data
+  //    team watches per source). Training and application share
+  //    [[mergeRound]] verbatim, so v05/v06 cannot drift apart; the
+  //    oracle reuses the identical generated CTE chain with a per-doc
+  //    count tail instead of the merge-list head.
+  private val v06 = Q(
+    "v06_bpe_apply",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      var stream = toks
+      for (_ <- 1 to BpeRounds) stream = mergeRound(stream)._2
+      // raw counts map-side from the text (== t0's per-doc cardinality
+      // since every position explodes to one row) — no second pass
+      // over the window chain
+      val raw = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_raw"))
+      val bpe = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
+      raw.join(bpe, "doc_id")
+        .select(col("doc_id"), col("n_raw"), col("n_bpe"),
+          (col("n_raw") - col("n_bpe")).as("n_saved"))
+    },
+    Some {
+      s"""WITH $bpeRoundsCte,
+      raw AS (SELECT doc_id, count(*) AS n_raw FROM t0 GROUP BY 1),
+      bpe AS (SELECT doc_id, count(*) AS n_bpe FROM t$BpeRounds GROUP BY 1)
+      SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw, CAST(n_bpe AS BIGINT) AS n_bpe,
+             CAST(n_raw - n_bpe AS BIGINT) AS n_saved
+      FROM raw JOIN bpe USING (doc_id)""".trim
     })
 
   private val v03 = Q(
@@ -1548,5 +1653,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, x01, x02, x04, x05, x06)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06)
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -239,6 +240,108 @@ object LlmQueries {
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
       ${jaccardTail(0.5)}
+    """.trim))
+
+  // -- d17: CONTAINMENT triage of the near-dup candidate set — for
+  //    every LSH candidate pair, the asymmetric containment score
+  //    i/min(|A|,|B|) next to the symmetric Jaccard, with a relation
+  //    verdict (near_exact / near_dup / contained / weak). Jaccard
+  //    under-reports small-in-big duplication (a 100-line doc quoted
+  //    whole inside a 10k-line doc has jac ~ 0.01 but containment 1.0);
+  //    the triage tells a dedup pipeline which rule fired so the keep
+  //    policy can differ (drop the copy vs trim the span — d16 extracts
+  //    the spans themselves). Honest recall note: minhash banding is
+  //    Jaccard-tuned, so extreme-ratio containment pairs may not reach
+  //    the candidate set at all — this entry classifies the pairs the
+  //    banded generator surfaces; span-level detection of the rest is
+  //    d16's job. Cost: identical to d05 plus two scalar columns.
+  private val d17 = Q(
+    "d17_containment",
+    (s, d) => {
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
+      Dedup.jaccard(cand, sh)
+        .withColumn("containment",
+          round(col("inter").cast(DoubleType) / least(col("n1"), col("n2")), 4))
+        .withColumn("relation",
+          when(col("jac") >= 0.8, "near_exact")
+            .when(col("jac") >= 0.5, "near_dup")
+            .when(col("containment") >= 0.8, "contained")
+            .otherwise("weak"))
+        .select("d1", "d2", "jac", "containment", "relation")
+    },
+    Some(s"""
+      WITH $shingleCte,
+      $sigCteK2,
+      ${bandCteR2("bands", K2)},
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      $jaccardCtes
+      SELECT d1, d2,
+             round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac,
+             round(CAST(i AS DOUBLE) / least(n1.n, n2.n), 4) AS containment,
+             CASE WHEN round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.8 THEN 'near_exact'
+                  WHEN round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.5 THEN 'near_dup'
+                  WHEN round(CAST(i AS DOUBLE) / least(n1.n, n2.n), 4) >= 0.8 THEN 'contained'
+                  ELSE 'weak' END AS relation
+      FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+    """.trim))
+
+  // -- c04: FUZZY train/test contamination — c01's exact shared-shingle
+  //    check catches verbatim leakage; paraphrased or lightly-edited
+  //    test documents slip it. This is the published fuzzy variant:
+  //    minhash-banded candidates restricted to cross-split pairs, exact
+  //    Jaccard on the survivors, jac >= 0.5 = contaminated. Lives in
+  //    LlmQueries (not Curation with c01-c03) because it is the d05
+  //    machinery applied across the split boundary — the shingle index,
+  //    signatures, and banding are shared verbatim. Scale: the
+  //    cross-split filter runs on the BANDED candidate set (collision-
+  //    bounded), never on train x test; at 100 TB the self-banding
+  //    swaps for d11's delta-probe shape (band only the tiny test side,
+  //    probe the standing train index) with identical semantics.
+  private val c04 = Q(
+    "c04_fuzzy_contamination",
+    (s, d) => {
+      val uOf = (c: org.apache.spark.sql.Column) =>
+        graft.functions.ColumnFns.md5_prefix64(c.cast(StringType)) /
+          lit(1152921504606846976.0) // 2^60, the p01/c01 unit hash
+      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
+        .withColumn("u1", uOf(col("d1")))
+        .withColumn("u2", uOf(col("d2")))
+        .filter((col("u1") < 0.9 && col("u2") >= 0.95) ||
+          (col("u2") < 0.9 && col("u1") >= 0.95))
+        .select("d1", "d2")
+      Dedup.jaccard(cand, sh)
+        .filter(col("jac") >= 0.5)
+        .withColumn("u1", uOf(col("d1")))
+        .select(
+          when(col("u1") < 0.9, col("d1")).otherwise(col("d2")).as("train_doc"),
+          when(col("u1") < 0.9, col("d2")).otherwise(col("d1")).as("test_doc"),
+          col("jac"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      $sigCteK2,
+      ${bandCteR2("bands", K2)},
+      uh AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(concat('0x', substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u1,
+               CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u2
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      cand AS (SELECT DISTINCT d1, d2 FROM uh
+               WHERE (u1 < 0.9 AND u2 >= 0.95) OR (u2 < 0.9 AND u1 >= 0.95)),
+      $jaccardCtes,
+      jpairs AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jac,
+                   CAST(concat('0x', substr(md5(CAST(d1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0 AS u1
+                 FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+                 WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) >= 0.5)
+      SELECT CASE WHEN u1 < 0.9 THEN d1 ELSE d2 END AS train_doc,
+             CASE WHEN u1 < 0.9 THEN d2 ELSE d1 END AS test_doc,
+             jac
+      FROM jpairs
     """.trim))
 
   // -- x03: the dedup suite as ONE pass — the production shape. The
@@ -1445,6 +1548,115 @@ object LlmQueries {
                                  ORDER BY rrf_raw DESC, corpus_doc ASC) <= 5
     """.trim))
 
+  // -- s15: DIVERSITY-capped top-k — retrieval result diversification:
+  //    at most 2 results per label (the max-per-domain / max-per-source
+  //    rule every production retrieval stack applies before serving).
+  //    Two-stage shape: a global top-100 candidate pool first (a
+  //    single-reduce TakeOrdered on the 6-dp cosine image — the only
+  //    corpus-wide pass), THEN the per-label window and the final
+  //    top-10 run on the 100-row pool. At 100 TB the pool stage swaps
+  //    for the s04/s10 IVF probe unchanged; the diversity window never
+  //    sees the corpus, so there is no label-keyed corpus shuffle.
+  private val s15 = Q(
+    "s15_diverse_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val pool = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(100)
+      val wl = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_id").asc)
+      val wg = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      pool
+        .withColumn("label_rank", row_number().over(wl).cast(LongType))
+        .filter(col("label_rank") <= 2)
+        .withColumn("rank", row_number().over(wg).cast(LongType))
+        .filter(col("rank") <= 10)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e, q, (SELECT unnest(range(64)) AS d) d
+            WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label),
+      pool AS (SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+               FROM x ORDER BY cos DESC, vec_id ASC LIMIT 100),
+      lr AS (SELECT vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY label
+                                       ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS label_rank
+             FROM pool
+             QUALIFY row_number() OVER (PARTITION BY label
+                                        ORDER BY cos DESC, vec_id ASC) <= 2)
+      SELECT vec_id, label, cos, label_rank,
+             CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM lr
+      QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10
+    """.trim))
+
+  // -- s16: MATRYOSHKA truncated-dimension retrieval — top-10 by
+  //    cosine over only the FIRST 16 of 64 dimensions (the
+  //    matryoshka-embedding serving trick: a prefix of the vector is
+  //    itself a usable embedding, so the index scans a quarter of the
+  //    floats), each hit flagged with whether the full-dimension
+  //    top-10 agrees (in_full_topk — the per-query quality signal that
+  //    decides how far a deployment can truncate). Scale: the prefix
+  //    pass is the only corpus-wide scan and it reads 16/64ths of the
+  //    vector bytes; the agreement join touches two 10-row lists.
+  private val s16 = Q(
+    "s16_matryoshka_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"), slice(col("embedding"), 1, 16).as("qv16"))
+      val scored = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      val full = scored
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1L).as("in_full_topk"))
+      val wg = Window.orderBy(col("cos16").desc, col("vec_id").asc)
+      scored
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(slice(col("embedding"), 1, 16), col("qv16")), 6).as("cos16"))
+        .withColumn("rank", row_number().over(wg).cast(LongType))
+        .filter(col("rank") <= 10)
+        .join(broadcast(full), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("cos16"), col("rank"),
+          coalesce(col("in_full_topk"), lit(0L)).as("in_full_topk"))
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      x16 AS (SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+             FROM embeddings e, q, (SELECT unnest(range(16)) AS d) d
+             WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label),
+      t16 AS (SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos16,
+                CAST(row_number() OVER (ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                        vec_id ASC) AS BIGINT) AS rank
+              FROM x16
+              QUALIFY row_number() OVER (ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                         vec_id ASC) <= 10),
+      x64 AS (SELECT e.vec_id,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+             FROM embeddings e, q, (SELECT unnest(range(64)) AS d) d
+             WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      t64 AS (SELECT vec_id FROM
+               (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM x64)
+              ORDER BY cos DESC, vec_id ASC LIMIT 10)
+      SELECT t16.vec_id, t16.label, t16.cos16, t16.rank,
+             CAST(CASE WHEN t64.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_full_topk
+      FROM t16 LEFT JOIN t64 ON t64.vec_id = t16.vec_id
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -1937,5 +2149,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -323,6 +323,62 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("v06: applying the v05-learned merges brute-force reproduces every per-doc count") {
+    // sequential greedy reference scan, one learned merge at a time, in
+    // the order v05 emits them — exactly what a tokenizer runtime does
+    def applyMerge(toks: Array[String], p1: String, p2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == p1 && toks(i + 1) == p2) {
+          out += s"${p1}_$p2"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = Catalog.byName("v05_bpe_train").run(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2")))
+    assert(merges.length == llm.Curation.BpeRounds)
+    val expect = docs.select("doc_id", "text").collect().map { r =>
+      var toks = r.getAs[String]("text").split(" ")
+      for ((p1, p2) <- merges) toks = applyMerge(toks, p1, p2)
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("text").split(" ").length.toLong, toks.length.toLong)
+    }.toMap
+    val got = Catalog.byName("v06_bpe_apply").run(spark, sf).collect()
+    assert(got.length == expect.size, "one row per doc")
+    for (r <- got) {
+      val id = r.getAs[Long]("doc_id")
+      val (nRaw, nBpe) = expect(id)
+      assert(r.getAs[Long]("n_raw") == nRaw, s"doc $id n_raw")
+      assert(r.getAs[Long]("n_bpe") == nBpe, s"doc $id n_bpe")
+      assert(r.getAs[Long]("n_saved") == nRaw - nBpe, s"doc $id n_saved")
+    }
+  }
+
+  test("v07: per-source OOV accounting matches a direct recount against the top-16 vocab") {
+    val rows = Catalog.byName("v07_vocab_coverage").run(spark, sf).collect()
+    // recompute vocab + per-source counts directly from the raw docs
+    val raw = docs.select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ")))
+    val freq = raw.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.length }
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val bySource = raw.groupBy(_._1)
+    assert(rows.length == bySource.size, "one row per source")
+    for (r <- rows) {
+      val toks = bySource(r.getAs[String]("source")).flatMap(_._2)
+      val inV = toks.count(vocab.contains)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_in_vocab") == inV.toLong)
+      assert(r.getAs[Long]("oov_types") == toks.filterNot(vocab.contains).distinct.length.toLong)
+      val expectRate = BigDecimal((toks.length - inV).toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("oov_rate") - expectRate) < 1e-9)
+    }
+    // the 16-type vocab must leave real OOV mass on this 31-type corpus
+    assert(rows.forall(_.getAs[Double]("oov_rate") > 0.0))
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -554,4 +554,72 @@ class LlmSpec extends AnyFunSuite {
     val maxDf = capped.groupBy("h64").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxDf <= 2)
   }
+
+  test("s15: at most 2 results per label, and they are the true top-10 of the capped pool") {
+    val rows = Catalog.byName("s15_diverse_topk").run(spark, sf).collect()
+    assert(rows.length == 10)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.values.forall(_.length <= 2), "diversity cap violated")
+    // independent recompute: full brute ranking in-JVM, apply the same
+    // cap-2-per-label scan over the global order, take 10
+    val all = llm.Similarity.topK(embs, 0L, Int.MaxValue - 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Double]("cos")))
+    val seen = scala.collection.mutable.Map[Int, Int]()
+    val expect = all.sortBy { case (id, _, c) => (-c, id) }.take(100).filter { case (_, l, _) =>
+      val n = seen.getOrElse(l, 0); seen(l) = n + 1; n < 2
+    }.take(10).map(_._1)
+    assert(rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).sameElements(expect))
+  }
+
+  test("s16: truncated ranking is by 16-dim cosine and the agreement flag matches the full top-10") {
+    val rows = Catalog.byName("s16_matryoshka_topk").run(spark, sf).collect()
+    assert(rows.length == 10)
+    // ranks follow cos16 descending with vec_id tiebreak
+    val sorted = rows.sortBy(_.getAs[Long]("rank"))
+    val resorted = rows.sortBy(r => (-r.getAs[Double]("cos16"), r.getAs[Long]("vec_id")))
+    assert(sorted.map(_.getAs[Long]("vec_id")).sameElements(resorted.map(_.getAs[Long]("vec_id"))))
+    // the flag is exactly membership in the full-dimension top-10
+    val full = llm.Similarity.topK(embs, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    for (r <- rows)
+      assert((r.getAs[Long]("in_full_topk") == 1L) == full.contains(r.getAs[Long]("vec_id")))
+    // truncation loses SOME fidelity but not all: overlap in (0, 10]
+    assert(rows.count(_.getAs[Long]("in_full_topk") == 1L) > 0, "no overlap at all is a bug")
+  }
+
+  test("d17: containment dominates jaccard and the relation verdict matches its thresholds") {
+    val rows = Catalog.byName("d17_containment").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val jac = r.getAs[Double]("jac")
+      val con = r.getAs[Double]("containment")
+      // i/min(n1,n2) >= i/(n1+n2-i) always
+      assert(con >= jac - 1e-9, s"containment $con < jac $jac")
+      val expect =
+        if (jac >= 0.8) "near_exact"
+        else if (jac >= 0.5) "near_dup"
+        else if (con >= 0.8) "contained"
+        else "weak"
+      assert(r.getAs[String]("relation") == expect)
+    }
+  }
+
+  test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / math.pow(2, 60)
+    }
+    val rows = Catalog.byName("c04_fuzzy_contamination").run(spark, sf).collect()
+    for (r <- rows) {
+      assert(u(r.getAs[Long]("train_doc")) < 0.9, "train side must be in the train split")
+      assert(u(r.getAs[Long]("test_doc")) >= 0.95, "test side must be in the held-out split")
+      assert(r.getAs[Double]("jac") >= 0.5)
+    }
+    // fuzzy must be a superset of exact contamination restricted to the
+    // same candidate recall: every c01 pair with enough overlap to imply
+    // jac >= 0.5 that the bands surfaced is present. Weak-form check:
+    // any c01 pair sharing most of a doc's shingles should reappear.
+    val exact = Catalog.byName("c01_contamination").run(spark, sf).collect()
+    assert(rows.nonEmpty || exact.isEmpty, "exact contamination exists but fuzzy found nothing")
+  }
 }
