@@ -881,6 +881,41 @@ object Curation {
     s"$base,$rounds"
   }
 
+  // -- p11: WEIGHTED sampling without replacement (the A-ES /
+  //    Efraimidis-Spirakis exponential-key scheme): every doc gets key
+  //    u^(1/w) with u = the deterministic unit hash and w = n_chars
+  //    (longer docs carry more training tokens, so length-proportional
+  //    inclusion is the natural prior); the sample is the global
+  //    top-100 keys. This IS distributed weighted reservoir sampling:
+  //    keys are map-side pure functions, the top-N is a single-reduce
+  //    TakeOrdered (no global sort, no driver state), and the same
+  //    keys make the sample incrementally maintainable (a new batch's
+  //    keys compete against the standing sample's min key). Parity:
+  //    pow is transcendental, so both engines compare the 6-dp-rounded
+  //    key image with doc_id tiebreak (the x05 keep-rate discipline) —
+  //    rank ties resolve identically on both sides.
+  private val p11 = Q(
+    "p11_weighted_sample",
+    (s, d) => {
+      val key = round(
+        pow(unitHash(col("doc_id")), lit(1.0) / col("n_chars")), 6)
+      val pool = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), key.as("key"))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(100)
+      val w = Window.orderBy(col("key").desc, col("doc_id").asc)
+      pool.withColumn("rank", row_number().over(w).cast(LongType))
+    },
+    Some(s"""
+      WITH keyed AS (SELECT doc_id, source, n_chars,
+                       round(pow($duckUnitHash, 1.0 / n_chars), 6) AS key
+                     FROM documents),
+      pool AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100)
+      SELECT doc_id, source, n_chars, key,
+             CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM pool
+    """.trim))
+
   // -- v05: MULTI-ROUND BPE training — v04's single greedy merge round
   //    iterated to a merge LIST, the actual tokenizer-training loop
   //    (count pairs -> adopt the winner -> re-merge the stream ->
@@ -1653,5 +1688,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06)
 }

@@ -1657,6 +1657,74 @@ object LlmQueries {
       FROM t16 LEFT JOIN t64 ON t64.vec_id = t16.vec_id
     """.trim))
 
+  /** s17's probe-width sweep (and its oracle's generated CTE blocks) */
+  private val S17Probes = Seq(1, 2, 4, 8, 16)
+
+  // -- s17: nProbe RECALL sweep — the index-tuning report an IVF
+  //    deployment reads before picking its probe width: recall@10 of
+  //    the s04 probe search vs the exact brute-force top-10, at every
+  //    nProbe in {1,2,4,8,16} over the standing 16-centroid quantizer.
+  //    nProbe=16 probes every list, so its row is a built-in soundness
+  //    anchor (recall exactly 1.0 — asserted in LlmSpec). Scale: each
+  //    probe run scans ~nProbe/16 of the corpus and the report is a
+  //    5-row aggregate; the sweep shares one quantizer and one brute
+  //    anchor (both cached), so the whole report costs ~2 corpus scans
+  //    + the probed fractions, not 5 independent searches. The oracle
+  //    chains one generated CTE block per probe width — the same loop
+  //    drives both engines (the v05 discipline).
+  private val s17 = Q(
+    "s17_nprobe_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bfIds = Similarity.topK(emb, 0L, 10).select("vec_id").cache()
+      val cents = Similarity.sampledCentroids(emb, 16).cache()
+      S17Probes.map { np =>
+        Similarity.ivfTopKWith(emb, 0L, 10, cents, np)
+          .select("vec_id").join(bfIds, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("n_probe"), col("hits"),
+            round(col("hits") / lit(10.0), 6).as("recall_at_10"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val blocks = S17Probes.map { np =>
+        s"""
+      probes$np AS (SELECT cid FROM asim WHERE vec_id = 0
+                    QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= $np),
+      x$np AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e
+              JOIN assign a ON a.vec_id = e.vec_id
+              JOIN probes$np p ON p.cid = a.cid, q, dims d
+              WHERE e.vec_id <> 0
+              GROUP BY e.vec_id),
+      t$np AS (SELECT vec_id FROM
+                (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM x$np)
+               ORDER BY cos DESC, vec_id ASC LIMIT 10)"""
+      }.mkString(",")
+      val union = S17Probes.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS n_probe,
+             (SELECT count(*) FROM t$np JOIN bf USING (vec_id)) AS hits,
+             round((SELECT count(*) FROM t$np JOIN bf USING (vec_id)) / 10.0, 6) AS recall_at_10"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH $ivfAssignCte,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      xbf AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e, q, dims d
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      bf AS (SELECT vec_id FROM
+              (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xbf)
+             ORDER BY cos DESC, vec_id ASC LIMIT 10),
+      $blocks
+      $union""".trim
+    })
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -2149,5 +2217,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -203,7 +203,10 @@ object ScaleProbe {
     val queries = Seq(
       "d03_minhash_lsh", "d14_semdedup", "x03_dedup_suite",
       "d06_embedding_neardup", "s09_ivfpq_topk", "d10_semantic_dedup",
-      "s12_bm25_topk", "d16_dup_spans")
+      "s12_bm25_topk", "d16_dup_spans",
+      // r10 LSH-family additions: both ride the d05 banding, so the
+      // linearity claim extends to them — measure it, don't assume it
+      "d17_containment", "c04_fuzzy_contamination")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))

@@ -323,6 +323,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("p11: A-ES sample is the exact top-100 by u^(1/w) key and is length-biased") {
+    val rows = Catalog.byName("p11_weighted_sample").run(spark, sf).collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 100L))
+    // independent JVM recompute of the exponential keys
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / math.pow(2, 60)
+    }
+    val all = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val keyed = all.map { case (id, w) =>
+      (id, BigDecimal(math.pow(u(id), 1.0 / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = keyed.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1)
+    assert(rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).sameElements(expect))
+    // the length weight must bias the sample: sampled docs are longer on average
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("v06: applying the v05-learned merges brute-force reproduces every per-doc count") {
     // sequential greedy reference scan, one learned merge at a time, in
     // the order v05 emits them — exactly what a tokenizer runtime does

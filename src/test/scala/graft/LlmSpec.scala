@@ -603,6 +603,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("s17: recall is monotone in nProbe and exactly 1.0 when every list is probed") {
+    val rows = Catalog.byName("s17_nprobe_recall").run(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n_probe"))
+    assert(rows.map(_.getAs[Long]("n_probe")).sameElements(Array(1L, 2L, 4L, 8L, 16L)))
+    // probing all 16 lists IS brute force — recall must be exactly 1.0
+    assert(rows.last.getAs[Long]("hits") == 10L)
+    assert(rows.last.getAs[Double]("recall_at_10") == 1.0)
+    // widening the probe can only add candidates: recall is monotone
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: ${recalls.toList}")
+    assert(rows.forall(r => r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 10L))
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
