@@ -934,6 +934,106 @@ object LlmQueries {
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
+  /** shared Spark/oracle pieces for the binary-quantization family
+    * (e03/s18): dims 0-31 packed into code_lo, 32-63 into code_hi —
+    * two half-words so no engine ever shifts into a BIGINT sign bit
+    * (DuckDB range-errors on 1<<63 where Spark wraps; 32-bit halves
+    * sidestep the divergence entirely). The sign test is x > 0 on the
+    * exact double image — no rounding, no ties.
+    */
+  private def binHalf(off: Int) = expr(
+    s"cast(aggregate(sequence(0, 31), cast(0 as bigint), (acc, d) -> acc + " +
+      s"IF(cast(element_at(embedding, d + ${off + 1}) as double) > 0, " +
+      s"shiftleft(cast(1 as bigint), d), cast(0 as bigint))) as bigint)")
+
+  private val binCodesCte = s"""bcodes AS (
+        SELECT vec_id, label,
+          CAST(SUM(CASE WHEN CAST(embedding[d.d+1] AS DOUBLE) > 0 AND d.d < 32
+                        THEN (CAST(1 AS BIGINT) << d.d) ELSE 0 END) AS BIGINT) AS code_lo,
+          CAST(SUM(CASE WHEN CAST(embedding[d.d+1] AS DOUBLE) > 0 AND d.d >= 32
+                        THEN (CAST(1 AS BIGINT) << (d.d - 32)) ELSE 0 END) AS BIGINT) AS code_hi
+        FROM embeddings, (SELECT unnest(range(${Similarity.Dims})) AS d) d
+        GROUP BY vec_id, label)"""
+
+  // -- e03: BINARY (sign-bit) quantization — each 64-float vector
+  //    compressed to 64 BITS (32x vs float32; the most aggressive rung
+  //    of the quantization ladder after e01's int8 and e02's PQ). One
+  //    map-side pass, no shuffle; hamming distance on these codes
+  //    approximates angle (P(bit differs) = theta/pi for random
+  //    hyperplanes — here the coordinate axes), which s18 searches.
+  private val e03 = Q(
+    "e03_binary_quantize",
+    (s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        binHalf(0).as("code_lo"),
+        binHalf(32).as("code_hi"))
+        .withColumn("n_pos",
+          (bit_count(col("code_lo")) + bit_count(col("code_hi"))).cast(LongType)),
+    Some(s"""
+      WITH $binCodesCte
+      SELECT vec_id, code_lo, code_hi,
+             CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_pos
+      FROM bcodes
+    """.trim))
+
+  // -- s18: HAMMING top-k over the binary codes with exact re-rank —
+  //    the binary-quantization search recipe (popcount of XOR is ~1ns
+  //    per vector; the modern memory-bound ANN first pass): score the
+  //    whole corpus on the 8-byte codes only, shortlist the 50 nearest
+  //    by hamming, exact-cosine re-rank the shortlist to top-10.
+  //    Completes the quantized-search ladder: s05 re-ranks an int8
+  //    shortlist, s08 a PQ shortlist, s18 a 64-bit binary shortlist —
+  //    the float vectors are untouched until the 50-row re-rank.
+  private val s18 = Q(
+    "s18_hamming_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codes = emb.select(col("vec_id"), col("label"),
+        binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
+      val qc = codes.filter(col("vec_id") === 0L)
+        .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+      val short = codes.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"), col("label"),
+          (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+            bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val wg = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      emb.join(broadcast(short.select("vec_id", "hamming")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("hamming"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wg).cast(LongType))
+        .filter(col("rank") <= 10)
+    },
+    Some(s"""
+      WITH $binCodesCte,
+      qc AS (SELECT code_lo AS q_lo, code_hi AS q_hi FROM bcodes WHERE vec_id = 0),
+      short AS (SELECT b.vec_id, b.label,
+                  CAST(bit_count(xor(b.code_lo, qc.q_lo))
+                     + bit_count(xor(b.code_hi, qc.q_hi)) AS BIGINT) AS hamming
+                FROM bcodes b, qc
+                WHERE b.vec_id <> 0
+                ORDER BY hamming ASC, b.vec_id ASC LIMIT 50),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      x AS (SELECT e.vec_id, sh.label, sh.hamming,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id,
+                 q, (SELECT unnest(range(${Similarity.Dims})) AS d) d
+            GROUP BY e.vec_id, sh.label, sh.hamming)
+      SELECT vec_id, label, hamming, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos,
+             CAST(row_number() OVER (ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                     vec_id ASC) AS BIGINT) AS rank
+      FROM x
+      QUALIFY row_number() OVER (ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                 vec_id ASC) <= 10
+    """.trim))
+
   // -- s09: IVF-PQ top-k — the two verified halves composed into the
   //    billion-scale production shape: the IVF coarse quantizer (s04's
   //    probe stage) restricts the search to 4 of 16 posting lists, and
@@ -2217,5 +2317,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, e01, e02, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -617,6 +617,42 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 10L))
   }
 
+  test("e03/s18: binary codes match a JVM sign-pack and hamming search re-ranks correctly") {
+    // recompute every code from the raw floats
+    val raw = embs.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      var lo = 0L; var hi = 0L
+      for (d <- 0 until 64) if (v(d).toDouble > 0) {
+        if (d < 32) lo |= 1L << d else hi |= 1L << (d - 32)
+      }
+      r.getAs[Long]("vec_id") -> (lo, hi)
+    }.toMap
+    val codes = Catalog.byName("e03_binary_quantize").run(spark, sf).collect()
+    assert(codes.length == raw.size)
+    for (r <- codes) {
+      val (lo, hi) = raw(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("code_lo") == lo && r.getAs[Long]("code_hi") == hi)
+      assert(r.getAs[Long]("n_pos") ==
+        (java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)).toLong)
+    }
+    // s18: every hit's hamming matches the recompute, and the hit set
+    // is drawn from the 50 hamming-nearest candidates
+    val (qlo, qhi) = raw(0L)
+    def ham(id: Long): Long = {
+      val (lo, hi) = raw(id)
+      (java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi)).toLong
+    }
+    val hits = Catalog.byName("s18_hamming_topk").run(spark, sf).collect()
+    assert(hits.length == 10)
+    for (r <- hits) assert(r.getAs[Long]("hamming") == ham(r.getAs[Long]("vec_id")))
+    val short50 = raw.keys.filter(_ != 0L).toSeq.sortBy(id => (ham(id), id)).take(50).toSet
+    assert(hits.forall(r => short50.contains(r.getAs[Long]("vec_id"))))
+    // ranks follow the exact re-rank cosine, descending
+    val sorted = hits.sortBy(_.getAs[Long]("rank"))
+    val coss = sorted.map(_.getAs[Double]("cos"))
+    assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
