@@ -984,6 +984,43 @@ object Curation {
       FROM raw JOIN bpe USING (doc_id)""".trim
     })
 
+  // -- x07: the TOKENIZER pipeline composed — train the BPE merges
+  //    (v05's loop), apply them corpus-wide (v06's stream), then pack
+  //    sequences into training bins by the REAL tokenizer's counts
+  //    (p03's cumulative packing, but over n_bpe instead of whitespace
+  //    tokens — the difference between provisioning bins for the
+  //    token budget the model actually sees vs a proxy that drifts
+  //    ~20% after merges). One chain: the merge rounds are the v05/v06
+  //    persisted streams, the packing adds one source-partitioned
+  //    window over the doc-count-sized aggregate.
+  private val x07 = Q(
+    "x07_tokenizer_pipeline",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      var stream = toks
+      for (_ <- 1 to BpeRounds) stream = mergeRound(stream)._2
+      val counts = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(counts, "doc_id")
+        .withColumn("cum", sum(col("n_bpe")).over(w))
+        .select(col("doc_id"), col("source"), col("n_bpe"),
+          floor((col("cum") - col("n_bpe")) / lit(PackBudget)).as("bin"))
+    },
+    Some(s"""
+      WITH $bpeRoundsCte,
+      counts AS (SELECT doc_id, count(*) AS n_bpe FROM t$BpeRounds GROUP BY 1),
+      j AS (SELECT d.doc_id, d.source, c.n_bpe
+            FROM documents d JOIN counts c USING (doc_id))
+      SELECT doc_id, source, CAST(n_bpe AS BIGINT) AS n_bpe,
+             CAST(floor((SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe)
+                        / $PackBudget) AS BIGINT) AS bin
+      FROM j
+    """.trim))
+
   private val v03 = Q(
     "v03_collocations",
     (s, d) => {
@@ -1688,5 +1725,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
 }

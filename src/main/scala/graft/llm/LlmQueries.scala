@@ -1034,6 +1034,49 @@ object LlmQueries {
                                  vec_id ASC) <= 10
     """.trim))
 
+  // -- s19: hamming search against a STANDING binary-code index — the
+  //    d15/s10/s13 recipe applied to the e03 family: the 8-byte codes
+  //    persisted as parquet (base batch + delta batch appended; codes
+  //    are per-row pure functions of the vector, so append ≡ rebuild
+  //    by construction — no frozen-state subtlety, asserted anyway),
+  //    then the s18 search run against the index: the corpus-wide
+  //    hamming pass scans ONLY the code parquet (8 bytes/vector, no
+  //    float columns — the plan-audited point), floats touched first
+  //    at the 50-row re-rank. Index covers the whole corpus => same
+  //    oracle as s18.
+  private val s19 = Q(
+    "s19_hamming_standing",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codes = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("vec_id"), col("label"),
+          binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
+      val idxDir = new java.io.File("target/graft_idx/s19_bincodes").getAbsolutePath
+      codes(emb.filter(col("vec_id") % 10 =!= 7))
+        .write.mode("overwrite").parquet(idxDir)
+      codes(emb.filter(col("vec_id") % 10 === 7))
+        .write.mode("append").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+      val qc = idx.filter(col("vec_id") === 0L)
+        .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+      val short = idx.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"), col("label"),
+          (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+            bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val wg = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      emb.join(broadcast(short.select("vec_id", "hamming")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("hamming"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wg).cast(LongType))
+        .filter(col("rank") <= 10)
+    },
+    s18.oracle)
+
   // -- s09: IVF-PQ top-k — the two verified halves composed into the
   //    billion-scale production shape: the IVF coarse quantizer (s04's
   //    probe stage) restricts the search to 4 of 16 posting lists, and
@@ -2317,5 +2360,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

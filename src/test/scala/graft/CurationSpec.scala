@@ -403,6 +403,26 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("oov_rate") > 0.0))
   }
 
+  test("x07: packing bins run on the real BPE counts and are contiguous per source") {
+    val rows = Catalog.byName("x07_tokenizer_pipeline").run(spark, sf).collect()
+    // n_bpe must be v06's counts exactly (same persisted merge chain)
+    val v06 = Catalog.byName("v06_bpe_apply").run(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    assert(rows.length == v06.size)
+    for (r <- rows) assert(r.getAs[Long]("n_bpe") == v06(r.getAs[Long]("doc_id")))
+    // bins within a source are contiguous starting at 0 and follow the
+    // running cumulative budget
+    for ((_, members) <- rows.groupBy(_.getAs[String]("source"))) {
+      val ordered = members.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      for (m <- ordered) {
+        assert(m.getAs[Long]("bin") == cum / llm.Curation.PackBudget,
+          s"bin mismatch at doc ${m.get(0)}")
+        cum += m.getAs[Long]("n_bpe")
+      }
+    }
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)

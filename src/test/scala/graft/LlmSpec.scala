@@ -653,6 +653,19 @@ class LlmSpec extends AnyFunSuite {
     assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
   }
 
+  test("s19: standing-index hamming search returns exactly s18's answer and scans only codes") {
+    val standing = Catalog.byName("s19_hamming_standing").run(spark, sf)
+    val inQuery = Catalog.byName("s18_hamming_topk").run(spark, sf)
+    assert(standing.exceptAll(inQuery).count() == 0 &&
+      inQuery.exceptAll(standing).count() == 0,
+      "standing-index search must be result-identical to the in-query build")
+    // the corpus-wide first pass reads the code parquet, not the
+    // embedding floats: the only embeddings scans are the query-vector
+    // lookup and the 50-row re-rank join
+    val plan = standing.queryExecution.executedPlan.toString
+    assert(plan.contains("s19_bincodes"), "search plan must scan the standing index")
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
