@@ -296,6 +296,9 @@ object Bench {
     val semanticVecsPerSec8k =
       try if (only.nonEmpty) 0.0 else semanticRun(spark, sfDir, 8000)
       catch { case e: Throwable => System.err.println(s"[bench] semantic 8k probe failed: $e"); 0.0 }
+    val contamDocsPerSec =
+      try if (only.nonEmpty) 0.0 else contamThroughput(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] contam probe failed: $e"); 0.0 }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -314,7 +317,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"}"""
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
@@ -608,6 +611,38 @@ object Bench {
         .write.mode("append").json(src)
       val t0 = System.nanoTime()
       graft.streaming.SemanticGate
+        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Streaming contamination gate docs/s: index frozen from the sf
+    * corpus's test split once (untimed — benchmark releases are
+    * operator events), then the train split streamed through the
+    * bloom-prefilter + exact-verify verdict path. Warm-then-time like
+    * the other gate probes.
+    */
+  private def contamThroughput(spark: SparkSession, sfDir: String): Double = {
+    contamRun(spark, WarmDir)
+    contamRun(spark, sfDir)
+  }
+
+  private def contamRun(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_contam").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+      graft.streaming.ContamGate.buildIndex(spark, docs, s"$base/idx")
+      val u = graft.functions.ColumnFns
+        .md5_prefix64(org.apache.spark.sql.functions.col("doc_id").cast("string")) /
+        org.apache.spark.sql.functions.lit(1152921504606846976.0)
+      val train = docs.filter(u < 0.9).selectExpr("doc_id", "text", "lang", "source")
+      val n = train.count()
+      train.write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.ContamGate
         .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)

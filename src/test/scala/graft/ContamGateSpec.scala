@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.ContamGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming contamination gate: the union of a run's decision
+  * generations must equal the oracle-checked batch c03 output over the
+  * same documents; clean docs pass to the lake, contaminated docs
+  * don't; replayed batches re-land identical partitions.
+  */
+class ContamGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def dirs() = {
+    val b = Files.createTempDirectory("graft_contam").toString
+    (s"$b/src", s"$b/lake", s"$b/idx", s"$b/dec", s"$b/ckpt")
+  }
+
+  test("streamed decisions equal batch c03 exactly; clean docs land, contaminated don't") {
+    val (src, lake, idx, dec, ckpt) = dirs()
+    val docs = Tables.documents(spark, sf)
+    ContamGate.buildIndex(spark, docs, idx)
+    // stream exactly c03's population: the u < 0.9 train split, split
+    // over two drops so the run spans multiple micro-batches
+    val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast("string")) /
+      lit(1152921504606846976.0)
+    val train = docs.filter(u < 0.9).select("doc_id", "text", "lang", "source").cache()
+    train.filter(col("doc_id") % 2 === 0).write.mode("append").json(src)
+    train.filter(col("doc_id") % 2 =!= 0).write.mode("append").json(src)
+    ContamGate.start(spark, src, lake, idx, dec, ckpt).awaitTermination()
+
+    val streamed = spark.read.parquet(dec)
+      .select("train_doc", "n_shingles", "n_hit", "hit_ratio", "contaminated")
+    val batch = Catalog.byName("c03_contamination_ratio").run(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "gate decisions must equal the oracle-checked batch c03 output")
+
+    // lake = exactly the clean docs, decision log covers every doc once
+    val lakeIds = spark.read.parquet(lake).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = streamed.collect()
+    assert(rows.map(_.getAs[Long]("train_doc")).distinct.length == train.count())
+    for (r <- rows)
+      assert(lakeIds.contains(r.getAs[Long]("train_doc")) == !r.getAs[Boolean]("contaminated"))
+    // at least one doc on each side, or the fixture proves nothing
+    assert(rows.exists(_.getAs[Boolean]("contaminated")) &&
+      rows.exists(!_.getAs[Boolean]("contaminated")))
+  }
+
+  test("replayed batches re-land identical partitions (idempotent overwrite)") {
+    import spark.implicits._
+    val (_, lake, idx, dec, _) = dirs()
+    ContamGate.buildIndex(spark, Tables.documents(spark, sf), idx)
+    val batch = Seq(
+      (1000001L, "alpha beta gamma delta epsilon zeta eta theta", "en", "t"),
+      (1000002L, "one two three four five six seven eight nine", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+    ContamGate.step(spark, batch, "rep-0", lake, idx, dec)
+    val first = spark.read.parquet(dec).collect().sortBy(_.getAs[Long]("train_doc"))
+    ContamGate.step(spark, batch, "rep-0", lake, idx, dec) // replay
+    val second = spark.read.parquet(dec).collect().sortBy(_.getAs[Long]("train_doc"))
+    assert(first.length == second.length &&
+      first.zip(second).forall { case (a, b) => a == b },
+      "replaying a batch tag must not change or duplicate decisions")
+  }
+
+  test("bloom prefilter never changes the verdict (exact-verify tail kills false positives)") {
+    // a doc sharing NO shingles with the test split must report n_hit 0
+    // even though the bloom can fire spuriously
+    import spark.implicits._
+    val (_, lake, idx, dec, _) = dirs()
+    ContamGate.buildIndex(spark, Tables.documents(spark, sf), idx)
+    val clean = Seq((2000001L,
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+    ContamGate.step(spark, clean, "fp-0", lake, idx, dec)
+    val r = spark.read.parquet(dec).collect().head
+    assert(r.getAs[Long]("n_hit") == 0L && !r.getAs[Boolean]("contaminated"))
+  }
+}
