@@ -68,6 +68,17 @@ class ContamGateSpec extends AnyFunSuite {
       "replaying a batch tag must not change or duplicate decisions")
   }
 
+  test("an empty micro-batch is a no-op that still lands its (empty) generation") {
+    import spark.implicits._
+    val (_, lake, idx, dec, _) = dirs()
+    ContamGate.buildIndex(spark, Tables.documents(spark, sf), idx)
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    ContamGate.step(spark, empty, "empty-0", lake, idx, dec)
+    assert(spark.read.parquet(dec).count() == 0)
+    assert(spark.read.parquet(lake).count() == 0)
+  }
+
   test("bloom prefilter never changes the verdict (exact-verify tail kills false positives)") {
     // a doc sharing NO shingles with the test split must report n_hit 0
     // even though the bloom can fire spuriously

@@ -423,6 +423,51 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("v05/v06: multi-round training + apply match a brute-force loop on random corpora (property)") {
+    import spark.implicits._
+    // reference implementation: sequential greedy scan per round
+    def applyMerge(toks: Array[String], p1: String, p2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == p1 && toks(i + 1) == p2) {
+          out += s"${p1}_$p2"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toArray
+    }
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c") // dense repeats force self-adjacency
+      val corpus = (0 until 10).map { id =>
+        (id.toLong, Array.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      // brute: iterate BpeRounds greedy rounds over the whole corpus
+      var streams = corpus.map { case (id, t) => id -> t.split(" ") }.toMap
+      val expectMerges = (1 to llm.Curation.BpeRounds).map { r =>
+        val counts = streams.values.toSeq.flatMap(ts => ts.zip(ts.tail))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        val ((p1, p2), tc) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+        streams = streams.map { case (id, ts) => id -> applyMerge(ts, p1, p2) }
+        (r.toLong, p1, p2, tc.toLong)
+      }
+      // engine: run the catalog entries against a temp parquet corpus
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe_prop_$seed").toString
+      corpus.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      val merges = Catalog.byName("v05_bpe_train").run(spark, dir).collect()
+        .map(r => (r.getAs[Long]("round"), r.getAs[String]("p1"),
+          r.getAs[String]("p2"), r.getAs[Long]("tc"))).sortBy(_._1)
+      assert(merges.sameElements(expectMerges), s"seed $seed: $merges vs $expectMerges")
+      val applied = Catalog.byName("v06_bpe_apply").run(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+      for ((id, ts) <- streams)
+        assert(applied(id) == ts.length.toLong, s"seed $seed doc $id")
+    }
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)
