@@ -194,4 +194,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.indexOf("WindowGroupLimit", firstLimit + 1) > 0,
       "expected both partial and final WindowGroupLimit")
   }
+
+  test("pool-then-refine retrieval plans a single-reduce TakeOrdered, never a global sort") {
+    // s15/s16/s18/p11: the corpus-wide stage must be TakeOrderedAndProject
+    // (per-partition top-N + one reduce); a Sort + Limit pair instead
+    // would globally sort the corpus to take 10-100 rows. The global
+    // Window these entries carry runs AFTER the pool/shortlist bound,
+    // over <= 100 rows — a plan where Sort feeds the full corpus into
+    // Window is the regression this guards against.
+    for (name <- Seq("s15_diverse_topk", "s16_matryoshka_topk",
+        "s18_hamming_topk", "p11_weighted_sample")) {
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name lost its single-reduce top-N:\n$plan")
+    }
+  }
+
+  test("v07's vocabulary joins the token stream as a broadcast, never a shuffle join") {
+    // the type-count aggregate legitimately shuffles once on term to
+    // BUILD the vocab; the coverage JOIN of the corpus token stream
+    // against that vocab must be a broadcast, not a second term-keyed
+    // sort-merge of the full stream
+    val plan = planOf("v07_vocab_coverage")
+    assert(plan.contains("BroadcastHashJoin"), "vocab must broadcast into the token scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the coverage join must not shuffle the corpus token stream")
+  }
+
+  test("s19's corpus-wide hamming pass scans the standing code index, floats only at re-rank") {
+    val plan = planOf("s19_hamming_standing")
+    assert(plan.contains("s19_bincodes"), "first pass must scan the persisted code parquet")
+    // exactly two embeddings-table scans: the query-vector lookup and
+    // the 50-row re-rank join — a third would mean the corpus-wide
+    // pass re-derived codes from the floats
+    val embScans = "Scan parquet[^\\n]*embeddings".r.findAllIn(plan).length
+    assert(embScans <= 2, s"expected <= 2 embeddings scans, found $embScans:\n$plan")
+  }
 }
