@@ -1868,6 +1868,73 @@ object LlmQueries {
       $union""".trim
     })
 
+  // -- s20: BATCHED IVF search — the serving shape: a whole query
+  //    batch (the u >= 0.99 embedded slice, s14's convention) searched
+  //    in ONE pass against the standing 16-centroid quantizer, top-5
+  //    per query at nProbe=4. The single-query entries (s04..s11)
+  //    price one search; a retrieval service amortizes the corpus
+  //    assignment across N queries — here the corpus side is assigned
+  //    once and each query joins only its 4 probed posting lists.
+  //    Scale: queries broadcast twice (centroid ranking is queries x
+  //    16 rows; scoring joins the batch into the pruned posting scan);
+  //    the corpus is scanned once and shuffled only by cid. The
+  //    per-query top-5 window partitions by query over posting-list-
+  //    bounded candidates, never the corpus.
+  private val s20 = Q(
+    "s20_batched_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val uVec = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast(StringType)) /
+        lit(1152921504606846976.0) // 2^60
+      val queries = emb.filter(uVec >= 0.99)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = Similarity.sampledCentroids(emb, 16)
+      val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid").asc)
+      val probes = cents.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("cid"),
+          round(Similarity.cosine(col("cv"), col("qv")), 6).as("sim"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 4)
+        .select("query_id", "cid")
+      val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+      Similarity.ivfAssign(emb, 16)
+        .join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .filter(col("rank") <= 5)
+    },
+    Some(s"""
+      WITH $ivfAssignCte,
+      qids AS (SELECT vec_id AS query_id FROM embeddings
+               WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0 >= 0.99),
+      probes AS (SELECT a.vec_id AS query_id, a.cid FROM asim a JOIN qids q ON q.query_id = a.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                            ORDER BY a.sim DESC, a.cid ASC) <= 4),
+      x AS (SELECT p.query_id, e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(qe.embedding[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(qe.embedding[d.d+1] AS DOUBLE) * CAST(qe.embedding[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.cid = a.cid
+            JOIN embeddings qe ON qe.vec_id = p.query_id,
+            dims d
+            WHERE e.vec_id <> p.query_id
+            GROUP BY p.query_id, e.vec_id, e.label)
+      SELECT query_id, vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                     vec_id ASC) AS BIGINT) AS rank
+      FROM x
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                 vec_id ASC) <= 5
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -2360,5 +2427,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -666,6 +666,31 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("s19_bincodes"), "search plan must scan the standing index")
   }
 
+  test("s20: every batched-IVF hit comes from one of its query's 4 probed posting lists") {
+    val rows = Catalog.byName("s20_batched_ivf").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val assign = llm.Similarity.ivfAssign(embs, 16).select("vec_id", "cid").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val cents = llm.Similarity.sampledCentroids(embs, 16)
+    // recompute each query's probe set independently
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((qid, hits) <- byQuery) {
+      val probed = llm.Similarity
+        .ivfTopKWith(embs, qid, Int.MaxValue - 1, cents, 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      for (h <- hits) {
+        val v = h.getAs[Long]("vec_id")
+        assert(v != qid, "a query must not retrieve itself")
+        assert(probed.contains(v), s"query $qid hit $v outside its probed lists")
+      }
+      // per-query ranks are dense 1..k
+      val ranks = hits.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to hits.length.toLong))
+      assert(hits.length <= 5)
+    }
+    assert(assign.nonEmpty) // corpus assignment exists (sanity)
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
