@@ -825,9 +825,16 @@ object Curation {
       .filter(col("wn").isNotNull)
       .groupBy(col("w").as("p1"), col("wn").as("p2")).agg(count(lit(1)).as("tc"))
       .orderBy(col("tc").desc, col("p1"), col("p2")).limit(1)
+    // LEFT cross join, not crossJoin: when the stream has no adjacent
+    // pair left (single-token docs, merges exhausted before the round
+    // budget), `top` is EMPTY — a cross join would erase the whole
+    // stream (and every doc downstream of it); the left join keeps the
+    // stream with null p1/p2, m coalesces to false, and the round is a
+    // no-op, which is what "no merge applies" means. The oracle's CTE
+    // uses the same LEFT JOIN ON TRUE.
     val merged = in
       .withColumn("wn", lead(col("w"), 1).over(wDoc))
-      .crossJoin(broadcast(top.select("p1", "p2")))
+      .join(broadcast(top.select("p1", "p2")), lit(true), "left")
       .withColumn("m",
         coalesce(col("w") === col("p1") && col("wn") === col("p2"), lit(false)))
       .withColumn("mrn", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
@@ -865,7 +872,7 @@ object Curation {
                     coalesce(t.w = top$r.p1 AND
                              lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.i) = top$r.p2,
                              false) AS m
-             FROM $in t, top$r),
+             FROM $in t LEFT JOIN top$r ON true),
       m2$r AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
                          OVER (PARTITION BY doc_id ORDER BY i) AS mrn FROM m1$r),
       m3$r AS (SELECT *, CASE WHEN m THEN i - mrn END AS island FROM m2$r),

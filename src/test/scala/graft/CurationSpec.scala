@@ -468,6 +468,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("v05/v06: a corpus with no mergeable pair is a no-op round, never an erased stream") {
+    import spark.implicits._
+    // single-token docs: round 1's winning-pair relation is EMPTY; the
+    // merge must keep every doc's stream intact (a cross join against
+    // the empty top erased the corpus before the left-join fix)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_edge").toString
+    (0L until 5L).map(i => (i, s"tok$i"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    assert(Catalog.byName("v05_bpe_train").run(spark, dir).count() == 0,
+      "no pairs -> no merges learned")
+    val applied = Catalog.byName("v06_bpe_apply").run(spark, dir).collect()
+    assert(applied.length == 5, "every doc must survive the no-op rounds")
+    for (r <- applied) {
+      assert(r.getAs[Long]("n_raw") == 1L && r.getAs[Long]("n_bpe") == 1L)
+      assert(r.getAs[Long]("n_saved") == 0L)
+    }
+  }
+
   test("p06: temperature mixing flattens shares; keep rates are valid subsample probabilities") {
     val rows = Catalog.byName("p06_temperature_mix").run(spark, sf).collect()
     assert(rows.nonEmpty)
