@@ -164,4 +164,58 @@ object MediaCodecs {
     }
     Ppm(dw, dh, out)
   }
+
+  /** REAL compressed-image encode: 8-bit RGB PNG via the JDK's own
+    * codec (`javax.imageio` — zlib/deflate + PNG filters live in
+    * `java.base`/`java.desktop`, no external library). PNG is
+    * LOSSLESS, so a decode must return the exact raster — which is
+    * what makes a compressed codec oracle-checkable at all: the
+    * statistics of the decoded pixels equal the generator formulas
+    * bit-for-bit, same as the uncompressed PPM path.
+    */
+  def pngWrite(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new IllegalStateException("JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** REAL compressed-image decode: inflate + defilter through the JDK
+    * PNG reader, back to the packed RGB raster ([[Ppm]] is just "a
+    * raster" — the container it came from doesn't matter downstream).
+    */
+  def pngParse(bytes: Array[Byte]): Ppm = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException("not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = ((p >> 16) & 0xff).toByte
+        rgb(i + 1) = ((p >> 8) & 0xff).toByte
+        rgb(i + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(w, h, rgb)
+  }
 }

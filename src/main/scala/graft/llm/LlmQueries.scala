@@ -2352,6 +2352,36 @@ object LlmQueries {
               JOIN rz ON rz.media_id = px.media_id
     """.trim))
 
+  // -- m08: REAL COMPRESSED image decode — actual PNG files (zlib
+  //    deflate + PNG filters, encoded and decoded by the JDK's own
+  //    javax.imageio codec: no external library, and no stub). The
+  //    fixtures share m07's raster formulas, so the oracle re-derives
+  //    the channel sums with the same arithmetic — PNG being lossless
+  //    is precisely what makes a compressed codec hash-checkable. This
+  //    retires the last line of the m02/m04 stub story for images:
+  //    uncompressed (PPM, m07) AND deflate-compressed (PNG, m08)
+  //    decode are both real; only lossy codecs (JPEG et al.) remain
+  //    out of oracle reach by nature, not by missing plumbing.
+  private val m08 = Q(
+    "m08_png_decode",
+    (s, d) =>
+      Multimodal
+        .pngFeatures(s, Multimodal.pngTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id,
+                        16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                 FROM documents)
+      SELECT media_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(SUM((x.x * 3 + y.y * 5 + media_id) % 256) AS BIGINT) AS sum_r,
+             CAST(SUM((x.x * 7 + y.y + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+             CAST(SUM((x.x + y.y * 11 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+      FROM p, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+      WHERE x.x < w AND y.y < h
+      GROUP BY media_id, w, h
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -2427,5 +2457,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08)
 }

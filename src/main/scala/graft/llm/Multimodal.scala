@@ -230,4 +230,44 @@ object Multimodal {
         dw.toLong, dh.toLong, rr, rg, rb)
     })
   }
+
+  /** real COMPRESSED image blobs: one 8-bit RGB PNG per document id,
+    * same raster formulas as the PPM table — the point of sharing the
+    * generator is that the decode oracle is the same arithmetic, so
+    * the deflate+filter round-trip is what the hash gate actually
+    * exercises
+    */
+  def pngTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h, rgb) = ppmPixels(id)
+      MediaRow(id, "image", MediaCodecs.pngWrite(w, h, rgb))
+    })
+  }
+
+  case class PngFeatures(
+      media_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL compressed-image decode: the JDK PNG codec inflates and
+    * defilters back to the raster; channel sums must equal the
+    * generator formulas exactly (PNG is lossless — which is exactly
+    * what makes a COMPRESSED codec oracle-checkable). The blob size is
+    * deliberately NOT an output: encoder byte counts are codec-version
+    * trivia the oracle cannot derive; MultimodalSpec pins the wire
+    * format (PNG magic, not a raster dump) instead.
+    */
+  def pngFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[PngFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = MediaCodecs.pngParse(r.bytes)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < img.rgb.length) {
+        sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff; sb += img.rgb(i + 2) & 0xff
+        i += 3
+      }
+      PngFeatures(r.media_id, img.w.toLong, img.h.toLong, sr, sg, sb)
+    })
+  }
 }

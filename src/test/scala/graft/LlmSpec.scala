@@ -691,6 +691,24 @@ class LlmSpec extends AnyFunSuite {
     assert(assign.nonEmpty) // corpus assignment exists (sanity)
   }
 
+  test("m08: PNG blobs are real PNG wire format and the codec round-trips rasters exactly") {
+    // wire format: every blob must start with the 8-byte PNG signature —
+    // a stub that stored the raster verbatim (or PPM bytes) fails here
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    import spark.implicits._
+    val blobs = llm.Multimodal.pngTable(spark, docs.limit(8)).collect()
+    for (b <- blobs)
+      assert(b.bytes.take(8).sameElements(sig), s"media ${b.media_id} is not PNG wire format")
+    // lossless round-trip on an adversarial raster (all byte values,
+    // including the 0x89/0xff corners)
+    val w = 32; val h = 24
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 7) % 256).toByte)
+    val back = graft.functions.MediaCodecs.pngParse(
+      graft.functions.MediaCodecs.pngWrite(w, h, rgb))
+    assert(back.w == w && back.h == h)
+    assert(back.rgb.sameElements(rgb), "PNG round-trip must be byte-exact")
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
