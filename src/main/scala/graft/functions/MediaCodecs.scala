@@ -194,6 +194,31 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  /** REAL lossy encode: baseline JPEG through the JDK codec (default
+    * quality). Decoded pixels are NOT the input pixels — consumers
+    * must assert bounded-error invariants, never equality (m09).
+    */
+  def jpegWrite(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpeg", bos))
+      throw new IllegalStateException("JDK JPEG writer unavailable")
+    bos.toByteArray
+  }
+
   /** REAL compressed-image decode: inflate + defilter through the JDK
     * PNG reader, back to the packed RGB raster ([[Ppm]] is just "a
     * raster" — the container it came from doesn't matter downstream).

@@ -2382,6 +2382,34 @@ object LlmQueries {
       GROUP BY media_id, w, h
     """.trim))
 
+  // -- m09: REAL LOSSY decode with bounded-error invariants — actual
+  //    baseline JPEGs (JDK codec: DCT, quantization, chroma
+  //    subsampling, Huffman) decoded for real, verdicted the only way
+  //    a lossy codec can be oracle-checked: the q24b/s04b recipe. The
+  //    fixtures are SMOOTH linear gradients (no mod-256 wrap — JPEG
+  //    error lives at high-frequency edges), so the decoded channel
+  //    means must land within ±4 of the exact formula means; the
+  //    oracle recomputes the exact widths/heights and pins the three
+  //    ok-booleans at 1, which the engine must EARN through the real
+  //    inflate/IDCT round-trip. This closes the multimodal codec
+  //    ladder: uncompressed (m06/m07) and lossless-compressed (m08)
+  //    are hash-exact, lossy (m09) is bound-verified — nothing is a
+  //    stub anymore except formats absent from the JDK itself.
+  private val m09 = Q(
+    "m09_jpeg_decode",
+    (s, d) =>
+      Multimodal
+        .jpegFeatures(s, Multimodal.jpegTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(16 + doc_id % 16 AS BIGINT) AS width,
+             CAST(12 + doc_id % 8 AS BIGINT) AS height,
+             CAST(1 AS BIGINT) AS r_ok, CAST(1 AS BIGINT) AS g_ok,
+             CAST(1 AS BIGINT) AS b_ok
+      FROM documents
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -2457,5 +2485,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

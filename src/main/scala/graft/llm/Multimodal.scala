@@ -270,4 +270,77 @@ object Multimodal {
       PngFeatures(r.media_id, img.w.toLong, img.h.toLong, sr, sg, sb)
     })
   }
+
+  /** SMOOTH raster for the lossy-codec fixtures: linear channel planes
+    * with no mod-256 wrap (max value 157 at the corner), because JPEG
+    * error concentrates at high-frequency edges — a gradient keeps the
+    * decode within a tight, assertable band of the exact means.
+    */
+  private def smoothPixels(id: Long): (Int, Int, Array[Byte]) = {
+    val w = (16 + id % 16).toInt
+    val h = (12 + id % 8).toInt
+    val k = (id % 32).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        rgb(i) = (2 * x + 3 * y + k).toByte
+        rgb(i + 1) = (3 * x + 2 * y + k).toByte
+        rgb(i + 2) = (x + 4 * y + k).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** real JPEG blobs (JDK codec, default quality) over the smooth
+    * fixtures
+    */
+  def jpegTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h, rgb) = smoothPixels(id)
+      MediaRow(id, "image", MediaCodecs.jpegWrite(w, h, rgb))
+    })
+  }
+
+  case class JpegFeatures(
+      media_id: Long, width: Long, height: Long,
+      r_ok: Long, g_ok: Long, b_ok: Long)
+
+  /** REAL lossy decode with BOUNDED-ERROR invariants (the q24b/s04b
+    * recipe for operators whose exact output is engine-internal by
+    * nature): JPEG decode cannot be hash-compared pixelwise, but the
+    * decoded channel MEANS of a smooth gradient must land within
+    * `tol` of the exact formula means — the oracle recomputes the
+    * exact side and pins the ok-booleans at 1, so the engine has to
+    * EARN them through a real inflate/IDCT round-trip (a stub
+    * returning zeros, or a decoder off by a channel swap, fails the
+    * hash gate).
+    */
+  def jpegFeatures(
+      spark: SparkSession, media: Dataset[MediaRow], tol: Double = 4.0): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = MediaCodecs.pngParse(r.bytes) // ImageIO sniffs the container
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < img.rgb.length) {
+        sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff; sb += img.rgb(i + 2) & 0xff
+        i += 3
+      }
+      val n = (img.w * img.h).toDouble
+      // exact means from the generator formulas (sum of a linear plane)
+      val k = (r.media_id % 32).toDouble
+      val exR = (img.w - 1) + 1.5 * (img.h - 1) + k
+      val exG = 1.5 * (img.w - 1) + (img.h - 1) + k
+      val exB = 0.5 * (img.w - 1) + 2.0 * (img.h - 1) + k
+      def ok(sum: Long, ex: Double) = if (math.abs(sum / n - ex) <= tol) 1L else 0L
+      JpegFeatures(r.media_id, img.w.toLong, img.h.toLong,
+        ok(sr, exR), ok(sg, exG), ok(sb, exB))
+    })
+  }
 }

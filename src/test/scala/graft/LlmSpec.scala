@@ -709,6 +709,31 @@ class LlmSpec extends AnyFunSuite {
     assert(back.rgb.sameElements(rgb), "PNG round-trip must be byte-exact")
   }
 
+  test("m09: JPEG blobs are real JPEG wire format and the decode is genuinely lossy") {
+    import spark.implicits._
+    val blobs = llm.Multimodal.jpegTable(spark, docs.limit(8)).collect()
+    for (b <- blobs) {
+      // JPEG SOI marker (FF D8), not PNG magic and not a raw raster
+      assert((b.bytes(0) & 0xff) == 0xff && (b.bytes(1) & 0xff) == 0xd8,
+        s"media ${b.media_id} is not JPEG wire format")
+    }
+    // lossy: at least one blob's decode differs from its source raster
+    // (a stub that smuggled PNG/raw bytes through would round-trip
+    // exactly and fail this)
+    val anyLossy = blobs.exists { b =>
+      val img = graft.functions.MediaCodecs.pngParse(b.bytes)
+      val w = img.w; val h = img.h
+      val k = (b.media_id % 32).toInt
+      (0 until h).exists(y => (0 until w).exists { x =>
+        val i = (y * w + x) * 3
+        (img.rgb(i) & 0xff) != 2 * x + 3 * y + k ||
+          (img.rgb(i + 1) & 0xff) != 3 * x + 2 * y + k ||
+          (img.rgb(i + 2) & 0xff) != x + 4 * y + k
+      })
+    }
+    assert(anyLossy, "every decode was byte-exact -- this is not a lossy codec path")
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
