@@ -2155,8 +2155,11 @@ object LlmQueries {
     """.trim))
 
   // -- m02: batched feature extraction through the typed Dataset
-  //    boundary (decode is a deterministic stub; exact values also
-  //    asserted in LlmSpec). The library API returns the typed
+  //    boundary (decode here is a deterministic stub exercising the
+  //    PIPELINE shape — schema, batching, typed rows; the REAL decode
+  //    kernels live in m06-m09: WAV/PPM/PNG hash-exact, JPEG
+  //    bound-verified; exact values also asserted in LlmSpec). The
+  //    library API returns the typed
   //    Array[Float] features; the catalog projection recovers the
   //    integer digest bytes (f*255 is exact for b/255 floats) both to
   //    be harness-sortable and to give the oracle integer parity — no
@@ -2282,8 +2285,8 @@ object LlmQueries {
   //    the oracle re-derives peak / total amplitude / zero crossings
   //    from the same formulas without touching binaries. Any header
   //    offset, endianness, or sample-decode bug in EITHER direction
-  //    diverges the statistics and fails the hash gate. Upgrades the
-  //    m02 stub story: only compressed codecs remain stubbed.
+  //    diverges the statistics and fails the hash gate. First rung of
+  //    the real-codec ladder (m06 WAV, m07 PPM, m08 PNG, m09 JPEG).
   private val m06 = Q(
     "m06_wav_decode",
     (s, d) =>
