@@ -1935,6 +1935,125 @@ object LlmQueries {
                                  vec_id ASC) <= 5
     """.trim))
 
+  // -- s21: QUANTIZATION recall report — the compression ladder
+  //    (e01 int8 / e02 PQ / e03 binary) scored on the question that
+  //    decides which rung a deployment can afford: recall@10 of each
+  //    method's re-ranked top-10 vs the exact brute-force answer, one
+  //    row per method. The same shortlist parameters as the catalog
+  //    entries (int8@30, PQ-ADC@50, hamming@50), so the report prices
+  //    exactly what s05/s08/s18 serve. Scale: three code-width scans
+  //    plus three 10-row intersections; the brute anchor is the only
+  //    float-width pass and is shared (cached) across the three rows.
+  private val s21 = Q(
+    "s21_quantization_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bf = Similarity.topK(emb, 0L, 10).select("vec_id").cache()
+      def row(method: String, hitsDs: org.apache.spark.sql.DataFrame) =
+        hitsDs.select("vec_id").join(bf, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), col("hits"),
+            round(col("hits") / lit(10.0), 6).as("recall_at_10"))
+      // binary: the s18 pipeline (codes -> hamming shortlist -> exact
+      // re-rank), inlined like the entries themselves
+      val codes = emb.select(col("vec_id"), col("label"),
+        binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
+      val qc = codes.filter(col("vec_id") === 0L)
+        .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+      val bShort = codes.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"),
+          (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+            bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(50)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val bTop = emb.join(broadcast(bShort.select("vec_id")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      row("int8", Similarity.quantizedTopK(emb, 0L, 10, 30))
+        .unionByName(row("pq_adc", Similarity.pqTopK(emb, 0L, 10, 50)))
+        .unionByName(row("binary", bTop))
+    },
+    Some(s"""
+      WITH $pqCte,
+      $binCodesCte,
+      dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      xbf AS (SELECT e.vec_id,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+             FROM embeddings e, q, dims d WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      bf AS (SELECT vec_id FROM
+              (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xbf)
+             ORDER BY cos DESC, vec_id ASC LIMIT 10),
+      qz AS (SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) *
+                      (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)) AS qc
+             FROM embeddings),
+      qq AS (SELECT qc, embedding AS qv FROM qz WHERE vec_id = 0),
+      i_scored AS (SELECT z.vec_id, z.embedding,
+                     (SELECT SUM(z.qc[d.d+1] * qq.qc[d.d+1]) FROM dims d, qq) AS qdot
+                   FROM qz z WHERE z.vec_id <> 0),
+      i_cand AS (SELECT vec_id, embedding FROM i_scored
+                 QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id ASC) <= 30),
+      i_x AS (SELECT c.vec_id,
+                SUM(CAST(c.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(c.embedding[d.d+1] AS DOUBLE) * CAST(c.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM i_cand c, q, dims d GROUP BY c.vec_id),
+      t_i AS (SELECT vec_id FROM
+               (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM i_x)
+              ORDER BY cos DESC, vec_id ASC LIMIT 10),
+      adc AS (SELECT c.code, s.s,
+                CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                             * CAST(q.qv[s.s*8+i.i+1] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p
+              FROM cw c, q, sub s, d8 i GROUP BY c.code, s.s),
+      p_approx AS (SELECT b.vec_id, SUM(a.p) AS score
+                   FROM best b JOIN adc a ON a.s = b.s AND a.code = b.code
+                   WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+      p_short AS (SELECT vec_id FROM p_approx
+                  ORDER BY score DESC, vec_id ASC LIMIT 50),
+      p_x AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e JOIN p_short sh ON sh.vec_id = e.vec_id, q, dims d
+              GROUP BY e.vec_id),
+      t_p AS (SELECT vec_id FROM
+               (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM p_x)
+              ORDER BY cos DESC, vec_id ASC LIMIT 10),
+      qcode AS (SELECT code_lo AS q_lo, code_hi AS q_hi FROM bcodes WHERE vec_id = 0),
+      b_short AS (SELECT b.vec_id,
+                    CAST(bit_count(xor(b.code_lo, qcode.q_lo))
+                       + bit_count(xor(b.code_hi, qcode.q_hi)) AS BIGINT) AS hamming
+                  FROM bcodes b, qcode WHERE b.vec_id <> 0
+                  ORDER BY hamming ASC, b.vec_id ASC LIMIT 50),
+      b_x AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e JOIN b_short sh ON sh.vec_id = e.vec_id, q, dims d
+              GROUP BY e.vec_id),
+      t_b AS (SELECT vec_id FROM
+               (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM b_x)
+              ORDER BY cos DESC, vec_id ASC LIMIT 10)
+      SELECT 'int8' AS method,
+             (SELECT count(*) FROM t_i JOIN bf USING (vec_id)) AS hits,
+             round((SELECT count(*) FROM t_i JOIN bf USING (vec_id)) / 10.0, 6) AS recall_at_10
+      UNION ALL
+      SELECT 'pq_adc',
+             (SELECT count(*) FROM t_p JOIN bf USING (vec_id)),
+             round((SELECT count(*) FROM t_p JOIN bf USING (vec_id)) / 10.0, 6)
+      UNION ALL
+      SELECT 'binary',
+             (SELECT count(*) FROM t_b JOIN bf USING (vec_id)),
+             round((SELECT count(*) FROM t_b JOIN bf USING (vec_id)) / 10.0, 6)
+    """.trim))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -2488,5 +2607,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08, m09)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

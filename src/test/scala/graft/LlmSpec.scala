@@ -734,6 +734,19 @@ class LlmSpec extends AnyFunSuite {
     assert(anyLossy, "every decode was byte-exact -- this is not a lossy codec path")
   }
 
+  test("s21: the quantization report covers all three rungs with consistent recall arithmetic") {
+    val rows = Catalog.byName("s21_quantization_recall").run(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSet == Set("int8", "pq_adc", "binary"))
+    for (r <- rows) {
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 10L)
+      assert(math.abs(r.getAs[Double]("recall_at_10") - h / 10.0) < 1e-9)
+    }
+    // the report must not be degenerate: at least one rung recalls
+    // something (all-zero would mean the anchors/join keys broke)
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0)
+  }
+
   test("c04: every fuzzy-contamination pair crosses the split boundary at jac >= 0.5") {
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
