@@ -2260,6 +2260,44 @@ object LlmQueries {
       FROM r
     """.trim))
 
+  // -- t11: per-source CORPUS DATASHEET — the summary table every
+  //    dataset release publishes (datasheets-for-datasets practice):
+  //    docs, tokens, distinct types, mean document length, and
+  //    type-token ratio per source. One map-side-combined aggregation
+  //    over the exploded token stream (the distinct-type count is the
+  //    only term-keyed shuffle, and it carries (source, term) pairs —
+  //    vocabulary-bounded, not corpus-bounded). Ratios are
+  //    bigint/bigint IEEE divisions, 6-dp images (the t05 rule).
+  private val t11 = Q(
+    "t11_corpus_datasheet",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_types"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+          round(col("n_tokens") / col("n_docs").cast(DoubleType), 6).as("mean_doc_tokens"),
+          round(col("n_types") / col("n_tokens").cast(DoubleType), 6).as("type_token_ratio")),
+    Some("""
+      WITH toks AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      agg AS (SELECT source,
+                count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_tokens,
+                count(DISTINCT term) AS n_types
+              FROM toks GROUP BY source)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_types AS BIGINT) AS n_types,
+             round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+             round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+      FROM agg
+    """.trim))
+
   // -- m01: multimodal metadata (binary column + typed meta) —
   //    oracle-checkable half of the media pipeline.
   private val m01 = Q(
@@ -2607,5 +2645,5 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, m01, m02, m03, m04, m05, m06, m07, m08, m09)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }
