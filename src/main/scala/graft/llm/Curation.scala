@@ -805,10 +805,16 @@ object Curation {
 
   /** one BPE merge round over a (doc_id, i, w) token stream: returns
     * (the winning pair with its count, the stream with that pair
-    * merged greedily left-to-right). Factored so v05 iterates it.
+    * merged greedily left-to-right, the PERSISTED input handle).
+    * Factored so v05 iterates it. The handle is returned so drivers can
+    * release each round's cache once the next round is materialized —
+    * without that, every v05/v06/x07 run leaks BpeRounds cached
+    * DataFrames until LRU eviction (the persist itself is load-bearing,
+    * see below; the leak was only in never unpersisting).
     */
   private def mergeRound(stream: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     // both consumers (the pair count and the merge) read the input
     // stream; without a persist the stream's lineage is inlined into
     // each, so round r recomputes round r-1 twice — 2^rounds scans of
@@ -846,7 +852,35 @@ object Curation {
       .select(col("doc_id"), col("i"),
         when(col("start"), concat(col("p1"), lit("_"), col("p2")))
           .otherwise(col("w")).as("w"))
-    (top, merged)
+    (top, merged, in)
+  }
+
+  /** Drive `rounds` of [[mergeRound]] with bounded cache residency:
+    * each round's 1-row winning pair is collected eagerly (which
+    * populates that round's persisted input as a side effect — the top
+    * aggregate scans it fully), then the PREVIOUS round's cache is
+    * released. Returns (collected (round, p1, p2, tc) rows, the final
+    * merged stream, the final round's still-cached handle). The last
+    * handle stays persisted because the returned stream reads it on the
+    * caller's final action; callers that don't consume the stream
+    * (v05) unpersist it immediately. Net: at most ONE cached round per
+    * run instead of BpeRounds.
+    */
+  private def mergeRounds(toks: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    var stream = toks
+    var prev: org.apache.spark.sql.DataFrame = null
+    val rows = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val (top, next, handle) = mergeRound(stream)
+      for (row <- top.collect())
+        rows += ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+      if (prev != null) prev.unpersist()
+      prev = handle
+      stream = next
+    }
+    (rows.result(), stream, prev)
   }
 
   /** rounds of BPE training v05 runs (and its oracle mirrors) */
@@ -940,15 +974,15 @@ object Curation {
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      var stream = toks
-      var merges: org.apache.spark.sql.DataFrame = null
-      for (r <- 1 to BpeRounds) {
-        val (top, next) = mergeRound(stream)
-        val m = top.select(lit(r.toLong).as("round"), col("p1"), col("p2"), col("tc"))
-        merges = if (merges == null) m else merges.unionByName(m)
-        stream = next
-      }
-      merges
+      val (rows, _, lastHandle) = mergeRounds(toks, BpeRounds)
+      // v05's output is only the merge list — the final stream is never
+      // consumed, so the last round's cache is released right away and
+      // the result is the BpeRounds collected 1-row winners (the
+      // iterative-algorithm driver pattern: per-round barriers ARE
+      // driver-coordinated, and a 1-row collect per round is bounded)
+      if (lastHandle != null) lastHandle.unpersist()
+      import s.implicits._
+      rows.toDF("round", "p1", "p2", "tc")
     },
     Some {
       val union = (1 to BpeRounds)
@@ -970,8 +1004,7 @@ object Curation {
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      var stream = toks
-      for (_ <- 1 to BpeRounds) stream = mergeRound(stream)._2
+      val (_, stream, _) = mergeRounds(toks, BpeRounds)
       // raw counts map-side from the text (== t0's per-doc cardinality
       // since every position explodes to one row) — no second pass
       // over the window chain
@@ -1005,8 +1038,7 @@ object Curation {
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      var stream = toks
-      for (_ <- 1 to BpeRounds) stream = mergeRound(stream)._2
+      val (_, stream, _) = mergeRounds(toks, BpeRounds)
       val counts = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

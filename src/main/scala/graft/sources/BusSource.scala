@@ -442,11 +442,22 @@ private[sources] object BusWrite {
     val msgs = messages.collect { case m: BusPendingMsg => m }.sortBy(_.taskId)
     for (m <- msgs; (p, path) <- m.files) {
       val src = new java.io.File(path)
-      if (src.exists()) {
-        val bytes = java.nio.file.Files.readAllBytes(src.toPath)
-        val out = new java.io.FileOutputStream(new java.io.File(dir, s"p$p/log"), true)
-        try out.write(bytes) finally out.close()
-      }
+      // a pending file enumerated in a commit message that is GONE means
+      // records were lost between task commit and epoch commit (cleaned
+      // tmp, or an executor-local path the driver can't see — the
+      // pending-file handoff requires a filesystem shared between tasks
+      // and driver, which local mode guarantees). Silently skipping it
+      // would break the sink's exactly-once-per-ledgered-epoch claim at
+      // publish, so fail the commit loudly: the epoch stays unledgered
+      // and the retry re-produces the pending files.
+      if (!src.exists())
+        throw new java.io.IOException(
+          s"graftbus publish: pending file $path (partition $p, task ${m.taskId}) " +
+            "is missing at epoch commit — refusing to commit a partial epoch. " +
+            "The pending-file handoff requires a driver-visible shared filesystem.")
+      val bytes = java.nio.file.Files.readAllBytes(src.toPath)
+      val out = new java.io.FileOutputStream(new java.io.File(dir, s"p$p/log"), true)
+      try out.write(bytes) finally out.close()
     }
     deletePending(messages)
   }

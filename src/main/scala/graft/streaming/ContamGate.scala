@@ -116,13 +116,23 @@ object ContamGate {
     try {
       val sh = Dedup.shingles(docs, Curation.ContamN).cache()
       try {
-        val total = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        // every ARRIVING doc gets a decision row — docs shorter than
+        // ContamN tokens produce zero shingles (Dedup.shingles filters
+        // size >= n), so building `total` from the shingle relation
+        // alone would silently drop them from both the decision log and
+        // (via the semi-join below) the clean lake. They are trivially
+        // clean: a doc with no 5-gram cannot contain a test 5-gram.
+        val total = docs.select("doc_id").distinct()
+          .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles")),
+            Seq("doc_id"), "left")
+          .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
         // bloom survivors only reach the exact join; false positives
         // die there, so n_hit is exact (c02's two-stage argument)
         val hits = sh.filter(mightContain)
           .join(spark.read.parquet(s"$indexDir/test_hashes"), Seq("h64"), "leftsemi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        val ratio = col("n_hit") / col("n_shingles")
+        val ratio = when(col("n_shingles") > 0, col("n_hit") / col("n_shingles"))
+          .otherwise(lit(0.0))
         val decisions = total
           .join(hits, Seq("doc_id"), "left")
           .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))

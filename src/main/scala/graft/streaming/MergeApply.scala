@@ -54,13 +54,32 @@ object MergeApply {
     StructField("value", DoubleType, nullable = true),
     StructField("version", LongType, nullable = false)))
 
-  private def manifestPath(lakeDir: String) = new java.io.File(lakeDir, "_current")
+  // manifest/_SUCCESS/generation I/O goes through the Hadoop FileSystem
+  // of lakeDir like every sibling gate (ContamGate, SampleGate,
+  // LakeCompact): java.io.File silently resolves any non-local lake URI
+  // to a nonexistent local path, so currentGen() would always read -1
+  // and each batch would merge against an EMPTY snapshot — discarding
+  // the standing rows without an error.
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(hconf()), p)
+  }
 
   /** current snapshot generation id, -1 if none committed yet */
   def currentGen(lakeDir: String): Long = {
-    val m = manifestPath(lakeDir)
-    if (!m.exists()) -1L
-    else scala.io.Source.fromFile(m, "UTF-8").getLines().next().trim.toLong
+    val (fs, root) = fsOf(lakeDir)
+    val m = new org.apache.hadoop.fs.Path(root, "_current")
+    if (!fs.exists(m)) -1L
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+      finally in.close()
+    }
   }
 
   /** read the standing snapshot (empty, schema-stable, if none yet) */
@@ -72,20 +91,62 @@ object MergeApply {
   }
 
   private def flipManifest(lakeDir: String, batchId: Long): Unit = {
-    new java.io.File(lakeDir).mkdirs()
-    val staged = new java.io.File(lakeDir, s"_current.staging-$batchId")
-    java.nio.file.Files.writeString(staged.toPath, s"$batchId\n")
-    java.nio.file.Files.move(staged.toPath, manifestPath(lakeDir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    val (fs, root) = fsOf(lakeDir)
+    fs.mkdirs(root)
+    val staged = new org.apache.hadoop.fs.Path(root, s"_current.staging-$batchId")
+    val out = fs.create(staged, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    // FileContext rename with OVERWRITE is the atomic replace on both
+    // the local fs and HDFS (FileSystem.rename refuses an existing
+    // destination on some schemes, and delete-then-rename would open a
+    // no-manifest window in which readers see an empty snapshot)
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf()).rename(
+      staged, new org.apache.hadoop.fs.Path(root, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** committed generation ids present on disk, ascending */
+  private[graft] def listGens(lakeDir: String): Seq[Long] = {
+    val (fs, root) = fsOf(lakeDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted
+  }
+
+  /** Generation retention under the LakeCompact lease: delete snapshot
+    * generations no reader or replay can still need. Retained: the
+    * current generation, anything NEWER than it (a crash between
+    * `_SUCCESS` and the flip leaves a completed-but-unflipped gen the
+    * checkpoint replay will flip), and the newest prior generation (an
+    * in-flight reader that resolved the manifest just before the flip
+    * may still be scanning it). Unlike the sibling gates' additive
+    * `batch=` roots, each gen here is a FULL snapshot, so folding is
+    * deletion, not union.
+    */
+  def compact(spark: SparkSession, lakeDir: String): Unit =
+    LakeCompact.withLease(spark, lakeDir) {
+      val cur = currentGen(lakeDir)
+      val gens = listGens(lakeDir)
+      val priorKept = gens.filter(_ < cur).lastOption
+      val (fs, root) = fsOf(lakeDir)
+      for (g <- gens if g < cur && !priorKept.contains(g))
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true): Unit
+    }
 
   /** one micro-batch of the apply; public so tests (and batch backfill)
     * can drive it directly
     */
-  def applyBatch(spark: SparkSession, batch: DataFrame, lakeDir: String, batchId: Long): Unit = {
+  def applyBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      lakeDir: String,
+      batchId: Long,
+      autoFoldGenerations: Int = 64): Unit = {
+    LakeCompact.assertNoLease(spark, lakeDir)
     val genDir = s"$lakeDir/gen=$batchId"
-    if (new java.io.File(genDir, "_SUCCESS").exists()) {
+    val (fs, _) = fsOf(lakeDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(genDir, "_SUCCESS"))) {
       // replayed batch: generation already complete — only the flip
       // can have been lost, and re-flipping is idempotent
       if (currentGen(lakeDir) < batchId) flipManifest(lakeDir, batchId)
@@ -119,6 +180,8 @@ object MergeApply {
     // 3. immutable generation, then the atomic flip
     merged.write.mode("overwrite").parquet(genDir)
     flipManifest(lakeDir, batchId)
+    if (autoFoldGenerations > 0 && listGens(lakeDir).size > autoFoldGenerations)
+      compact(spark, lakeDir)
   }
 
   /** start the continuous apply over a json change-file drop dir */
@@ -127,12 +190,13 @@ object MergeApply {
       srcDir: String,
       lakeDir: String,
       ckptDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoFoldGenerations: Int = 64): StreamingQuery =
     spark.readStream.schema(ChangeSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, lakeDir, batchId)
+        applyBatch(spark, batch, lakeDir, batchId, autoFoldGenerations)
       }
       .trigger(trigger)
       .start()

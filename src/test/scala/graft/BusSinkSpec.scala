@@ -96,6 +96,25 @@ class BusSinkSpec extends AnyFunSuite {
     assert(readAll(dir).map(_._2).sorted == Seq("x1", "x2", "x3", "y1"))
   }
 
+  test("a missing pending file fails the epoch commit loudly instead of dropping records") {
+    val dir = newTopic(2)
+    val write = new BusWrite(dir, new StructType().add("value", StringType))
+    val sw = write.toStreaming
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, 11L)
+    w.write(new GenericInternalRow(Array[Any](UTF8String.fromString("real"))))
+    val msg = w.commit().asInstanceOf[BusPendingMsg]
+    // simulate a cleaned tmp / executor-local path the driver can't
+    // see: delete one enumerated pending file before the epoch commit
+    new java.io.File(msg.files.head._2).delete()
+    val ex = intercept[java.io.IOException] { sw.commit(11L, Array(msg)) }
+    assert(ex.getMessage.contains("pending file"))
+    // the epoch must NOT be ledgered — a retry can still land it
+    val ledger = new java.io.File(dir, "commits")
+    assert(!ledger.exists() ||
+      !scala.io.Source.fromFile(ledger, "UTF-8").getLines().contains("11"),
+      "a failed commit must not ledger its epoch")
+  }
+
   test("the sink preserves torn-write safety: appended records are whole lines") {
     val dir = newTopic(1)
     import spark.implicits._

@@ -79,6 +79,31 @@ class ContamGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() == 0)
   }
 
+  test("docs shorter than the shingle width still get a decision row and reach the lake") {
+    // a doc with < ContamN tokens produces NO shingles — it cannot
+    // contain a test n-gram, so it is trivially clean, and the audit
+    // contract ("every doc to the decision log") must still hold
+    import spark.implicits._
+    val (_, lake, idx, dec, _) = dirs()
+    ContamGate.buildIndex(spark, Tables.documents(spark, sf), idx)
+    val batch = Seq(
+      (3000001L, "tiny", "en", "t"),                       // 1 token, 0 shingles
+      (3000002L, "just four small words", "en", "t"),      // 4 tokens, 0 shingles
+      (3000003L, "alpha beta gamma delta epsilon zeta", "en", "t")) // shingled
+      .toDF("doc_id", "text", "lang", "source")
+    ContamGate.step(spark, batch, "short-0", lake, idx, dec)
+    val decisions = spark.read.parquet(dec).collect()
+      .map(r => r.getAs[Long]("train_doc") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(decisions.keySet == Set(3000001L, 3000002L, 3000003L),
+      "every arriving doc must get a decision row")
+    assert(decisions(3000001L) == (0L, false) && decisions(3000002L) == (0L, false))
+    val lakeIds = spark.read.parquet(lake).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(lakeIds.contains(3000001L) && lakeIds.contains(3000002L),
+      "trivially-clean short docs must reach the clean lake")
+  }
+
   test("bloom prefilter never changes the verdict (exact-verify tail kills false positives)") {
     // a doc sharing NO shingles with the test split must report n_hit 0
     // even though the bloom can fire spuriously

@@ -80,6 +80,36 @@ class MergeApplySpec extends AnyFunSuite {
     assert(rate > 0, s"merge probe rate $rate")
   }
 
+  test("generation retention keeps current + one prior and the snapshot stays intact") {
+    val lake = s"${newBase()}/lake"
+    for (b <- 0L until 5L)
+      MergeApply.applyBatch(spark,
+        Seq((b, "U", b.toDouble, b + 1)).toDF("k", "op", "value", "version"),
+        lake, b)
+    assert(MergeApply.listGens(lake) == Seq(0L, 1L, 2L, 3L, 4L))
+    MergeApply.compact(spark, lake)
+    // retained: the current generation and the newest prior (a reader
+    // that resolved the manifest just before the flip may still scan it)
+    assert(MergeApply.listGens(lake) == Seq(3L, 4L))
+    assert(MergeApply.currentGen(lake) == 4L)
+    assert(snapshotMap(lake) == (0L until 5L).map(k => k -> (k.toDouble, k + 1)).toMap)
+    // and the apply keeps working after the fold
+    MergeApply.applyBatch(spark,
+      Seq((99L, "U", 9.0, 1L)).toDF("k", "op", "value", "version"), lake, 5L)
+    assert(snapshotMap(lake).contains(99L))
+  }
+
+  test("autoFoldGenerations bounds the gen count during a streamed apply") {
+    val lake = s"${newBase()}/lake"
+    for (b <- 0L until 6L)
+      MergeApply.applyBatch(spark,
+        Seq((b, "U", 1.0, 1L)).toDF("k", "op", "value", "version"),
+        lake, b, autoFoldGenerations = 3)
+    assert(MergeApply.listGens(lake).size <= 4,
+      s"gens must stay bounded, saw ${MergeApply.listGens(lake)}")
+    assert(snapshotMap(lake).keySet == (0L until 6L).toSet)
+  }
+
   test("stale changes lose to newer applied state; fresh tombstones win") {
     val lake = s"${newBase()}/lake"
     MergeApply.applyBatch(spark,
