@@ -48,6 +48,27 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Box-speed CANARY: a fixed CPU+shuffle micro-workload over range()
+    * — no file I/O, so the page cache can't move it; 32 input slices,
+    * so host-level CPU contention (the thing the guest load average
+    * cannot see) degrades it the same way it degrades the catalog
+    * queries. Measured once on the gate-certified quiet box at start
+    * (`canary0`), then re-sampled through the run: the ratio
+    * canary_now / canary0 is an objective "how slow is the box RIGHT
+    * NOW" signal that lets the artifact attribute a flagged query to
+    * box drift vs a real regression — r10 committed 15 regressions in
+    * two contiguous run-order windows over unchanged code, and the
+    * conflict could only be argued about, not measured.
+    */
+  private def canaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("id % 997 AS k", "xxhash64(id) AS h")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("bit_xor(h)")) // no ANSI overflow
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** name -> certified-quiet seconds, empty if the table isn't present
     * (fresh clone) — flat string->number JSON object, Jackson-parsed
     * (same bundled lib Cbor.scala uses)
@@ -161,7 +182,52 @@ object Bench {
       steady.length > 1 && times.min > 0.05 && steady.max / steady.min > 2.0
     }
 
-    val sweep = all.sortBy(_._1).map { case (name, fn) => (name, fn, timeReps(name, fn)) }
+    // canary reference on the gate-certified quiet box: 3 runs, min —
+    // then TIGHTENED by every later observation (the first samples
+    // still carry JIT warmup; the reference is the fastest the box
+    // ever ran the canary this run, so factors can only be honest or
+    // conservative, never flattered)
+    var canary0 = (1 to 3).map(_ => canaryOnce(spark)).min
+    def canarySample(): Double = {
+      val t = canaryOnce(spark)
+      if (t < canary0) canary0 = t
+      t
+    }
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    def canaryFactorAt(pos: Int): Double =
+      if (canarySamples.isEmpty) 1.0
+      else canarySamples.minBy(s => math.abs(s._1 - pos))._2 / canary0
+    // bounded wait for the box to go quiet again, canary-judged (the
+    // guest load average can't see host contention; the canary can).
+    // Returns the last observed factor; flips `quietHopeless` when the
+    // budget runs out so later callers don't re-burn the wait.
+    var quietHopeless = false
+    def waitForQuiet(maxWaitSec: Int): Double = {
+      var fac = canarySample() / canary0
+      if (quietHopeless) return fac
+      var waited = 0
+      while (fac > 1.3 && waited < maxWaitSec) {
+        System.err.println(f"[bench] canary at $fac%.2fx quiet-box speed — waiting " +
+          s"for the box to recover (${waited}s elapsed)")
+        Thread.sleep(15000)
+        waited += 15
+        fac = canarySample() / canary0
+      }
+      if (fac > 1.3) {
+        quietHopeless = true
+        System.err.println(f"[bench] box still at $fac%.2fx after ${waited}s — flags " +
+          "will be recorded as contended, not confirmed")
+      }
+      fac
+    }
+    val sweep = all.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      // sample the canary every 8 queries: the series timestamps box
+      // speed ACROSS the run, so a flagged query can be matched to the
+      // box conditions it actually ran under
+      if (i % 8 == 0) canarySamples += ((i, canarySample()))
+      (name, fn, timeReps(name, fn))
+    }
+    val posByName = sweep.map(_._1).zipWithIndex.toMap
     val failedQueries = sweep.collect { case (name, _, Left(err)) => name -> err }
     // a flagged query gets ONE full re-measure cycle after the sweep
     // (the transient — GC pause, racing daemon, page-cache eviction —
@@ -209,23 +275,50 @@ object Bench {
     def flagged(med: Double) = ratios().filter { case (_, best, base, ratio) =>
       ratio > 1.5 && ratio / math.max(med, 1e-9) > 1.5 && best - base > 0.25
     }
-    // one re-measure cycle for anything flagged (same recipe as the
-    // spread sentinel): a transient — GC, page-cache eviction, a host
-    // neighbor's burst — rarely survives a second look minutes later
-    for ((name, _, _, ratio) <- flagged(median(ratios().map(_._4)))) {
-      System.err.println(f"[bench] $name $ratio%.2fx vs baseline — re-measuring")
+    // the adjudicated confirm pass. r10's lesson: a single immediate
+    // re-measure is not enough — the contention burst that minted the
+    // flags was still running when the re-measure ran (load_avg_end
+    // 6.02), so all 15 survived and the artifact couldn't say whether
+    // they were real. Now: (1) wait, canary-judged and bounded, for
+    // the box to actually recover before confirming; (2) record each
+    // flag's sweep-time and confirm-time canary factors, so a flag
+    // that survives on a provably-slow box is committed as CONTENDED
+    // (attributed, re-measurable) instead of as a regression the next
+    // round has to re-litigate.
+    val preFlags = flagged(median(ratios().map(_._4)))
+    val confirmFactor =
+      if (preFlags.isEmpty) 1.0
+      else waitForQuiet(240)
+    val flagDetail = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    for ((name, best, _, ratio) <- preFlags) {
+      val sweepF = canaryFactorAt(posByName(name))
+      System.err.println(f"[bench] $name $ratio%.2fx vs baseline " +
+        f"(sweep-time canary $sweepF%.2fx) — re-measuring at canary $confirmFactor%.2fx")
       timeReps(name, fnByName(name)).foreach(ts =>
         bests(name) = math.min(bests(name), ts.min))
+      flagDetail(name) = (best, sweepF, confirmFactor)
     }
     val vsBaselineMedian = median(ratios().map(_._4))
     val vsBaselineMax = if (ratios().isEmpty) 0.0 else ratios().map(_._4).max
     var baselineRegressions = 0
+    var contendedFlags = 0
+    val regressionsDetail = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, best, base, ratio) <- ratios()) {
       val normalized = ratio / math.max(vsBaselineMedian, 1e-9)
       if (flagged(vsBaselineMedian).exists(_._1 == name)) {
-        baselineRegressions += 1
+        val (sweepBest, sweepF, confF) = flagDetail.getOrElse(name, (best, 1.0, 1.0))
+        // a flag confirmed on a box the canary measured at quiet speed
+        // is a REGRESSION; one that only survived on a slow box is
+        // CONTENDED — the artifact carries the evidence either way
+        val contended = confF > 1.3
+        if (contended) contendedFlags += 1 else baselineRegressions += 1
+        regressionsDetail += (s"""{"name":"$name","best":${f"$best%.3f"},""" +
+          s""""baseline":${f"$base%.3f"},"ratio":${f"$ratio%.2f"},""" +
+          s""""sweep_best":${f"$sweepBest%.3f"},"sweep_canary":${f"$sweepF%.2f"},""" +
+          s""""confirm_canary":${f"$confF%.2f"},"verdict":"${if (contended) "contended" else "regression"}"}""")
         System.err.println(f"[bench] WARN $name $ratio%.2fx vs baseline " +
-          f"($best%.3f s vs $base%.3f s; $normalized%.2fx vs this run's median drift)")
+          f"($best%.3f s vs $base%.3f s; $normalized%.2fx vs this run's median drift; " +
+          s"${if (contended) "CONTENDED — box was slow at confirm" else "CONFIRMED on a quiet box"})")
       } else if (ratio > 1.5 && best > 0.05)
         System.err.println(f"[bench] note $name $ratio%.2fx vs baseline within the run's " +
           f"median drift ($vsBaselineMedian%.2fx) or noise floor — not flagged")
@@ -237,6 +330,51 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results2.map(_._2).sum
+    // one-time index BUILD vs steady-state PROBE for the standing-index
+    // entries: the composite catalog number deliberately times both
+    // (documented since r10), which skews the per-query table the
+    // driver grades — the split sub-metrics let BASELINE_QUERIES
+    // certify <name>_build_s / <name>_probe_s separately while the
+    // catalog entry (and its oracle) stays the composite
+    val splitTimes = graft.llm.LlmQueries.standingSplits
+      .filter { case (n, _) => only.isEmpty || only(n) }.toSeq.sortBy(_._1)
+      .map { case (name, (build, probe)) =>
+        try {
+          build(spark, WarmDir); materialize(probe(spark, WarmDir)) // JIT warm
+          val times = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            val tb = System.nanoTime()
+            build(spark, sfDir)
+            val tm = System.nanoTime()
+            materialize(probe(spark, sfDir))
+            ((tm - tb) / 1e9, (System.nanoTime() - tm) / 1e9)
+          }
+          name -> Some((times.map(_._1).min, times.map(_._2).min))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] standing split $name failed: $e")
+            name -> None
+        }
+      }
+    val splitsJson = splitTimes.collect { case (n, Some((b, p))) =>
+      s""""${n}_build_s":${f"$b%.3f"},"${n}_probe_s":${f"$p%.3f"}""" }.mkString("{", ",", "}")
+    // canary + load sample AROUND each probe: r10's streaming numbers
+    // swung 3x on unchanged code with no per-probe evidence (probes run
+    // last, after minutes of load, with no gate of their own) — now
+    // each probe number is committed next to the box conditions it ran
+    // under, and a loud box gets a bounded chance to recover first
+    val probeConditions = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def probeGated(name: String)(body: => Double): Double =
+      if (only.nonEmpty) 0.0
+      else {
+        val fac = waitForQuiet(120)
+        probeConditions(name) = (fac, osBean.getSystemLoadAverage)
+        try body
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name probe failed: $e"); 0.0
+        }
+      }
     // streaming probe LAST (measured: running it first both reads ~3x
     // low — cold JIT on the parse/flatten path — and leaves streaming
     // machinery that inflates every subsequent batch query 3-15x).
@@ -245,60 +383,36 @@ object Bench {
     // both probe sizes are committed: 2k blocks is micro-batch-overhead
     // bound (~500 blk/s), 8k amortizes it (~1700 blk/s) — recording the
     // pair makes the scaling claim reproducible instead of prose
-    val blocksPerSec =
-      try if (only.nonEmpty) 0.0 else streamingThroughput(spark)
-      catch { case e: Throwable => System.err.println(s"[bench] streaming probe failed: $e"); 0.0 }
-    // separate catch: an 8k failure (e.g. /tmp pressure from the larger
+    val blocksPerSec = probeGated("blocks") { streamingThroughput(spark) }
+    // separate probe: an 8k failure (e.g. /tmp pressure from the larger
     // fixture) must not discard the already-measured 2k number
-    val blocksPerSec8k =
-      try if (only.nonEmpty) 0.0 else ingestRun(spark, 8000)
-      catch { case e: Throwable => System.err.println(s"[bench] 8k streaming probe failed: $e"); 0.0 }
+    val blocksPerSec8k = probeGated("blocks_8k") { ingestRun(spark, 8000) }
     // bus-source companion to the file-drop pair: same ingest pipeline,
     // wire delivered through the graftbus DataSourceV2 offsets instead
     // of file listing — the delta between the two numbers is the
     // source-machinery cost, everything downstream is shared
-    val busBlocksPerSec =
-      try if (only.nonEmpty) 0.0 else busThroughput(spark)
-      catch { case e: Throwable => System.err.println(s"[bench] bus probe failed: $e"); 0.0 }
+    val busBlocksPerSec = probeGated("bus") { busThroughput(spark) }
     // publish-side companion: bus -> bus relay through the graftbus
     // SINK's two-phase epoch commit; the delta vs the read-side number
     // is the publish machinery's cost (pending files + ledger)
-    val busPublishPerSec =
-      try if (only.nonEmpty) 0.0 else busPublishThroughput(spark)
-      catch { case e: Throwable => System.err.println(s"[bench] bus publish probe failed: $e"); 0.0 }
-    val docsPerSec =
-      try if (only.nonEmpty) 0.0 else docThroughput(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] doc probe failed: $e"); 0.0 }
+    val busPublishPerSec = probeGated("bus_publish") { busPublishThroughput(spark) }
+    val docsPerSec = probeGated("docs") { docThroughput(spark, sfDir) }
     // CDC apply probe: change rows/s through MergeApply's collapse +
     // three-arm merge + generation/manifest commit, across multiple
     // micro-batches so each merge joins a GROWING standing snapshot
-    val mergeChangesPerSec =
-      try if (only.nonEmpty) 0.0 else mergeApplyThroughput(spark)
-      catch { case e: Throwable => System.err.println(s"[bench] merge probe failed: $e"); 0.0 }
+    val mergeChangesPerSec = probeGated("merge") { mergeApplyThroughput(spark) }
     // the near-dup gate pays a fixed micro-batch overhead plus a
     // per-doc cost; committing BOTH batch sizes (the blocks/blocks_8k
     // recipe) keeps the two separable in the artifact instead of
     // blended into one unexplainable number
-    val nearDupDocsPerSec =
-      try if (only.nonEmpty) 0.0 else nearDupThroughput(spark, sfDir, 2000)
-      catch { case e: Throwable => System.err.println(s"[bench] neardup probe failed: $e"); 0.0 }
-    val nearDupDocsPerSec8k =
-      try if (only.nonEmpty) 0.0 else nearDupRun(spark, sfDir, 8000)
-      catch { case e: Throwable => System.err.println(s"[bench] neardup 8k probe failed: $e"); 0.0 }
-    val trendingDocsPerSec =
-      try if (only.nonEmpty) 0.0 else trendingThroughput(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] trending probe failed: $e"); 0.0 }
-    val semanticVecsPerSec =
-      try if (only.nonEmpty) 0.0 else semanticThroughput(spark, sfDir, 2000)
-      catch { case e: Throwable => System.err.println(s"[bench] semantic probe failed: $e"); 0.0 }
+    val nearDupDocsPerSec = probeGated("neardup") { nearDupThroughput(spark, sfDir, 2000) }
+    val nearDupDocsPerSec8k = probeGated("neardup_8k") { nearDupRun(spark, sfDir, 8000) }
+    val trendingDocsPerSec = probeGated("trending") { trendingThroughput(spark, sfDir) }
+    val semanticVecsPerSec = probeGated("semantic") { semanticThroughput(spark, sfDir, 2000) }
     // 8k companion (the blocks/neardup recipe): separates the gate's
     // fixed micro-batch + index-open overhead from its per-vector cost
-    val semanticVecsPerSec8k =
-      try if (only.nonEmpty) 0.0 else semanticRun(spark, sfDir, 8000)
-      catch { case e: Throwable => System.err.println(s"[bench] semantic 8k probe failed: $e"); 0.0 }
-    val contamDocsPerSec =
-      try if (only.nonEmpty) 0.0 else contamThroughput(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] contam probe failed: $e"); 0.0 }
+    val semanticVecsPerSec8k = probeGated("semantic_8k") { semanticRun(spark, sfDir, 8000) }
+    val contamDocsPerSec = probeGated("contam") { contamThroughput(spark, sfDir) }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -314,14 +428,23 @@ object Bench {
     } + "\""
     val failedJson = failedQueries
       .map { case (n, e) => s"${jq(n)}:${jq(e)}" }.mkString("{", ",", "}")
+    val canaryDriftMax =
+      if (canarySamples.isEmpty) 1.0 else canarySamples.map(_._2).max / canary0
+    val probeCondJson = probeConditions
+      .map { case (n, (fac, load)) =>
+        s""""$n":{"canary":${f"$fac%.2f"},"load":${f"$load%.2f"}}""" }
+      .mkString("{", ",", "}")
+    val canarySeriesJson = canarySamples
+      .map { case (pos, t) => s"[$pos,${f"${t / canary0}%.2f"}]" }.mkString("[", ",", "]")
     val sentinel =
-      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
+      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"}"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
+    val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"canary_series":$canarySeriesJson,"regressions_detail":$regressionsJson,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))

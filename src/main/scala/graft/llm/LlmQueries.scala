@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -791,47 +792,67 @@ object LlmQueries {
       GROUP BY doc_id, island
     """.trim))
 
-  private val d15 = Q(
-    "d15_standing_neardup",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
-        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
-      // one shingle explosion for the whole entry: stops, base, tail,
-      // and delta all slice the cached (doc_id, h64) table instead of
-      // re-exploding their share of the corpus (text is the widest
-      // intermediate of the family — this is d11's cache reasoning
-      // applied across the build+search composite)
-      val shAll = Dedup.shingles(docs).select("doc_id", "h64").cache()
-      // frozen index state: the corpus-wide stop set (df > MaxDf)
-      val stops = shAll
-        .groupBy("h64").agg(count(lit(1)).as("df"))
+  /** the p01/d11 unit hash, u in [0, 1) as a pure function of doc_id */
+  private def unitU = graft.functions.ColumnFns
+    .md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
+    lit(1152921504606846976.0) // 2^60
+
+  private def d15IdxDir =
+    new java.io.File("target/graft_idx/d15_neardup").getAbsolutePath
+
+  /** d15 BUILD: freeze the corpus-wide stop set (df > MaxDf) to parquet
+    * next to the index — the "frozen index state" is now literally on
+    * disk, which is what lets the probe run in a different process —
+    * then write the standing shingle/band parquet the production way:
+    * base batch overwritten, a later batch APPENDED against the same
+    * frozen stops. One shingle explosion feeds stops, base and tail
+    * (d11's cache reasoning; text is the widest intermediate).
+    */
+  private[graft] def d15Build(s: SparkSession, d: String): Unit = {
+    val shAll = Dedup.shingles(Tables.documents(s, d)).select("doc_id", "h64").cache()
+    try {
+      shAll.groupBy("h64").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxDf).select("h64")
+        .write.mode("overwrite").parquet(s"$d15IdxDir/stops")
+      val stops = s.read.parquet(s"$d15IdxDir/stops")
       def encode(pred: org.apache.spark.sql.Column) = {
-        val sh = shAll.filter(pred)
-          .join(broadcast(stops), Seq("h64"), "left_anti")
+        val sh = shAll.filter(pred).join(broadcast(stops), Seq("h64"), "left_anti")
         (sh, Dedup.bandTable(Dedup.minhashSigs(sh, K), K, R))
       }
-      val idxDir = new java.io.File("target/graft_idx/d15_neardup").getAbsolutePath
-      // standing build, the production way: base written once, a later
-      // batch APPENDED against the same frozen stops
+      val u = unitU
       val (shBase, bdBase) = encode(u < 0.8 && col("doc_id") % 10 =!= 7)
-      shBase.write.mode("overwrite").parquet(s"$idxDir/shingles")
-      bdBase.write.mode("overwrite").parquet(s"$idxDir/bands")
+      shBase.write.mode("overwrite").parquet(s"$d15IdxDir/shingles")
+      bdBase.write.mode("overwrite").parquet(s"$d15IdxDir/bands")
       val (shTail, bdTail) = encode(u < 0.8 && col("doc_id") % 10 === 7)
-      shTail.write.mode("append").parquet(s"$idxDir/shingles")
-      bdTail.write.mode("append").parquet(s"$idxDir/bands")
-      // search: delta-only encode, probe the standing parquet
-      val (shDelta, bdDelta) = encode(u >= 0.8)
-      val cand = s.read.parquet(s"$idxDir/bands")
-        .select(col("band"), col("bv"), col("doc_id").as("d1"))
-        .join(bdDelta.select(col("band"), col("bv"), col("doc_id").as("d2")),
-          Seq("band", "bv"))
-        .select("d1", "d2").distinct()
-      val sh = s.read.parquet(s"$idxDir/shingles").unionByName(shDelta)
-      Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
-        .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
-    },
+      shTail.write.mode("append").parquet(s"$d15IdxDir/shingles")
+      bdTail.write.mode("append").parquet(s"$d15IdxDir/bands")
+    } finally shAll.unpersist(): Unit
+  }
+
+  /** d15 PROBE: encode only the delta docs (u >= 0.8) against the
+    * persisted stop set, probe the standing band parquet for
+    * candidates, verify by Jaccard over standing ∪ delta shingles.
+    * The corpus text outside the delta is never touched.
+    */
+  private[graft] def d15Probe(s: SparkSession, d: String): DataFrame = {
+    val stops = s.read.parquet(s"$d15IdxDir/stops")
+    val shDelta = Dedup.shingles(Tables.documents(s, d).filter(unitU >= 0.8))
+      .select("doc_id", "h64")
+      .join(broadcast(stops), Seq("h64"), "left_anti")
+    val bdDelta = Dedup.bandTable(Dedup.minhashSigs(shDelta, K), K, R)
+    val cand = s.read.parquet(s"$d15IdxDir/bands")
+      .select(col("band"), col("bv"), col("doc_id").as("d1"))
+      .join(bdDelta.select(col("band"), col("bv"), col("doc_id").as("d2")),
+        Seq("band", "bv"))
+      .select("d1", "d2").distinct()
+    val sh = s.read.parquet(s"$d15IdxDir/shingles").unionByName(shDelta)
+    Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
+      .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
+  }
+
+  private val d15 = Q(
+    "d15_standing_neardup",
+    (s, d) => { d15Build(s, d); d15Probe(s, d) },
     Some(incrementalNearDupOracle))
 
   // -- e01: int8 scalar quantization of the embedding column — the
@@ -1044,37 +1065,54 @@ object LlmQueries {
   //    float columns — the plan-audited point), floats touched first
   //    at the 50-row re-rank. Index covers the whole corpus => same
   //    oracle as s18.
+  private def s19IdxDir =
+    new java.io.File("target/graft_idx/s19_bincodes").getAbsolutePath
+
+  /** s19 BUILD: persist the 8-byte binary codes (base + delta batch
+    * appended; codes are per-row pure functions of the vector, so
+    * append ≡ rebuild by construction — asserted in LlmSpec anyway)
+    */
+  private[graft] def s19Build(s: SparkSession, d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    val codes = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), col("label"),
+        binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
+    codes(emb.filter(col("vec_id") % 10 =!= 7))
+      .write.mode("overwrite").parquet(s19IdxDir)
+    codes(emb.filter(col("vec_id") % 10 === 7))
+      .write.mode("append").parquet(s19IdxDir)
+  }
+
+  /** s19 PROBE: the s18 search against the standing code parquet — the
+    * corpus-wide hamming pass scans ONLY the 8-byte codes (no float
+    * columns, the plan-audited point); floats are touched first at the
+    * 50-row re-rank.
+    */
+  private[graft] def s19Probe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val idx = s.read.parquet(s19IdxDir)
+    val qc = idx.filter(col("vec_id") === 0L)
+      .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val short = idx.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qc))
+      .select(col("vec_id"), col("label"),
+        (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(50)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val wg = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(short.select("vec_id", "hamming")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wg).cast(LongType))
+      .filter(col("rank") <= 10)
+  }
+
   private val s19 = Q(
     "s19_hamming_standing",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val codes = (df: org.apache.spark.sql.DataFrame) =>
-        df.select(col("vec_id"), col("label"),
-          binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
-      val idxDir = new java.io.File("target/graft_idx/s19_bincodes").getAbsolutePath
-      codes(emb.filter(col("vec_id") % 10 =!= 7))
-        .write.mode("overwrite").parquet(idxDir)
-      codes(emb.filter(col("vec_id") % 10 === 7))
-        .write.mode("append").parquet(idxDir)
-      val idx = s.read.parquet(idxDir)
-      val qc = idx.filter(col("vec_id") === 0L)
-        .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
-      val short = idx.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(qc))
-        .select(col("vec_id"), col("label"),
-          (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
-            bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
-        .orderBy(col("hamming").asc, col("vec_id").asc)
-        .limit(50)
-      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
-      val wg = Window.orderBy(col("cos").desc, col("vec_id").asc)
-      emb.join(broadcast(short.select("vec_id", "hamming")), "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"), col("hamming"),
-          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wg).cast(LongType))
-        .filter(col("rank") <= 10)
-    },
+    (s, d) => { s19Build(s, d); s19Probe(s, d) },
     s18.oracle)
 
   // -- s09: IVF-PQ top-k — the two verified halves composed into the
@@ -1136,20 +1174,47 @@ object LlmQueries {
   //    the search plan scans the index parquet, plan-audited), exact
   //    re-rank of the 50-shortlist. Same parameters as s09, index
   //    covers the whole corpus => same oracle.
+  private def s10IdxDir =
+    new java.io.File("target/graft_idx/s10_ivfpq").getAbsolutePath
+
+  /** s10 BUILD: freeze the quantizer tables (coarse centroids + PQ
+    * codebooks) to parquet NEXT TO the posting/code index — everything
+    * a query needs is now on disk, so the probe can run in a different
+    * process (and the bench can time the halves separately) — then
+    * write the (vec_id, cid, pq) rows the production way: base batch
+    * overwritten, delta batch appended against the same frozen tables
+    * (append ≡ rebuild because both assignments are per-row).
+    */
+  private[graft] def s10Build(s: SparkSession, d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.sampledCentroids(emb, 16)
+      .write.mode("overwrite").parquet(s"$s10IdxDir/cents")
+    Similarity.sampledCodebooks(emb)
+      .write.mode("overwrite").parquet(s"$s10IdxDir/books")
+    val cents = s.read.parquet(s"$s10IdxDir/cents")
+    val books = s.read.parquet(s"$s10IdxDir/books")
+    Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 =!= 7), cents, books)
+      .write.mode("overwrite").parquet(s"$s10IdxDir/rows")
+    Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 === 7), cents, books)
+      .write.mode("append").parquet(s"$s10IdxDir/rows")
+  }
+
+  /** s10 PROBE: IVF-PQ search over the standing index — probe 4/16
+    * posting lists, ADC-score their 32-bit codes (no float vectors, no
+    * re-encode; the search plan scans only index parquet), exact
+    * re-rank of the 50-shortlist.
+    */
+  private[graft] def s10Probe(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopKStanding(
+      Tables.embeddings(s, d),
+      s.read.parquet(s"$s10IdxDir/rows"),
+      s.read.parquet(s"$s10IdxDir/cents"),
+      s.read.parquet(s"$s10IdxDir/books"),
+      0L, 10, 4, 50)
+
   private val s10 = Q(
     "s10_ivfpq_standing",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = Similarity.sampledCentroids(emb, 16)
-      val books = Similarity.sampledCodebooks(emb)
-      val idxDir = new java.io.File("target/graft_idx/s10_ivfpq").getAbsolutePath
-      Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 =!= 7), cents, books)
-        .write.mode("overwrite").parquet(idxDir)
-      Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 === 7), cents, books)
-        .write.mode("append").parquet(idxDir)
-      Similarity.ivfPqTopKStanding(
-        emb, s.read.parquet(idxDir), cents, books, 0L, 10, 4, 50)
-    },
+    (s, d) => { s10Build(s, d); s10Probe(s, d) },
     Some(ivfPqOracle))
 
   // -- d10: cross-modal semantic dedup — embedding-LSH candidate pairs
@@ -1470,74 +1535,91 @@ object LlmQueries {
   //    partials is an optimization, never a correctness step.
   private val s13 = Q(
     "s13_bm25_standing",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val K1 = 1.2
-      val B = 0.75
-      val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
-        lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
-      val tf = Tables.documents(s, d)
-        .withColumn("u", u)
-        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
-      val idxDir = new java.io.File("target/graft_idx/s13_bm25").getAbsolutePath
-      // standing build, the production way: base written once, a later
-      // batch APPENDED as its own partial-aggregate rows
-      def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
-        // persist the batch across its four index writes: without it
-        // each write job re-runs the explode+agg (8 recomputes total
-        // for the build; measured ~1.5s of the entry's time at sf0.1)
-        val batch = tf.filter(col("u") < 0.95 && pred).drop("u").persist()
-        try {
-          batch.write.mode(mode).parquet(s"$idxDir/postings")
-          // (a coalesce(1) on the small df/dl writes was tried and
-          // REVERTED: it propagates up and runs the whole agg pipeline
-          // on one task — AQE's post-shuffle coalescing already keeps
-          // these outputs to a handful of files without serializing
-          // the aggregation)
-          batch.groupBy("term").agg(count(lit(1)).as("df"))
-            .write.mode(mode).parquet(s"$idxDir/df")
-          val dlB = batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-          dlB.write.mode(mode).parquet(s"$idxDir/dl")
-          dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-            .write.mode(mode).parquet(s"$idxDir/stats")
-        } finally batch.unpersist(): Unit
-      }
-      writeBatch(col("doc_id") % 10 =!= 7, "overwrite")
-      writeBatch(col("doc_id") % 10 === 7, "append")
-      // search: merge the partials at read, probe the standing
-      // postings — the corpus text is never touched
-      val postings = s.read.parquet(s"$idxDir/postings")
-      val df = s.read.parquet(s"$idxDir/df").groupBy("term").agg(sum(col("df")).as("df"))
-      val dl = s.read.parquet(s"$idxDir/dl")
-      val st = s.read.parquet(s"$idxDir/stats")
-        .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
-      val nCorpus = st.getLong(0).toDouble
-      val sumDl = st.getLong(1).toDouble
-      val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
-      val qTerms = tf.filter(col("u") >= 0.99)
-        .withColumn("qr", row_number().over(wq))
-        .filter(col("qr") <= 4)
-        .select(col("doc_id").as("query_doc"), col("term"))
-      val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-      val lenNorm = lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
-      val tfNorm = col("tf").cast(DoubleType) * lit(K1 + 1.0) /
-        (col("tf").cast(DoubleType) + lit(K1) * lenNorm)
-      val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
-      val scored = qTerms
-        .join(postings.withColumnRenamed("doc_id", "corpus_doc"), "term")
-        .join(broadcast(df), "term")
-        .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
-        .groupBy("query_doc", "corpus_doc")
-        .agg(sum(contrib).as("sdec"))
-      val wr = Window.partitionBy("query_doc").orderBy(col("sdec").desc, col("corpus_doc"))
-      scored
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 5)
-        .select(col("query_doc"), col("corpus_doc"),
-          col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
-    },
+    (s, d) => { s13Build(s, d); s13Probe(s, d) },
     Some(bm25Oracle))
+
+  private def s13IdxDir =
+    new java.io.File("target/graft_idx/s13_bm25").getAbsolutePath
+
+  /** (doc_id, term, tf) over a doc-level slice — the unit-hash filter
+    * runs BEFORE the explode (tf is per-doc, so pre-filtering is
+    * equivalent and skips exploding the excluded docs). Shared by the
+    * s13 build (corpus slice) and probe (query slice).
+    */
+  private def s13Tf(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("u", unitU).filter(pred)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** s13 BUILD: the standing BM25 index the production way — base batch
+    * written once, a later batch APPENDED as its own partial-aggregate
+    * rows (postings + df + dl + corpus stats, merged at read).
+    */
+  private[graft] def s13Build(s: SparkSession, d: String): Unit = {
+    def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
+      // persist the batch across its four index writes: without it
+      // each write job re-runs the explode+agg (8 recomputes total
+      // for the build; measured ~1.5s of the entry's time at sf0.1)
+      val batch = s13Tf(s, d, col("u") < 0.95 && pred).persist()
+      try {
+        batch.write.mode(mode).parquet(s"$s13IdxDir/postings")
+        // (a coalesce(1) on the small df/dl writes was tried and
+        // REVERTED: it propagates up and runs the whole agg pipeline
+        // on one task — AQE's post-shuffle coalescing already keeps
+        // these outputs to a handful of files without serializing
+        // the aggregation)
+        batch.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode(mode).parquet(s"$s13IdxDir/df")
+        val dlB = batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        dlB.write.mode(mode).parquet(s"$s13IdxDir/dl")
+        dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+          .write.mode(mode).parquet(s"$s13IdxDir/stats")
+      } finally batch.unpersist(): Unit
+    }
+    writeBatch(col("doc_id") % 10 =!= 7, "overwrite")
+    writeBatch(col("doc_id") % 10 === 7, "append")
+  }
+
+  /** s13 PROBE: extract the query docs' top terms, merge the standing
+    * partials at read, score through the bounded posting join — the
+    * corpus text outside the query slice is never touched.
+    */
+  private[graft] def s13Probe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K1 = 1.2
+    val B = 0.75
+    val postings = s.read.parquet(s"$s13IdxDir/postings")
+    val df = s.read.parquet(s"$s13IdxDir/df").groupBy("term").agg(sum(col("df")).as("df"))
+    val dl = s.read.parquet(s"$s13IdxDir/dl")
+    val st = s.read.parquet(s"$s13IdxDir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
+    val nCorpus = st.getLong(0).toDouble
+    val sumDl = st.getLong(1).toDouble
+    val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    val qTerms = s13Tf(s, d, col("u") >= 0.99)
+      .withColumn("qr", row_number().over(wq))
+      .filter(col("qr") <= 4)
+      .select(col("doc_id").as("query_doc"), col("term"))
+    val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val lenNorm = lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+    val tfNorm = col("tf").cast(DoubleType) * lit(K1 + 1.0) /
+      (col("tf").cast(DoubleType) + lit(K1) * lenNorm)
+    val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+    val scored = qTerms
+      .join(postings.withColumnRenamed("doc_id", "corpus_doc"), "term")
+      .join(broadcast(df), "term")
+      .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+      .groupBy("query_doc", "corpus_doc")
+      .agg(sum(contrib).as("sdec"))
+    val wr = Window.partitionBy("query_doc").orderBy(col("sdec").desc, col("corpus_doc"))
+    scored
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("query_doc"), col("corpus_doc"),
+        col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
+  }
 
   // -- s14: HYBRID retrieval — BM25 lexical ranking fused with dense
   //    cosine ranking by reciprocal-rank fusion (RRF, k=60), the shape
@@ -2646,4 +2728,21 @@ object LlmQueries {
 
   def queries: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09)
+
+  /** Build/probe decomposition of the standing-index entries. Each
+    * catalog `run` is exactly `build(); probe()` — the oracle contract
+    * is unchanged — but the halves are exposed so the bench can time
+    * one-time index construction separately from steady-state search
+    * (a composite number conflates an operator event with the
+    * per-query cost a serving deployment actually pays). Everything a
+    * probe needs is PERSISTED by its build (stop set, quantizer
+    * tables, codes, postings), so the halves run in different
+    * processes.
+    */
+  def standingSplits: Map[String,
+      ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = Map(
+    "d15_standing_neardup" -> ((d15Build _, d15Probe _)),
+    "s10_ivfpq_standing" -> ((s10Build _, s10Probe _)),
+    "s13_bm25_standing" -> ((s13Build _, s13Probe _)),
+    "s19_hamming_standing" -> ((s19Build _, s19Probe _)))
 }
