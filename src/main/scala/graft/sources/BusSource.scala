@@ -68,6 +68,7 @@ class BusSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graftbus requires .option(\"path\", <topic dir>)")
+    BusSource.validateClientOptions(k => Option(properties.get(k)).filter(_.nonEmpty))
     new BusTable(path, schema)
   }
 }
@@ -78,14 +79,35 @@ object BusSource {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType, nullable = true)))
 
-  private def logFile(dir: String, p: Int) = new java.io.File(dir, s"p$p/log")
+  private def partDir(dir: String, p: Int) = new java.io.File(dir, s"p$p")
+
+  /** The ACTIVE log segment of a partition and its base offset. A fresh
+    * topic's segment is `log` (base 0); a retention fold replaces it
+    * with `<base>.log` — Kafka's own segment-naming idea, which is what
+    * makes truncation atomic AND offset-preserving: logical offset =
+    * base + physical position, the swap is one rename, and a crash
+    * between rename-new and delete-old leaves two segments of which the
+    * larger base wins (the fold re-deletes stragglers).
+    */
+  private[sources] def activeSegment(dir: String, p: Int): (java.io.File, Long) = {
+    val pd = partDir(dir, p)
+    val segs = Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case "log" => Some((f, 0L))
+          case n if n.matches("\\d+\\.log") => Some((f, n.stripSuffix(".log").toLong))
+          case _ => None
+        }
+      }
+    if (segs.isEmpty) (new java.io.File(pd, "log"), 0L) else segs.maxBy(_._2)
+  }
 
   /** producer/admin half (tests and probes): create a topic directory
     * with `partitions` empty per-partition logs
     */
   def createTopic(dir: String, partitions: Int): Unit =
     (0 until partitions).foreach { p =>
-      val f = logFile(dir, p)
+      val f = new java.io.File(partDir(dir, p), "log")
       f.getParentFile.mkdirs()
       f.createNewFile(): Unit
     }
@@ -95,7 +117,8 @@ object BusSource {
     * store — records are immutable once their terminator is written)
     */
   def append(dir: String, partition: Int, lines: Seq[String]): Unit = {
-    val out = new java.io.FileOutputStream(logFile(dir, partition), true)
+    assertNoRetentionLease(dir)
+    val out = new java.io.FileOutputStream(activeSegment(dir, partition)._1, true)
     try out.write(lines.map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
   }
@@ -104,7 +127,7 @@ object BusSource {
     * torn-write contract (a crashed producer's partial record)
     */
   def appendTorn(dir: String, partition: Int, bytes: Array[Byte]): Unit = {
-    val out = new java.io.FileOutputStream(logFile(dir, partition), true)
+    val out = new java.io.FileOutputStream(activeSegment(dir, partition)._1, true)
     try out.write(bytes)
     finally out.close()
   }
@@ -115,15 +138,21 @@ object BusSource {
       .map(_.getName.drop(1).toInt).sorted.toSeq
   }
 
+  /** per-partition EARLIEST retained offsets (the retention floor —
+    * 0 until a fold has run)
+    */
+  def earliestOffsets(dir: String): Map[Int, Long] =
+    partitions(dir).map(p => p -> activeSegment(dir, p)._2).toMap
+
   /** per-partition end offsets, advanced only to the last
     * newline-terminated record: scan backward from EOF in one bounded
     * tail read (partial trailing lines stay invisible)
     */
   def latestOffsets(dir: String): Map[Int, Long] =
     partitions(dir).map { p =>
-      val f = logFile(dir, p)
+      val (f, base) = activeSegment(dir, p)
       val len = f.length()
-      p -> (if (len == 0) 0L else lastTerminated(f, len))
+      p -> (base + (if (len == 0) 0L else lastTerminated(f, len)))
     }.toMap
 
   private def lastTerminated(f: java.io.File, len: Long): Long = {
@@ -145,6 +174,164 @@ object BusSource {
       }
       0L
     } finally in.close()
+  }
+
+  // ---------------------------------------------------------------- retention
+
+  private[sources] val RetentionLock = "_retention.lock"
+  private val RetentionStaleMs = 15 * 60 * 1000L
+
+  /** Publishers call this before appending: a retention fold in
+    * progress owns the logs for its window (the LakeCompact
+    * assertNoLease contract applied to the bus).
+    */
+  def assertNoRetentionLease(dir: String): Unit = {
+    val lock = new java.io.File(dir, RetentionLock)
+    if (lock.exists() &&
+        System.currentTimeMillis() - lock.lastModified() < RetentionStaleMs)
+      throw new IllegalStateException(
+        s"graftbus: retention fold in progress on $dir (${lock.getPath} held) — " +
+          "publish after the fold completes")
+  }
+
+  /** Bus log RETENTION fold — the JetStream file-store parity the
+    * engine was missing (`RetentionPolicy::Limits` +
+    * `DiscardPolicy::Old`, borealis-consumer/src/main.rs:574-582):
+    * truncate each partition's log below the COMMITTED ack floor,
+    * offsets preserved. Per partition the cut point is
+    * `min(ackFloor, end - maxBytesRetained)` aligned DOWN to a record
+    * boundary and never below the current floor; the retained tail is
+    * copied to a new `<cut>.log` segment (torn trailing bytes
+    * preserved) and swapped in by rename. Consumers notice nothing: a
+    * mid-stream consumer's offsets are all >= the ack floor, and a
+    * fresh `earliest` consumer starts at the retained floor. Reads
+    * BELOW the floor are governed by `failOnDataLoss` (Kafka's option,
+    * default true). Lease-guarded: one fold at a time, publishers are
+    * fenced for the window. Size/floor-based only — the wire carries
+    * no timestamps, so `MaxAge` has no honest image here (documented
+    * non-goal).
+    */
+  def retain(
+      dir: String,
+      ackFloor: Map[Int, Long],
+      maxBytesRetained: Long = 0L): Unit = {
+    val lock = new java.io.File(dir, RetentionLock)
+    if (lock.exists() &&
+        System.currentTimeMillis() - lock.lastModified() < RetentionStaleMs)
+      throw new IllegalStateException(s"graftbus: retention already in progress on $dir")
+    lock.delete()
+    require(lock.createNewFile(), s"graftbus: could not take retention lease on $dir")
+    try {
+      for (p <- partitions(dir)) {
+        val (seg, base) = activeSegment(dir, p)
+        val len = seg.length()
+        val end = base + (if (len == 0) 0L else lastTerminated(seg, len))
+        val desired = math.max(base,
+          math.min(ackFloor.getOrElse(p, base), end - math.max(0L, maxBytesRetained)))
+        val cut = alignDownToRecordStart(seg, base, desired)
+        if (cut > base) {
+          val pd = partDir(dir, p)
+          val tmp = new java.io.File(pd, s"$cut.log.tmp")
+          copyRange(seg, cut - base, seg.length(), tmp)
+          val fresh = new java.io.File(pd, s"$cut.log")
+          require(tmp.renameTo(fresh), s"graftbus: segment swap failed for p$p")
+          // stale segments (including a crash's leftovers) die last —
+          // the max-base rule already made `fresh` the active one
+          Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName == "log" ||
+              (f.getName.matches("\\d+\\.log") && f.getName.stripSuffix(".log").toLong < cut))
+            .foreach(_.delete())
+        }
+      }
+    } finally { lock.delete(): Unit }
+  }
+
+  /** greatest record-start logical offset <= desired (a record start is
+    * position 0 or any byte after a '\n')
+    */
+  private def alignDownToRecordStart(seg: java.io.File, base: Long, desired: Long): Long = {
+    val phys = desired - base
+    if (phys <= 0) return base
+    val in = new java.io.RandomAccessFile(seg, "r")
+    try {
+      val chunk = 1 << 16
+      var end = phys
+      while (end > 0) {
+        val start = math.max(0L, end - chunk)
+        val buf = new Array[Byte]((end - start).toInt)
+        in.seek(start)
+        in.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return base + start + i + 1
+          i -= 1
+        }
+        end = start
+      }
+      base
+    } finally in.close()
+  }
+
+  private def copyRange(src: java.io.File, from: Long, to: Long, dst: java.io.File): Unit = {
+    val in = new java.io.RandomAccessFile(src, "r")
+    val out = new java.io.FileOutputStream(dst)
+    try {
+      in.seek(from)
+      val buf = new Array[Byte](1 << 20)
+      var remaining = to - from
+      while (remaining > 0) {
+        val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        if (n <= 0) remaining = 0
+        else { out.write(buf, 0, n); remaining -= n }
+      }
+    } finally { in.close(); out.close() }
+  }
+
+  /** The consumer's COMMITTED ack floor read back from a streaming
+    * checkpoint (the safe retention input): the offsets of the last
+    * batch whose commit marker landed. Returns None before the first
+    * commit. Spark's offset log layout: `offsets/<batchId>` holds
+    * "v1", a metadata line, then one offset JSON per source —
+    * graftbus is the only source in the queries this engine ships, so
+    * the LAST line is the BusOffset JSON.
+    */
+  def committedOffsets(checkpointDir: String): Option[Map[Int, Long]] = {
+    val commits = new java.io.File(checkpointDir, "commits")
+    val ids = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName.toLongOption)
+    if (ids.isEmpty) return None
+    val off = new java.io.File(checkpointDir, s"offsets/${ids.max}")
+    if (!off.isFile) return None
+    val lines = java.nio.file.Files.readAllLines(off.toPath).toArray(Array.empty[String])
+    lines.reverse.find(l => l.trim.startsWith("{") && !l.contains("batchWatermarkMs"))
+      .map(l => BusOffset.fromJson(l.trim).ends)
+  }
+
+  /** reference consumer client auth/TLS option matrix
+    * (borealis-consumer/src/main.rs:421-536: creds file, TLS client
+    * cert+key, root certs, user/password, token). The sandbox has no
+    * network, so the TRANSPORT half is a no-op — but the validation
+    * half is the client contract a deployment hits first, so malformed
+    * combinations are rejected the way the reference's matrix rejects
+    * them instead of being silently carried.
+    */
+  private[sources] def validateClientOptions(get: String => Option[String]): Unit = {
+    val creds = get("credsfile")
+    val user = get("username")
+    val pass = get("password")
+    val token = get("token")
+    val cert = get("tlscert")
+    val key = get("tlskey")
+    val ca = get("tlscacert")
+    val modes = Seq(creds.isDefined, user.isDefined || pass.isDefined, token.isDefined)
+    require(modes.count(identity) <= 1,
+      "graftbus: credsfile, username/password and token are mutually exclusive auth modes")
+    require(user.isDefined == pass.isDefined,
+      "graftbus: username and password must be set together")
+    require(cert.isDefined == key.isDefined,
+      "graftbus: tlscert and tlskey must be set together")
+    for (p <- Seq(creds, cert, key, ca).flatten)
+      require(new java.io.File(p).isFile, s"graftbus: client config file not found: $p")
   }
 }
 
@@ -171,12 +358,13 @@ private[sources] class BusScan(dir: String, options: CaseInsensitiveStringMap) e
   override def description(): String = s"graftbus $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BusMicroBatchStream(dir, options)
-  /** bulk-bootstrap shape: one batch over the full terminated range */
+  /** bulk-bootstrap shape: one batch over the full RETAINED range */
   override def toBatch: Batch = new Batch {
     private val ends = BusSource.latestOffsets(dir)
     override def planInputPartitions(): Array[InputPartition] =
       ends.toArray.sortBy(_._1).map { case (p, end) =>
-        BusRange(new java.io.File(dir, s"p$p/log").getAbsolutePath, p, 0L, end)
+        val (seg, base) = BusSource.activeSegment(dir, p)
+        BusRange(seg.getAbsolutePath, p, base, end, base)
       }
     override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
   }
@@ -201,9 +389,38 @@ private[sources] object BusOffset {
 private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val startLatest =
-    options.getOrDefault("startingoffsets", "earliest").toLowerCase == "latest"
+  /** `startingOffsets`, Kafka-conformant: `earliest` | `latest` | a
+    * per-partition JSON object `{"0": 123, "1": -1, "2": -2}` with
+    * Kafka's sentinels (-1 latest, -2 earliest; unmentioned partitions
+    * default to earliest). The flat form — graftbus topics are single
+    * directories, so there is no topic-name nesting level.
+    */
+  private val startSpec: Either[Boolean, Map[Int, Long]] = {
+    val raw = options.getOrDefault("startingoffsets", "earliest").trim
+    if (raw.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+      import scala.jdk.CollectionConverters._
+      Right(node.properties().asScala.map { e =>
+        require(e.getKey.forall(_.isDigit),
+          s"graftbus: startingOffsets JSON keys must be partition ids, got '${e.getKey}'")
+        e.getKey.toInt -> e.getValue.asLong()
+      }.toMap)
+    } else raw.toLowerCase match {
+      case "latest" => Left(true)
+      case "earliest" => Left(false)
+      case other => throw new IllegalArgumentException(
+        s"graftbus: startingOffsets must be earliest, latest or a per-partition " +
+          s"JSON object, got '$other'")
+    }
+  }
   private val maxBytes = Option(options.get("maxbytespertrigger")).map(_.toLong)
+  /** Kafka's `failOnDataLoss` (default true): a committed offset that
+    * now lies BELOW the retention floor means records were folded away
+    * before this consumer read them — fail loudly unless the operator
+    * opted into skipping (`false` clamps to the floor with a warning).
+    */
+  private val failOnDataLoss =
+    options.getOrDefault("failondataloss", "true").toBoolean
 
   /** Trigger.AvailableNow contract: snapshot the log tails once at
     * query start; every batch's admission then caps at the snapshot, so
@@ -215,9 +432,25 @@ private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitive
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(BusSource.latestOffsets(dir))
 
-  override def initialOffset(): Offset =
-    if (startLatest) BusOffset(BusSource.latestOffsets(dir))
-    else BusOffset(BusSource.partitions(dir).map(_ -> 0L).toMap)
+  override def initialOffset(): Offset = startSpec match {
+    case Left(true) => BusOffset(BusSource.latestOffsets(dir))
+    // earliest = the RETENTION FLOOR, not 0: a fresh consumer on a
+    // folded topic starts at the first retained record
+    case Left(false) => BusOffset(BusSource.earliestOffsets(dir))
+    case Right(explicit) =>
+      val latest = BusSource.latestOffsets(dir)
+      val earliest = BusSource.earliestOffsets(dir)
+      BusOffset(BusSource.partitions(dir).map { p =>
+        p -> (explicit.get(p) match {
+          case Some(-1L) => latest(p)
+          case Some(-2L) | None => earliest(p)
+          case Some(o) =>
+            require(o >= 0, s"graftbus: startingOffsets for partition $p is $o " +
+              "(only -1 latest / -2 earliest are negative sentinels)")
+            o
+        })
+      }.toMap)
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxBytes.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
@@ -245,19 +478,23 @@ private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitive
           // [s, hardEnd] window's tail; full-range ends are already aligned
           val end =
             if (hardEnd == latest(p)) hardEnd
-            else alignToNewline(new java.io.File(dir, s"p$p/log"), s, hardEnd)
+            else {
+              val (seg, base) = BusSource.activeSegment(dir, p)
+              alignToNewline(seg, base, s, hardEnd)
+            }
           p -> end
         }.toMap)
       case _ => BusOffset(latest)
     }
   }
 
-  private def alignToNewline(f: java.io.File, start: Long, cap: Long): Long = {
+  /** offsets logical; the scan window is physical within `f` */
+  private def alignToNewline(f: java.io.File, base: Long, start: Long, cap: Long): Long = {
     if (cap <= start) return start
     val in = new java.io.RandomAccessFile(f, "r")
     try {
       val buf = new Array[Byte]((cap - start).toInt)
-      in.seek(start)
+      in.seek(math.max(0L, start - base))
       in.readFully(buf)
       var i = buf.length - 1
       while (i >= 0) {
@@ -275,9 +512,24 @@ private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitive
     val s = start.asInstanceOf[BusOffset].ends
     val e = end.asInstanceOf[BusOffset].ends
     e.toArray.sortBy(_._1).flatMap { case (p, endOff) =>
-      val startOff = s.getOrElse(p, 0L)
+      val (seg, base) = BusSource.activeSegment(dir, p)
+      val committed = s.getOrElse(p, base)
+      // a committed offset below the retention floor = records folded
+      // away before this consumer read them (Kafka's data-loss case)
+      val startOff =
+        if (committed >= base) committed
+        else if (failOnDataLoss)
+          throw new IllegalStateException(
+            s"graftbus: partition $p offset $committed is below the retention floor " +
+              s"$base — records were lost to a retention fold. Set " +
+              "failOnDataLoss=false to resume from the floor instead.")
+        else {
+          System.err.println(s"[graftbus] WARN partition $p offset $committed below " +
+            s"retention floor $base — skipping to the floor (failOnDataLoss=false)")
+          base
+        }
       if (endOff > startOff)
-        Some(BusRange(new java.io.File(dir, s"p$p/log").getAbsolutePath, p, startOff, endOff))
+        Some(BusRange(seg.getAbsolutePath, p, startOff, endOff, base))
       else None
     }
   }
@@ -288,8 +540,12 @@ private[sources] class BusMicroBatchStream(dir: String, options: CaseInsensitive
   override def stop(): Unit = ()
 }
 
-/** one bus partition's byte range for one batch */
-private[sources] case class BusRange(path: String, partition: Int, start: Long, end: Long)
+/** one bus partition's byte range for one batch. Offsets are LOGICAL
+  * (monotonic across retention folds); `base` is the segment's base
+  * offset, so physical position = logical - base.
+  */
+private[sources] case class BusRange(
+    path: String, partition: Int, start: Long, end: Long, base: Long = 0L)
     extends InputPartition
 
 private[sources] object BusReaderFactory extends PartitionReaderFactory {
@@ -303,7 +559,7 @@ private[sources] object BusReaderFactory extends PartitionReaderFactory {
     val r = partition.asInstanceOf[BusRange]
     new PartitionReader[InternalRow] {
       private val in = new java.io.RandomAccessFile(r.path, "r")
-      in.seek(r.start)
+      in.seek(r.start - r.base)
       private var pos = r.start // logical range cursor
       private val buf = new Array[Byte](ChunkSize)
       private var bufLen = 0
@@ -439,6 +695,7 @@ private[sources] case class BusPendingMsg(taskId: Long, files: Seq[(Int, String)
 
 private[sources] object BusWrite {
   def appendAll(dir: String, messages: Array[WriterCommitMessage]): Unit = {
+    BusSource.assertNoRetentionLease(dir)
     val msgs = messages.collect { case m: BusPendingMsg => m }.sortBy(_.taskId)
     for (m <- msgs; (p, path) <- m.files) {
       val src = new java.io.File(path)
@@ -456,7 +713,7 @@ private[sources] object BusWrite {
             "is missing at epoch commit — refusing to commit a partial epoch. " +
             "The pending-file handoff requires a driver-visible shared filesystem.")
       val bytes = java.nio.file.Files.readAllBytes(src.toPath)
-      val out = new java.io.FileOutputStream(new java.io.File(dir, s"p$p/log"), true)
+      val out = new java.io.FileOutputStream(BusSource.activeSegment(dir, p)._1, true)
       try out.write(bytes) finally out.close()
     }
     deletePending(messages)

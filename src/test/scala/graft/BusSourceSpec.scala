@@ -170,4 +170,142 @@ class BusSourceSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(out.iterator().asScala.toSeq == Seq("new1"))
   }
+
+  /** drain the topic into `out` under `ckpt`, AvailableNow, returning
+    * the values delivered by THIS run (retention-suite helper)
+    */
+  private def drainTo(dir: String, ckpt: String,
+      extraOpts: Map[String, String] = Map.empty): Seq[String] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = extraOpts.foldLeft(
+      spark.readStream.format("graftbus").option("path", dir)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(r.getAs[String]("value")))
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.iterator().asScala.toSeq
+  }
+
+  test("retention folds below the committed ack floor: no loss/dup mid-stream, earliest starts at the floor") {
+    val dir = newTopic(2)
+    val base = Files.createTempDirectory("graft_bus_ret").toString
+    BusSource.append(dir, 0, (0 until 50).map(i => s"a$i"))
+    BusSource.append(dir, 1, (0 until 50).map(i => s"b$i"))
+    // consumer drains the backlog and commits its ack floor
+    val first = drainTo(dir, s"$base/c")
+    assert(first.length == 100)
+    val floor = BusSource.committedOffsets(s"$base/c")
+      .getOrElse(fail("no committed offsets in checkpoint"))
+    assert(floor == BusSource.latestOffsets(dir), "ack floor must be the drained tail")
+
+    // FOLD below the floor (JetStream Limits/Old parity)
+    BusSource.retain(dir, floor)
+    assert(BusSource.earliestOffsets(dir) == floor,
+      "retained floor must equal the fold point — offsets preserved")
+    assert(BusSource.latestOffsets(dir) == floor, "tail must survive the fold")
+
+    // mid-stream consumer resumes over the fold: no loss, no dup
+    BusSource.append(dir, 0, (50 until 60).map(i => s"a$i"))
+    BusSource.append(dir, 1, (50 until 55).map(i => s"b$i"))
+    val second = drainTo(dir, s"$base/c")
+    assert(second.sorted == ((50 until 60).map(i => s"a$i") ++
+      (50 until 55).map(i => s"b$i")).sorted,
+      s"resume over the fold lost or duplicated records: $second")
+
+    // logical offsets are MONOTONIC across the fold: the post-fold
+    // records' offsets continue from the pre-fold byte positions
+    val rows = spark.read.format("graftbus").option("path", dir).load().collect()
+    assert(rows.forall(r => r.getAs[Long]("offset") >= floor(r.getAs[Int]("partition"))))
+
+    // a FRESH earliest consumer starts at the retained floor — only
+    // the 15 post-fold records exist for it
+    val fresh = drainTo(dir, s"$base/c2")
+    assert(fresh.length == 15, s"fresh earliest consumer saw ${fresh.length} records")
+  }
+
+  test("maxBytesRetained keeps a bounded tail even below the ack floor") {
+    val dir = newTopic(1)
+    BusSource.append(dir, 0, (0 until 100).map(i => f"m$i%03d")) // 5 bytes/record
+    val end = BusSource.latestOffsets(dir)(0)
+    // ack floor at the tail, but retain the last ~25 records anyway
+    BusSource.retain(dir, Map(0 -> end), maxBytesRetained = 125L)
+    val floor = BusSource.earliestOffsets(dir)(0)
+    assert(end - floor >= 125L && end - floor < 130L, s"retained ${end - floor} bytes")
+    val vals = spark.read.format("graftbus").option("path", dir).load()
+      .collect().map(_.getAs[String]("value"))
+    assert(vals.length == 25 && vals.head == "m075")
+  }
+
+  test("startingOffsets accepts the Kafka per-partition JSON form with -1/-2 sentinels") {
+    val dir = newTopic(3)
+    BusSource.append(dir, 0, Seq("x0", "x1", "x2")) // 3 bytes each
+    BusSource.append(dir, 1, Seq("y0", "y1"))
+    BusSource.append(dir, 2, Seq("z0"))
+    val ckpt = Files.createTempDirectory("graft_bus_json").toString
+    // p0 from byte 3 (second record), p1 from latest, p2 defaulted to earliest
+    val got = drainTo(dir, s"$ckpt/c",
+      Map("startingoffsets" -> """{"0": 3, "1": -1}"""))
+    assert(got.sorted == Seq("x1", "x2", "z0"), s"got $got")
+    // malformed forms are rejected, not silently defaulted
+    val ex = intercept[Exception] {
+      drainTo(dir, s"$ckpt/c2", Map("startingoffsets" -> "sometime-yesterday"))
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("failOnDataLoss: an offset below the floor fails by default, clamps when disabled") {
+    val dir = newTopic(1)
+    val base = Files.createTempDirectory("graft_bus_loss").toString
+    BusSource.append(dir, 0, (0 until 20).map(i => s"r$i"))
+    assert(drainTo(dir, s"$base/c").length == 20)
+    // records the consumer never saw are folded away: floor > ack floor
+    BusSource.append(dir, 0, (20 until 40).map(i => s"r$i"))
+    BusSource.retain(dir, BusSource.latestOffsets(dir))
+    BusSource.append(dir, 0, Seq("fresh1", "fresh2"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(dir, s"$base/c")
+    }
+    assert(ex.getCause.toString.contains("retention floor"), s"got ${ex.getCause}")
+    // opt-in skip: resumes from the floor, delivers only what survives
+    val got = drainTo(dir, s"$base/c", Map("failondataloss" -> "false"))
+    assert(got == Seq("fresh1", "fresh2"), s"got $got")
+  }
+
+  test("publishers are fenced while a retention lease is held") {
+    val dir = newTopic(1)
+    BusSource.append(dir, 0, Seq("pre"))
+    val lock = new java.io.File(dir, "_retention.lock")
+    assert(lock.createNewFile())
+    try {
+      intercept[IllegalStateException] { BusSource.append(dir, 0, Seq("during")) }
+    } finally lock.delete()
+    BusSource.append(dir, 0, Seq("post"))
+    assert(spark.read.format("graftbus").option("path", dir).load().count() == 2)
+  }
+
+  test("client auth/TLS options are validated like the reference consumer's matrix") {
+    val dir = newTopic(1)
+    BusSource.append(dir, 0, Seq("v"))
+    def read(opts: (String, String)*): Long =
+      opts.foldLeft(spark.read.format("graftbus").option("path", dir)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().count()
+    val creds = Files.createTempFile("graft_bus_creds", ".creds")
+    val ca = Files.createTempFile("graft_bus_ca", ".pem")
+    // valid combinations pass through (transport is a sandbox no-op)
+    assert(read("credsfile" -> creds.toString, "tlscacert" -> ca.toString) == 1)
+    assert(read("username" -> "u", "password" -> "p") == 1)
+    // malformed combinations are rejected the way the reference rejects them
+    for (bad <- Seq(
+        Seq("username" -> "u"),                                    // password missing
+        Seq("credsfile" -> creds.toString, "token" -> "t"),        // two auth modes
+        Seq("tlscert" -> ca.toString),                             // key missing
+        Seq("credsfile" -> "/nonexistent/x.creds")))               // file absent
+      intercept[IllegalArgumentException] { read(bad: _*) }
+  }
 }
