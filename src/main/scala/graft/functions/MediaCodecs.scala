@@ -1,12 +1,13 @@
 package graft.functions
 
-/** REAL pure-JVM media container codecs for the uncompressed formats —
-  * RIFF/PCM WAV (audio) and PPM P6 (image). Both formats are public
-  * specifications simple enough to parse without any codec library, so
-  * the multimodal pipeline's decode step is genuinely real for them;
-  * only compressed codecs (JPEG/MP3/H.264) remain behind
+/** REAL pure-JVM media container codecs: hand-written RIFF/PCM WAV
+  * (audio) and PPM P6 (image) parsers for the uncompressed formats,
+  * plus the JDK's own ImageIO codecs for PNG (lossless), JPEG (lossy)
+  * and multi-frame animated GIF — so the multimodal pipeline's decode
+  * step is genuinely real for every JDK-reachable format; only
+  * non-JDK codecs (MP3/H.264) remain behind
   * [[graft.llm.Multimodal]]'s clearly-marked stub, because this
-  * container ships no codec libraries.
+  * container ships no external codec libraries.
   *
   * Everything here is byte-exact and integer-only on the hot path, so
   * decoded statistics are reproducible by the DuckDB oracle from the
@@ -242,5 +243,94 @@ object MediaCodecs {
       y += 1
     }
     Ppm(w, h, rgb)
+  }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** a decoded multi-frame animation: packed RGB raster per frame */
+  case class GifAnim(w: Int, h: Int, frames: Seq[Array[Byte]])
+
+  /** the web-safe 6-level-per-channel palette (216 entries, level*51):
+    * every color is exactly representable in a GIF's 8-bit palette, so
+    * the LZW round-trip is lossless BY CONSTRUCTION and multi-frame
+    * decode becomes hash-checkable (the m08 lossless argument extended
+    * to an animated container)
+    */
+  private lazy val WebSafePalette: java.awt.image.IndexColorModel = {
+    val n = 216
+    val r = new Array[Byte](n); val g = new Array[Byte](n); val b = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      r(i) = ((i / 36) * 51).toByte
+      g(i) = (((i / 6) % 6) * 51).toByte
+      b(i) = ((i % 6) * 51).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, n, r, g, b)
+  }
+
+  /** ANIMATED GIF writer through the JDK's own encoder
+    * (`writeToSequence`): each frame is a full-canvas palette-indexed
+    * raster (indices into [[WebSafePalette]], r*36 + g*6 + b levels).
+    * Multi-frame + LZW-compressed — the real container m03's frame
+    * sampling needed, with zero non-JDK libraries.
+    */
+  def gifWrite(w: Int, h: Int, frameIndices: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (fr <- frameIndices) {
+        require(fr.length == w * h, s"frame raster ${fr.length} != ${w * h}")
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, WebSafePalette)
+        img.getRaster.setDataElements(0, 0, w, h, fr)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decode: the JDK GIF reader LZW-decompresses every
+    * frame back to its palette raster; frames come back as full-canvas
+    * packed RGB (our writer emits full frames, so no disposal
+    * compositing is needed — asserted by the frame dimensions).
+    */
+  def gifParse(bytes: Array[Byte]): GifAnim = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "not a decodable image container")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, "no frames in container")
+      val first = reader.read(0)
+      val (w, h) = (first.getWidth, first.getHeight)
+      def rgbOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+        require(img.getWidth == w && img.getHeight == h,
+          s"partial frame ${img.getWidth}x${img.getHeight} in a full-frame stream")
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val i = (y * w + x) * 3
+            rgb(i) = ((p >> 16) & 0xff).toByte
+            rgb(i + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      GifAnim(w, h, rgbOf(first) +: (1 until n).map(i => rgbOf(reader.read(i))))
+    } finally { reader.dispose(); iis.close() }
   }
 }

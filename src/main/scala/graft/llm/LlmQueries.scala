@@ -2427,11 +2427,16 @@ object LlmQueries {
       FROM documents
     """.trim))
 
-  // -- m03: frame sampling — every 4th frame index per media blob with
-  //    its byte offset (the sampling half of decode/resize plumbing).
-  //    Oracle recomputes the stub's frame math via range() — Spark
-  //    sequence(0, n-1, 4) ≡ DuckDB range(0, n, 4); the long-cast of
-  //    the double division truncates, ≡ floor for positive values.
+  // -- m03: frame sampling over byte-math frame indexing — every 4th
+  //    frame index per media blob with its byte offset (the container-
+  //    agnostic sampling half: pick offsets WITHOUT decoding, the plan
+  //    a 100 TB pipeline runs to avoid touching bytes it will drop).
+  //    m10 is the companion that runs the SAME stride over frames a
+  //    real decoder (JDK GIF) actually decompresses, with per-frame
+  //    channel stats. Oracle recomputes the frame math via range() —
+  //    Spark sequence(0, n-1, 4) ≡ DuckDB range(0, n, 4); the
+  //    long-cast of the double division truncates, ≡ floor for
+  //    positive values.
   private val m03 = Q(
     "m03_frame_sample",
     (s, d) =>
@@ -2652,6 +2657,42 @@ object LlmQueries {
       FROM documents
     """.trim))
 
+  // -- m10: REAL multi-frame decode + frame sampling — m03's stride
+  //    run over frames the JDK GIF reader actually LZW-decompresses
+  //    from a real animated container (multi-frame, compressed, zero
+  //    non-JDK libraries). Fixtures are palette-indexed web-safe
+  //    rasters (6 levels/channel, value = level*51), so the GIF
+  //    round-trip is LOSSLESS by construction and the oracle
+  //    recomputes every sampled frame's channel sums exactly: the
+  //    engine must earn the numbers through a real decode — the frame
+  //    count comes from the container, and a disposal-compositing or
+  //    channel-swap bug diverges the hash. Per-row mapPartitions,
+  //    no shuffle; at 100 TB the blob column partitions by media_id
+  //    like every codec entry in the m-family.
+  private val m10 = Q(
+    "m10_gif_frames",
+    (s, d) =>
+      Multimodal
+        .gifFrameSample(s, Multimodal.gifTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id,
+                        8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+                        2 + doc_id % 4 AS nf
+                 FROM documents),
+      fr AS (SELECT media_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM p)
+      SELECT media_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(f AS BIGINT) AS frame_idx,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(51 * SUM((x.x * 3 + y.y * 5 + media_id + 7 * f) % 6) AS BIGINT) AS sum_r,
+             CAST(51 * SUM((x.x * 7 + y.y + 2 * media_id + 3 * f) % 6) AS BIGINT) AS sum_g,
+             CAST(51 * SUM((x.x + y.y * 11 + 3 * media_id + 5 * f) % 6) AS BIGINT) AS sum_b
+      FROM fr, (SELECT unnest(range(16)) AS x) x, (SELECT unnest(range(12)) AS y) y
+      WHERE x.x < w AND y.y < h
+      GROUP BY media_id, nf, f, w, h
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -2727,7 +2768,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

@@ -271,6 +271,77 @@ object Multimodal {
     })
   }
 
+  /** palette-indexed frame rasters for the animated-GIF fixtures: each
+    * pixel's web-safe level triple is an integer formula of (x, y,
+    * media_id, frame) — 6 levels per channel, value = level*51, so the
+    * GIF's 8-bit palette holds every color exactly and the LZW
+    * round-trip is lossless (the oracle recomputes the sums from the
+    * same formulas)
+    */
+  private def gifFrameIndices(id: Long): (Int, Int, Seq[Array[Byte]]) = {
+    val w = (8 + id % 8).toInt
+    val h = (6 + id % 6).toInt
+    val nf = (2 + id % 4).toInt
+    val frames = (0 until nf).map { f =>
+      val idx = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 3 + y * 5 + id + 7L * f) % 6).toInt
+          val g = ((x * 7 + y + 2 * id + 3L * f) % 6).toInt
+          val b = ((x + y * 11 + 3 * id + 5L * f) % 6).toInt
+          idx(y * w + x) = (r * 36 + g * 6 + b).toByte
+          x += 1
+        }
+        y += 1
+      }
+      idx
+    }
+    (w, h, frames)
+  }
+
+  /** real multi-frame animated GIF blobs (JDK encoder) */
+  def gifTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h, frames) = gifFrameIndices(id)
+      MediaRow(id, "video", MediaCodecs.gifWrite(w, h, frames))
+    })
+  }
+
+  case class GifFrameFeatures(
+      media_id: Long, n_frames: Long, frame_idx: Long,
+      width: Long, height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL frame sampling over REAL decoded frames — m03's stride
+    * applied to frames the JDK GIF reader actually LZW-decodes, with
+    * per-frame channel stats the oracle recomputes exactly (the
+    * palette-lossless argument). The frame COUNT is read from the
+    * container, not derived from byte math; a decoder that miscounts
+    * frames, composites disposal wrong, or swaps a channel fails the
+    * hash gate.
+    */
+  def gifFrameSample(
+      spark: SparkSession, media: Dataset[MediaRow], stride: Int = 2): Dataset[GifFrameFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val anim = MediaCodecs.gifParse(r.bytes)
+      val nf = anim.frames.length
+      (0 until nf by stride).map { fi =>
+        val rgb = anim.frames(fi)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < rgb.length) {
+          sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+          i += 3
+        }
+        GifFrameFeatures(r.media_id, nf.toLong, fi.toLong,
+          anim.w.toLong, anim.h.toLong, sr, sg, sb)
+      }
+    })
+  }
+
   /** SMOOTH raster for the lossy-codec fixtures: linear channel planes
     * with no mod-256 wrap (max value 157 at the corner), because JPEG
     * error concentrates at high-frequency edges — a gradient keeps the

@@ -211,6 +211,31 @@ class CodecSpec extends AnyFunSuite {
       ppmParse("P6\n1 1\n65535\n??????".getBytes("US-ASCII")))
   }
 
+  test("animated GIF writes a real multi-frame container and round-trips losslessly") {
+    import graft.functions.MediaCodecs._
+    val w = 9; val h = 7
+    // three frames of web-safe palette indices (0..215)
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(w * h)(i => ((i * 13 + f * 41) % 216).toByte)
+    }
+    val bytes = gifWrite(w, h, frames)
+    // wire-format pin: a real GIF89a container, not a raster dump
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a")
+    val anim = gifParse(bytes)
+    assert(anim.w == w && anim.h == h && anim.frames.length == 3,
+      s"decoded ${anim.frames.length} frames at ${anim.w}x${anim.h}")
+    // losslessness: each decoded RGB value is the palette entry exactly
+    for ((idx, rgb) <- frames.zip(anim.frames); i <- 0 until w * h) {
+      val v = idx(i) & 0xff
+      assert((rgb(i * 3) & 0xff) == (v / 36) * 51)
+      assert((rgb(i * 3 + 1) & 0xff) == ((v / 6) % 6) * 51)
+      assert((rgb(i * 3 + 2) & 0xff) == (v % 6) * 51)
+    }
+    // a single frame still decodes (n_frames read from the container)
+    assert(gifParse(gifWrite(4, 3, frames.take(1).map(_.take(12)))).frames.length == 1)
+    intercept[Exception](gifParse(bytes.take(10))) // truncated container
+  }
+
   test("PPM nearest-neighbor resize matches a brute-force reference") {
     import graft.functions.MediaCodecs._
     check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {
