@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   * `planes` should grow ~log2(corpus) to hold band-bucket occupancy
   * constant — size it at index creation via
   * [[Similarity.adaptiveBandBits]](expected corpus); band values are
-  * persisted with the index, so widening later is a rebuild (slot it
-  * into the [[LakeCompact]] lease window, where the full index is
-  * already rewritten). The batch queries (d06/s03/d10) recompute
-  * bands per run and therefore adapt automatically.
+  * persisted with the index, so widening later is [[rebuildBands]]: a
+  * recompute of the band table from the admitted vectors inside the
+  * [[LakeCompact]] lease window, which changes FUTURE probe pruning
+  * but never a past decision (SemanticGateSpec asserts both halves).
+  * The batch queries (d06/s03/d10) recompute bands per run and
+  * therefore adapt automatically.
   */
 object SemanticGate {
 
@@ -189,6 +191,40 @@ object SemanticGate {
     vecs.select(col("vec_id")).limit(0)
       .withColumn("partner", lit(null).cast("long"))
       .withColumn("cos", lit(null).cast("double"))
+
+  /** WIDEN the persisted band signature by REBUILD: when the corpus
+    * outgrows its creation-time width (band-bucket occupancy climbs,
+    * probe cost bends super-linear — the r10 ScaleProbe lesson), the
+    * band table is recomputed from the admitted VECTORS at the new
+    * width inside the lease window, where probes and writers are
+    * already fenced out. The vector index, lake and decision log are
+    * untouched: a rebuild changes future probe pruning, never a past
+    * decision — admitted vectors stay admitted, and a duplicate of an
+    * admitted vector still collides (same vector => same signature at
+    * any width). One new `batch=rebuild-<token>` generation replaces
+    * every prior band generation; a crash mid-rebuild leaves mixed
+    * widths only INSIDE the lease window, which no probe can enter.
+    */
+  def rebuildBands(spark: SparkSession, indexDir: String, cfg: Config): Unit =
+    LakeCompact.withLeases(spark, Seq(s"$indexDir/bands", s"$indexDir/vectors")) {
+      val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+      val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(bandsRoot)) {
+        val vecs = spark.read.parquet(s"$indexDir/vectors")
+          .select("vec_id", "embedding")
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        Similarity.hyperplaneBands(vecs, cfg.planes, cfg.bandBits)
+          .withColumn("bucket",
+            NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv")))
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$indexDir/bands/batch=rebuild-$token")
+        fs.listStatus(bandsRoot).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            s.getPath.getName != s"batch=rebuild-$token")
+          .foreach(s => fs.delete(s.getPath, true): Unit)
+      }
+    }
 
   /** Four-root maintenance window, same recipe as [[NearDupGate.compact]]. */
   def compact(

@@ -108,6 +108,63 @@ class SemanticGateSpec extends AnyFunSuite {
     assert((1 until 4).forall(b => drops.contains(b * 10L + 9)), s"missed drops: $drops")
   }
 
+  test("band-width rebuild in the lease window never changes a past decision and keeps catching dups") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graft_semgate_rebuild").toString
+    val (lake, idx, dec) = (s"$b/lake", s"$b/idx", s"$b/dec")
+    val narrow = SemanticGate.Config(planes = 8, bandBits = 2)
+    val wide = SemanticGate.Config(planes = 16, bandBits = 4)
+    def batchDf(rows: Seq[(Long, Array[Double])]) =
+      rows.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding").withColumn("label", lit(0))
+
+    // build at the NARROW creation-time width: two batches so the index
+    // carries real probe history (11 drops vs 10 in-batch, 19 vs 10
+    // cross-batch)
+    val v1 = vec(800); val v2 = vec(801); val v3 = vec(802)
+    SemanticGate.step(spark, batchDf(Seq(
+      10L -> v1, 11L -> perturb(v1, 810), 12L -> v2)), "w-0", lake, idx, dec, narrow)
+    SemanticGate.step(spark, batchDf(Seq(
+      19L -> perturb(v1, 811), 13L -> v3)), "w-1", lake, idx, dec, narrow)
+    val lakeBefore = spark.read.parquet(lake).collect().map(_.toString).sorted.toSeq
+    val decBefore = spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq
+    assert(decBefore.size == 5)
+
+    // the corpus outgrew width 8x2: REBUILD the band table at 16x4
+    SemanticGate.rebuildBands(spark, idx, wide)
+
+    // past decisions and the admitted lake are byte-identical
+    assert(spark.read.parquet(lake).collect().map(_.toString).sorted.toSeq == lakeBefore)
+    assert(spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq == decBefore)
+    // exactly one band generation remains, and it is the wide-width
+    // signature of exactly the admitted vectors (rebuild ≡ recompute)
+    val gens = new java.io.File(s"$idx/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(gens.size == 1 && gens.head.startsWith("batch=rebuild-"), s"gens = $gens")
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "band", "bv").collect()
+        .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString)).toSet
+    val rebuilt = bandSet(spark.read.parquet(s"$idx/bands"))
+    val expected = bandSet(llm.Similarity.hyperplaneBands(
+      spark.read.parquet(s"$idx/vectors").select("vec_id", "embedding"),
+      wide.planes, wide.bandBits))
+    assert(rebuilt == expected, "rebuilt bands must equal a fresh wide-width recompute")
+
+    // the gate continues at the WIDE width: a dup of an admitted vector
+    // still drops against it, a fresh vector still admits
+    SemanticGate.step(spark, batchDf(Seq(
+      20L -> perturb(v2, 812), 21L -> vec(803))), "w-2", lake, idx, dec, wide)
+    val byId = spark.read.parquet(dec).collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("decision"), Option(r.getAs[java.lang.Long]("partner")))).toMap
+    assert(byId(20L) == (("drop_corpus", Some(12L))), s"20 -> ${byId(20L)}")
+    assert(byId(21L)._1 == "admit")
+    // admitted vectors stayed admitted across the width change
+    val admitted = spark.read.parquet(lake).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == Set(10L, 12L, 13L, 21L), s"admitted = $admitted")
+  }
+
   test("a mismatched indexBuckets config is refused, not silently mis-probed") {
     import spark.implicits._
     val b = Files.createTempDirectory("graft_semgate_layout").toString
