@@ -188,8 +188,14 @@ object Bench {
     // ever ran the canary this run, so factors can only be honest or
     // conservative, never flattered)
     var canary0 = (1 to 3).map(_ => canaryOnce(spark)).min
+    // each sample is min-of-2: a single canary run taken right after a
+    // heavy query reads 2x+ high on its own GC/code-cache cold state
+    // (observed in the first full r11 run: mid-sweep singles at 2.0-2.7x
+    // while the queries themselves ran at 0.86x median), and back-to-back
+    // pairs separate that self-noise from real host contention, which
+    // depresses both runs
     def canarySample(): Double = {
-      val t = canaryOnce(spark)
+      val t = math.min(canaryOnce(spark), canaryOnce(spark))
       if (t < canary0) canary0 = t
       t
     }
