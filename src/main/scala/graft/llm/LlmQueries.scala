@@ -694,6 +694,31 @@ object LlmQueries {
       """.trim
   }
 
+  /** d18's oracle: [[incrementalNearDupOracle]] with the forgotten docs
+    * (doc_id % 10 = 3) excluded from the corpus side of the candidate
+    * join — the exact image of "an index rebuilt without them". The
+    * shingle/sig CTEs stay corpus-wide because the frozen stop set (and
+    * therefore every surviving doc's encoding) is unchanged by a
+    * membership deletion.
+    */
+  private lazy val forgetNearDupOracle: String = {
+    def uh(q: String) =
+      s"CAST(concat('0x', substr(md5(CAST($q.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0"
+    s"""
+      WITH $shingleCte,
+      $sigCte,
+      bands AS (${(0 until K / R)
+        .map(b => s"SELECT doc_id, $b AS band, mh${b * R} || '_' || mh${b * R + 1} AS bv FROM sigs")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+               WHERE ${uh("a")} < 0.8 AND a.doc_id % 10 <> 3 AND ${uh("b")} >= 0.8),
+      $jaccardCtes
+      SELECT d1 AS corpus_doc, d2 AS delta_doc, jac
+      FROM (${jaccardSelect(0.8)})
+      """.trim
+  }
+
   private val d11 = Q(
     "d11_incremental_neardup",
     (s, d) => {
@@ -808,24 +833,27 @@ object LlmQueries {
     * frozen stops. One shingle explosion feeds stops, base and tail
     * (d11's cache reasoning; text is the widest intermediate).
     */
-  private[graft] def d15Build(s: SparkSession, d: String): Unit = {
+  private[graft] def d15Build(s: SparkSession, d: String): Unit =
+    d15BuildAt(s, d, d15IdxDir)
+
+  private[graft] def d15BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
     val shAll = Dedup.shingles(Tables.documents(s, d)).select("doc_id", "h64").cache()
     try {
       shAll.groupBy("h64").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxDf).select("h64")
-        .write.mode("overwrite").parquet(s"$d15IdxDir/stops")
-      val stops = s.read.parquet(s"$d15IdxDir/stops")
+        .write.mode("overwrite").parquet(s"$idxDir/stops")
+      val stops = s.read.parquet(s"$idxDir/stops")
       def encode(pred: org.apache.spark.sql.Column) = {
         val sh = shAll.filter(pred).join(broadcast(stops), Seq("h64"), "left_anti")
         (sh, Dedup.bandTable(Dedup.minhashSigs(sh, K), K, R))
       }
       val u = unitU
       val (shBase, bdBase) = encode(u < 0.8 && col("doc_id") % 10 =!= 7)
-      shBase.write.mode("overwrite").parquet(s"$d15IdxDir/shingles")
-      bdBase.write.mode("overwrite").parquet(s"$d15IdxDir/bands")
+      shBase.write.mode("overwrite").parquet(s"$idxDir/shingles")
+      bdBase.write.mode("overwrite").parquet(s"$idxDir/bands")
       val (shTail, bdTail) = encode(u < 0.8 && col("doc_id") % 10 === 7)
-      shTail.write.mode("append").parquet(s"$d15IdxDir/shingles")
-      bdTail.write.mode("append").parquet(s"$d15IdxDir/bands")
+      shTail.write.mode("append").parquet(s"$idxDir/shingles")
+      bdTail.write.mode("append").parquet(s"$idxDir/bands")
     } finally shAll.unpersist(): Unit
   }
 
@@ -834,21 +862,69 @@ object LlmQueries {
     * candidates, verify by Jaccard over standing ∪ delta shingles.
     * The corpus text outside the delta is never touched.
     */
-  private[graft] def d15Probe(s: SparkSession, d: String): DataFrame = {
-    val stops = s.read.parquet(s"$d15IdxDir/stops")
+  private[graft] def d15Probe(s: SparkSession, d: String): DataFrame =
+    d15ProbeAt(s, d, d15IdxDir)
+
+  private[graft] def d15ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
+    val stops = s.read.parquet(s"$idxDir/stops")
     val shDelta = Dedup.shingles(Tables.documents(s, d).filter(unitU >= 0.8))
       .select("doc_id", "h64")
       .join(broadcast(stops), Seq("h64"), "left_anti")
     val bdDelta = Dedup.bandTable(Dedup.minhashSigs(shDelta, K), K, R)
-    val cand = s.read.parquet(s"$d15IdxDir/bands")
+    val cand = s.read.parquet(s"$idxDir/bands")
       .select(col("band"), col("bv"), col("doc_id").as("d1"))
       .join(bdDelta.select(col("band"), col("bv"), col("doc_id").as("d2")),
         Seq("band", "bv"))
       .select("d1", "d2").distinct()
-    val sh = s.read.parquet(s"$d15IdxDir/shingles").unionByName(shDelta)
+    val sh = s.read.parquet(s"$idxDir/shingles").unionByName(shDelta)
     Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8)
       .select(col("d1").as("corpus_doc"), col("d2").as("delta_doc"), col("jac"))
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN fold on a standing lexical index: delete
+    * every row belonging to the predicate's doc_ids from the persisted
+    * shingle and band relations (staged rewrite + atomic-ish swap, run
+    * under the [[graft.streaming.LakeCompact]] lease so probes and
+    * appends are fenced for the window — the rebuildBands recipe on
+    * the MinHash family). The frozen STOP SET is deliberately NOT
+    * recomputed: stop statistics are corpus-release state like the
+    * quantizer tables, and a membership deletion must not change how
+    * the surviving docs were encoded — which is exactly what makes the
+    * post-forget search provably identical to an index rebuilt without
+    * the forgotten docs against the same stops (d18's oracle).
+    */
+  private[graft] def forgetDocs(
+      s: SparkSession, idxDir: String, pred: org.apache.spark.sql.Column): Unit =
+    graft.streaming.LakeCompact.withLease(s, idxDir) {
+      val conf = s.sparkContext.hadoopConfiguration
+      for (part <- Seq("shingles", "bands")) {
+        val cur = new org.apache.hadoop.fs.Path(s"$idxDir/$part")
+        val fs = cur.getFileSystem(conf)
+        val staged = new org.apache.hadoop.fs.Path(s"$idxDir/$part.folding")
+        s.read.parquet(cur.toString).filter(!pred)
+          .write.mode("overwrite").parquet(staged.toString)
+        fs.delete(cur, true)
+        require(fs.rename(staged, cur), s"forget fold swap failed for $part")
+      }
+    }
+
+  // -- d18: the deletion half of standing-index maintenance — build the
+  //    d15 index, FORGET a doc slice (takedown / right-to-be-forgotten,
+  //    the operation a 100 TB training-data pipeline must run without
+  //    re-encoding the world), then run the d15 search. The oracle is
+  //    the d11/d15 exact computation with the forgotten docs excluded
+  //    from the corpus side — so the entry proves forget ≡ rebuild-
+  //    without-them (stop set frozen on both sides, the encode
+  //    invariance argument in [[forgetDocs]]'s doc).
+  private val d18 = Q(
+    "d18_forget_neardup",
+    (s, d) => {
+      val idxDir = new java.io.File("target/graft_idx/d18_forget").getAbsolutePath
+      d15BuildAt(s, d, idxDir)
+      forgetDocs(s, idxDir, col("doc_id") % 10 === 3)
+      d15ProbeAt(s, d, idxDir)
+    },
+    Some(forgetNearDupOracle))
 
   private val d15 = Q(
     "d15_standing_neardup",
@@ -2768,7 +2844,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
