@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1633,43 +1633,161 @@ object LlmQueries {
     * written once, a later batch APPENDED as its own partial-aggregate
     * rows (postings + df + dl + corpus stats, merged at read).
     */
-  private[graft] def s13Build(s: SparkSession, d: String): Unit = {
+  private[graft] def s13Build(s: SparkSession, d: String): Unit =
+    s13BuildAt(s, d, s13IdxDir)
+
+  private[graft] def s13BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
+    // a (re)build OVERWRITES the index, so any standing retraction
+    // state is invalidated with it — stale tombstones from a prior
+    // corpus would silently anti-join docs the new build legitimately
+    // indexed (caught live: the sf0.1 verify read the sf0.01 run's
+    // forget generation)
+    val fr = new org.apache.hadoop.fs.Path(s"$idxDir/forgets")
+    fr.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fr, true)
     def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
       // persist the batch across its four index writes: without it
       // each write job re-runs the explode+agg (8 recomputes total
       // for the build; measured ~1.5s of the entry's time at sf0.1)
       val batch = s13Tf(s, d, col("u") < 0.95 && pred).persist()
       try {
-        batch.write.mode(mode).parquet(s"$s13IdxDir/postings")
+        batch.write.mode(mode).parquet(s"$idxDir/postings")
         // (a coalesce(1) on the small df/dl writes was tried and
         // REVERTED: it propagates up and runs the whole agg pipeline
         // on one task — AQE's post-shuffle coalescing already keeps
         // these outputs to a handful of files without serializing
         // the aggregation)
         batch.groupBy("term").agg(count(lit(1)).as("df"))
-          .write.mode(mode).parquet(s"$s13IdxDir/df")
+          .write.mode(mode).parquet(s"$idxDir/df")
         val dlB = batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        dlB.write.mode(mode).parquet(s"$s13IdxDir/dl")
+        dlB.write.mode(mode).parquet(s"$idxDir/dl")
         dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-          .write.mode(mode).parquet(s"$s13IdxDir/stats")
+          .write.mode(mode).parquet(s"$idxDir/stats")
       } finally batch.unpersist(): Unit
     }
     writeBatch(col("doc_id") % 10 =!= 7, "overwrite")
     writeBatch(col("doc_id") % 10 === 7, "append")
   }
 
+  /** complete (non-staging) forget-generation dirs under the index */
+  private def s13Forgets(s: SparkSession, idxDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$idxDir/forgets")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.endsWith(".staging"))
+      .map(_.getPath.toString)
+  }
+
+  /** Deletion on the BM25 standing index — the RETRACTION form of
+    * right-to-be-forgotten, because this index is partial AGGREGATES:
+    * df and the corpus stats carry no doc_ids, so they cannot be
+    * row-filtered the way d18 filters shingles. Instead the fold
+    * derives, from the index's own postings, (a) the tombstone doc_id
+    * set and (b) NEGATIVE df/stats partial rows — the classic
+    * mergeable-state retraction: the probe's existing SUM-merge of
+    * partials absorbs them with no read-path special case beyond the
+    * tombstone anti-join on postings/dl. All three relations land in
+    * ONE staged `forgets/<token>` generation made visible by a single
+    * atomic rename, so a crash mid-fold leaves an invisible .staging
+    * dir and a re-run (which derives its rows from postings MINUS the
+    * already-visible tombstones) is idempotent — double-forgetting the
+    * same docs retracts nothing twice.
+    */
+  private[graft] def s13Forget(
+      s: SparkSession, idxDir: String, pred: org.apache.spark.sql.Column): Unit =
+    graft.streaming.LakeCompact.withLease(s, idxDir) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(conf)
+      val prior = s13Forgets(s, idxDir)
+      val priorDeletes =
+        if (prior.isEmpty) null
+        else s.read.parquet(prior.map(_ + "/deletes"): _*)
+      var gone = s.read.parquet(s"$idxDir/postings").filter(pred)
+      if (priorDeletes != null)
+        gone = gone.join(broadcast(priorDeletes), Seq("doc_id"), "left_anti")
+      gone = gone.persist()
+      try {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val staging = s"$idxDir/forgets/$token.staging"
+        gone.groupBy("term").agg((-count(lit(1))).as("df"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/df")
+        val dlGone = gone.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        dlGone.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("s"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
+        gone.select("doc_id").distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/deletes")
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(s"$idxDir/forgets/$token")),
+          "forget generation swap failed")
+      } finally gone.unpersist(): Unit
+    }
+
+  /** COMPACT the forget generations away: physically rewrite postings
+    * and dl without the tombstoned docs, fold the base + negative
+    * df/stats partials into one consolidated generation each, then
+    * drop `forgets/`. Probe results are identical before and after
+    * (LlmSpec asserts it) — compaction trades read-side anti-joins for
+    * a one-time rewrite, the same economics as LakeCompact.
+    */
+  private[graft] def s13FoldForgets(s: SparkSession, idxDir: String): Unit =
+    graft.streaming.LakeCompact.withLease(s, idxDir) {
+      val forgets = s13Forgets(s, idxDir)
+      if (forgets.nonEmpty) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(conf)
+        val dels = s.read.parquet(forgets.map(_ + "/deletes"): _*)
+        def rewrite(part: String)(make: String => DataFrame): Unit = {
+          val staged = s"$idxDir/$part.folding"
+          make(s"$idxDir/$part").write.mode(SaveMode.Overwrite).parquet(staged)
+          val cur = new org.apache.hadoop.fs.Path(s"$idxDir/$part")
+          fs.delete(cur, true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(staged), cur),
+            s"forget compaction swap failed for $part")
+        }
+        rewrite("postings")(p =>
+          s.read.parquet(p).join(broadcast(dels), Seq("doc_id"), "left_anti"))
+        rewrite("dl")(p =>
+          s.read.parquet(p).join(broadcast(dels), Seq("doc_id"), "left_anti"))
+        rewrite("df")(p =>
+          s.read.parquet(p +: forgets.map(_ + "/df"): _*)
+            .groupBy("term").agg(sum(col("df")).as("df")).filter(col("df") > 0))
+        rewrite("stats")(p =>
+          s.read.parquet(p +: forgets.map(_ + "/stats"): _*)
+            .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/forgets"), true): Unit
+      }
+    }
+
   /** s13 PROBE: extract the query docs' top terms, merge the standing
     * partials at read, score through the bounded posting join — the
     * corpus text outside the query slice is never touched.
     */
-  private[graft] def s13Probe(s: SparkSession, d: String): DataFrame = {
+  private[graft] def s13Probe(s: SparkSession, d: String): DataFrame =
+    s13ProbeAt(s, d, s13IdxDir)
+
+  private[graft] def s13ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K1 = 1.2
     val B = 0.75
-    val postings = s.read.parquet(s"$s13IdxDir/postings")
-    val df = s.read.parquet(s"$s13IdxDir/df").groupBy("term").agg(sum(col("df")).as("df"))
-    val dl = s.read.parquet(s"$s13IdxDir/dl")
-    val st = s.read.parquet(s"$s13IdxDir/stats")
+    // forget-aware read side: tombstones anti-join the row relations
+    // (postings, dl); the aggregate relations (df, stats) fold the
+    // retraction generations' NEGATIVE partials through the SAME
+    // sum-merge the base partials already use — deletion costs the
+    // probe nothing structural
+    val forgets = s13Forgets(s, idxDir)
+    def tombstoned(p: String): DataFrame = {
+      val base = s.read.parquet(p)
+      if (forgets.isEmpty) base
+      else base.join(
+        broadcast(s.read.parquet(forgets.map(_ + "/deletes"): _*)),
+        Seq("doc_id"), "left_anti")
+    }
+    val postings = tombstoned(s"$idxDir/postings")
+    val df = s.read.parquet(s"$idxDir/df" +: forgets.map(_ + "/df"): _*)
+      .groupBy("term").agg(sum(col("df")).as("df")).filter(col("df") > 0)
+    val dl = tombstoned(s"$idxDir/dl")
+    val st = s.read.parquet(s"$idxDir/stats" +: forgets.map(_ + "/stats"): _*)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
     val nCorpus = st.getLong(0).toDouble
     val sumDl = st.getLong(1).toDouble
@@ -1696,6 +1814,27 @@ object LlmQueries {
       .select(col("query_doc"), col("corpus_doc"),
         col("sdec").cast(DoubleType).as("score"), col("rank").cast(LongType).as("rank"))
   }
+
+  // -- s22: deletion on the BM25 standing index — d18's right-to-be-
+  //    forgotten run against partial-AGGREGATE state, where row
+  //    filtering is impossible (df/stats carry no doc_ids) and the
+  //    honest mechanism is tombstones + negative retraction partials
+  //    folded through the probe's existing sum-merge. Build the s13
+  //    index, forget a doc slice, search — the oracle recomputes BM25
+  //    over the corpus WITHOUT the forgotten docs (df, doc-length
+  //    norms and the corpus stats all shift), so the entry proves the
+  //    retraction algebra exact, not just "the docs disappeared".
+  private val s22 = Q(
+    "s22_bm25_forget",
+    (s, d) => {
+      val idxDir = new java.io.File("target/graft_idx/s22_bm25_forget").getAbsolutePath
+      s13BuildAt(s, d, idxDir)
+      s13Forget(s, idxDir, col("doc_id") % 10 === 3)
+      s13ProbeAt(s, d, idxDir)
+    },
+    Some(bm25Oracle.replace(
+      "ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95)",
+      "ctf AS (SELECT doc_id, term, tf FROM tfc WHERE u < 0.95 AND doc_id % 10 <> 3)")))
 
   // -- s14: HYBRID retrieval — BM25 lexical ranking fused with dense
   //    cosine ranking by reciprocal-rank fusion (RRF, k=60), the shape
@@ -2844,7 +2983,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
