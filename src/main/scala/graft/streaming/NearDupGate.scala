@@ -309,6 +309,29 @@ object NearDupGate {
     }
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the gate's admitted state: remove the
+    * predicate's doc_ids from the lake and BOTH signature-index tables
+    * under one lease window (the d18/s22 fold run against the gate's
+    * batch-scoped, bucket-partitioned layout — each root is row-shaped,
+    * so a filtered rewrite preserving the batch/bucket partition
+    * columns is exact). The DECISION LOG is deliberately untouched:
+    * it is the audit record of what was decided, and a takedown
+    * concerns the content (lake) and its searchable signatures
+    * (index), not the audit trail. After a forget, an identical future
+    * arrival finds no colliding signature and is admitted afresh
+    * (NearDupGateSpec asserts it), while dups of surviving docs keep
+    * dropping.
+    */
+  def forget(
+      spark: SparkSession,
+      lakeDir: String,
+      indexDir: String,
+      pred: org.apache.spark.sql.Column): Unit =
+    GateForget.fold(spark, pred, Seq(
+      (lakeDir, None),
+      (s"$indexDir/shingles", Some("bucket")),
+      (s"$indexDir/bands", Some("bucket"))))
+
   /** Streaming entry point: JSON drop dir in, near-dup-gated lake out,
     * checkpointed resume. Same source contract as [[DocIngest.start]].
     */

@@ -226,6 +226,23 @@ object SemanticGate {
       }
     }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the gate's admitted state — the
+    * [[NearDupGate.forget]] contract on the vector family: the
+    * predicate's vec_ids leave the lake, the vector index and the band
+    * index under one lease window; the decision log stays as the audit
+    * record. An identical vector arriving later finds no colliding
+    * signature and is admitted afresh (SemanticGateSpec asserts it).
+    */
+  def forget(
+      spark: SparkSession,
+      lakeDir: String,
+      indexDir: String,
+      pred: org.apache.spark.sql.Column): Unit =
+    GateForget.fold(spark, pred, Seq(
+      (lakeDir, None),
+      (s"$indexDir/vectors", Some("bucket")),
+      (s"$indexDir/bands", Some("bucket"))))
+
   /** Four-root maintenance window, same recipe as [[NearDupGate.compact]]. */
   def compact(
       spark: SparkSession,

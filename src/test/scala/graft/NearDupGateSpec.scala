@@ -296,4 +296,36 @@ class NearDupGateSpec extends AnyFunSuite {
     assert(scanned(pr) > 0 && scanned(pr) < scanned(full),
       "probe no longer pruned after compaction")
   }
+
+  test("forget evicts a doc from lake + index: a copy re-admits, other dups still drop, audit intact") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graft_ndg_forget").toString
+    val (lake, idx, dec) = (s"$b/lake", s"$b/idx", s"$b/dec")
+    def batchDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+    val t1 = text(301); val t2 = text(302)
+    NearDupGate.step(spark, batchDf(Seq(1L -> t1, 2L -> t2)), "f1", lake, idx, dec)
+    // takedown of doc 1
+    NearDupGate.forget(spark, lake, idx, col("doc_id") === 1L)
+    val lakeIds = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lakeIds == Set(2L), s"lake after forget = $lakeIds")
+    assert(spark.read.parquet(s"$idx/shingles").filter(col("doc_id") === 1L).count() == 0)
+    assert(spark.read.parquet(s"$idx/bands").filter(col("doc_id") === 1L).count() == 0)
+    // the audit record of the original decision survives the takedown
+    assert(spark.read.parquet(dec).filter(col("doc_id") === 1L).count() == 1)
+
+    // an identical copy of the FORGOTTEN content is admitted afresh;
+    // a near-dup of the SURVIVING doc still drops
+    NearDupGate.step(spark, batchDf(Seq(10L -> t1, 11L -> mutate(t2))), "f2", lake, idx, dec)
+    val byId = spark.read.parquet(dec).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(byId(10L) == "admit", s"copy of forgotten content must re-admit, got ${byId(10L)}")
+    assert(byId(11L) == "drop_corpus", s"dup of surviving doc must still drop, got ${byId(11L)}")
+    // and the bucket layout survived: the gate keeps stepping + probing
+    NearDupGate.step(spark, batchDf(Seq(20L -> mutate(t1))), "f3", lake, idx, dec)
+    val d20 = spark.read.parquet(dec).filter(col("doc_id") === 20L)
+      .select("decision").head().getString(0)
+    assert(d20 == "drop_corpus", s"dup of re-admitted content must drop, got $d20")
+  }
 }

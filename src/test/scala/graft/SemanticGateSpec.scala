@@ -165,6 +165,27 @@ class SemanticGateSpec extends AnyFunSuite {
     assert(admitted == Set(10L, 12L, 13L, 21L), s"admitted = $admitted")
   }
 
+  test("forget evicts a vector from lake + index: a copy re-admits, other dups still drop") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graft_semgate_forget").toString
+    val (lake, idx, dec) = (s"$b/lake", s"$b/idx", s"$b/dec")
+    def batchDf(rows: Seq[(Long, Array[Double])]) =
+      rows.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val v1 = vec(900); val v2 = vec(901)
+    SemanticGate.step(spark, batchDf(Seq(1L -> v1, 2L -> v2)), "g1", lake, idx, dec)
+    SemanticGate.forget(spark, lake, idx, col("vec_id") === 1L)
+    assert(spark.read.parquet(lake).select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(spark.read.parquet(s"$idx/vectors").filter(col("vec_id") === 1L).count() == 0)
+    assert(spark.read.parquet(s"$idx/bands").filter(col("vec_id") === 1L).count() == 0)
+    SemanticGate.step(spark,
+      batchDf(Seq(10L -> v1, 11L -> perturb(v2, 902))), "g2", lake, idx, dec)
+    val byId = spark.read.parquet(dec).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("decision")).toMap
+    assert(byId(10L) == "admit", s"copy of forgotten vector must re-admit, got ${byId(10L)}")
+    assert(byId(11L) == "drop_corpus", s"dup of surviving vector must still drop, got ${byId(11L)}")
+  }
+
   test("a mismatched indexBuckets config is refused, not silently mis-probed") {
     import spark.implicits._
     val b = Files.createTempDirectory("graft_semgate_layout").toString
