@@ -895,9 +895,23 @@ object LlmQueries {
     */
   private[graft] def forgetDocs(
       s: SparkSession, idxDir: String, pred: org.apache.spark.sql.Column): Unit =
+    forgetRows(s, idxDir, Seq("shingles", "bands"), pred)
+
+  /** the generic row-filter forget fold: any standing index whose
+    * relations are row-shaped (one row belongs to one id) deletes by
+    * filtered rewrite — d15's shingle/band tables, s10's
+    * (vec_id, cid, pq) posting rows, s19's code rows. The frozen
+    * derived tables (stop set, quantizer centroids, codebooks) are
+    * untouched by the same encode-invariance argument throughout;
+    * aggregate-shaped state (s13's df/stats) instead needs the
+    * [[s13Forget]] retraction form.
+    */
+  private[graft] def forgetRows(
+      s: SparkSession, idxDir: String, parts: Seq[String],
+      pred: org.apache.spark.sql.Column): Unit =
     graft.streaming.LakeCompact.withLease(s, idxDir) {
       val conf = s.sparkContext.hadoopConfiguration
-      for (part <- Seq("shingles", "bands")) {
+      for (part <- parts) {
         val cur = new org.apache.hadoop.fs.Path(s"$idxDir/$part")
         val fs = cur.getFileSystem(conf)
         val staged = new org.apache.hadoop.fs.Path(s"$idxDir/$part.folding")

@@ -767,6 +767,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty || exact.isEmpty, "exact contamination exists but fuzzy found nothing")
   }
 
+  test("s10: row-filter forget on the IVF-PQ index ≡ rebuild without the vectors") {
+    import graft.llm.{LlmQueries, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.sampledCentroids(emb, 16)
+    val books = Similarity.sampledCodebooks(emb)
+    val idx = s"${java.nio.file.Files.createTempDirectory("graft_s10_forget")}/idx"
+    Similarity.ivfPqIndexRows(emb, cents, books)
+      .write.mode("overwrite").parquet(s"$idx/rows")
+    def search(rows: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKStanding(emb, rows, cents, books, 0L, 10, 4, 50)
+        .collect().map(_.toString).toSeq
+    val before = search(spark.read.parquet(s"$idx/rows"))
+
+    val gone = col("vec_id") % 5 === 1
+    LlmQueries.forgetRows(spark, idx, Seq("rows"), gone)
+    val after = search(spark.read.parquet(s"$idx/rows"))
+    assert(after != before, "forget changed nothing — vacuous fixture")
+    // ground truth: the index rows rebuilt over the surviving vectors
+    // against the SAME frozen quantizer tables (per-row assignment =>
+    // filter ≡ rebuild)
+    val rebuilt = search(Similarity.ivfPqIndexRows(emb.filter(!gone), cents, books))
+    assert(after == rebuilt, "row-filter forget must equal a rebuild without the vectors")
+    // and no forgotten vector survives in the answer
+    assert(spark.read.parquet(s"$idx/rows").filter(gone).count() == 0)
+  }
+
   test("s22: BM25 forget — tombstone reads ≡ compaction ≡ rebuild without the docs; double-forget is a no-op") {
     import graft.llm.LlmQueries
     val base = java.nio.file.Files.createTempDirectory("graft_s13_forget").toString
