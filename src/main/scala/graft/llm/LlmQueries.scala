@@ -837,6 +837,12 @@ object LlmQueries {
     d15BuildAt(s, d, d15IdxDir)
 
   private[graft] def d15BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
+    // a (re)build supersedes any crashed fold's staged/retired state —
+    // rolling a stale fold forward over fresh relations would corrupt
+    // them (the cross-run poisoning mode documented on s13BuildAt)
+    val root = new org.apache.hadoop.fs.Path(idxDir)
+    graft.streaming.FoldCommit.clearResidue(
+      root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
     val shAll = Dedup.shingles(Tables.documents(s, d)).select("doc_id", "h64").cache()
     try {
       shAll.groupBy("h64").agg(count(lit(1)).as("df"))
@@ -904,22 +910,24 @@ object LlmQueries {
     * derived tables (stop set, quantizer centroids, codebooks) are
     * untouched by the same encode-invariance argument throughout;
     * aggregate-shaped state (s13's df/stats) instead needs the
-    * [[s13Forget]] retraction form.
+    * [[s13Forget]] retraction form. Each relation swap goes through
+    * [[graft.streaming.FoldCommit]] (stage → marker → displace →
+    * publish → retire), so a crash at any point heals on the next
+    * maintenance entry instead of stranding the relation — and a
+    * re-entered fold over a healed (already-folded) image is a no-op,
+    * because the filtered rewrite is idempotent.
     */
   private[graft] def forgetRows(
       s: SparkSession, idxDir: String, parts: Seq[String],
       pred: org.apache.spark.sql.Column): Unit =
     graft.streaming.LakeCompact.withLease(s, idxDir) {
-      val conf = s.sparkContext.hadoopConfiguration
-      for (part <- parts) {
-        val cur = new org.apache.hadoop.fs.Path(s"$idxDir/$part")
-        val fs = cur.getFileSystem(conf)
-        val staged = new org.apache.hadoop.fs.Path(s"$idxDir/$part.folding")
-        s.read.parquet(cur.toString).filter(!pred)
-          .write.mode("overwrite").parquet(staged.toString)
-        fs.delete(cur, true)
-        require(fs.rename(staged, cur), s"forget fold swap failed for $part")
-      }
+      val root = new org.apache.hadoop.fs.Path(idxDir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (part <- parts)
+        graft.streaming.FoldCommit.publish(fs, root, part, Nil) { staging =>
+          s.read.parquet(s"$idxDir/$part").filter(!pred)
+            .write.mode("overwrite").parquet(staging)
+        }
     }
 
   // -- d18: the deletion half of standing-index maintenance — build the
@@ -1276,6 +1284,9 @@ object LlmQueries {
     * (append ≡ rebuild because both assignments are per-row).
     */
   private[graft] def s10Build(s: SparkSession, d: String): Unit = {
+    val s10Root = new org.apache.hadoop.fs.Path(s10IdxDir)
+    graft.streaming.FoldCommit.clearResidue(
+      s10Root.getFileSystem(s.sparkContext.hadoopConfiguration), s10Root)
     val emb = Tables.embeddings(s, d)
     Similarity.sampledCentroids(emb, 16)
       .write.mode("overwrite").parquet(s"$s10IdxDir/cents")
@@ -1657,7 +1668,11 @@ object LlmQueries {
     // indexed (caught live: the sf0.1 verify read the sf0.01 run's
     // forget generation)
     val fr = new org.apache.hadoop.fs.Path(s"$idxDir/forgets")
-    fr.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fr, true)
+    val fs = fr.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(fr, true)
+    // and any crashed fold's staged/retired residue at the index root
+    graft.streaming.FoldCommit.clearResidue(
+      fs, new org.apache.hadoop.fs.Path(idxDir))
     def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
       // persist the batch across its four index writes: without it
       // each write job re-runs the explode+agg (8 recomputes total
@@ -1701,9 +1716,10 @@ object LlmQueries {
     * mergeable-state retraction: the probe's existing SUM-merge of
     * partials absorbs them with no read-path special case beyond the
     * tombstone anti-join on postings/dl. All three relations land in
-    * ONE staged `forgets/<token>` generation made visible by a single
-    * atomic rename, so a crash mid-fold leaves an invisible .staging
-    * dir and a re-run (which derives its rows from postings MINUS the
+    * ONE staged `forgets/<token>` generation published atomically
+    * through [[graft.streaming.FoldCommit]], so a crash mid-fold
+    * leaves an invisible staging dir the next entry heals, and a
+    * re-run (which derives its rows from postings MINUS the
     * already-visible tombstones) is idempotent — double-forgetting the
     * same docs retracts nothing twice.
     */
@@ -1711,7 +1727,12 @@ object LlmQueries {
       s: SparkSession, idxDir: String, pred: org.apache.spark.sql.Column): Unit =
     graft.streaming.LakeCompact.withLease(s, idxDir) {
       val conf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(conf)
+      val root = new org.apache.hadoop.fs.Path(s"$idxDir/forgets")
+      val fs = root.getFileSystem(conf)
+      // heal BEFORE reading the prior tombstones: a crashed-but-committed
+      // generation must become visible first, or this fold would derive
+      // `gone` without its deletes and retract those docs a second time
+      graft.streaming.FoldCommit.heal(fs, root)
       val prior = s13Forgets(s, idxDir)
       val priorDeletes =
         if (prior.isEmpty) null
@@ -1722,18 +1743,15 @@ object LlmQueries {
       gone = gone.persist()
       try {
         val token = java.util.UUID.randomUUID().toString.take(8)
-        val staging = s"$idxDir/forgets/$token.staging"
-        gone.groupBy("term").agg((-count(lit(1))).as("df"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/df")
-        val dlGone = gone.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        dlGone.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("s"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
-        gone.select("doc_id").distinct()
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/deletes")
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(staging),
-          new org.apache.hadoop.fs.Path(s"$idxDir/forgets/$token")),
-          "forget generation swap failed")
+        graft.streaming.FoldCommit.publish(fs, root, token, Nil) { staging =>
+          gone.groupBy("term").agg((-count(lit(1))).as("df"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/df")
+          val dlGone = gone.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          dlGone.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("s"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
+          gone.select("doc_id").distinct()
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/deletes")
+        }
       } finally gone.unpersist(): Unit
     }
 
@@ -1746,30 +1764,37 @@ object LlmQueries {
     */
   private[graft] def s13FoldForgets(s: SparkSession, idxDir: String): Unit =
     graft.streaming.LakeCompact.withLease(s, idxDir) {
+      val root = new org.apache.hadoop.fs.Path(idxDir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.streaming.FoldCommit.heal(fs, root)
       val forgets = s13Forgets(s, idxDir)
       if (forgets.nonEmpty) {
-        val conf = s.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(conf)
         val dels = s.read.parquet(forgets.map(_ + "/deletes"): _*)
-        def rewrite(part: String)(make: String => DataFrame): Unit = {
-          val staged = s"$idxDir/$part.folding"
-          make(s"$idxDir/$part").write.mode(SaveMode.Overwrite).parquet(staged)
-          val cur = new org.apache.hadoop.fs.Path(s"$idxDir/$part")
-          fs.delete(cur, true)
-          require(fs.rename(new org.apache.hadoop.fs.Path(staged), cur),
-            s"forget compaction swap failed for $part")
-        }
+        def rewrite(part: String, retires: Seq[String] = Nil)(
+            make: String => DataFrame): Unit =
+          graft.streaming.FoldCommit.publish(fs, root, part, retires) { staging =>
+            make(s"$idxDir/$part").write.mode(SaveMode.Overwrite).parquet(staging)
+          }
+        // every step is IDEMPOTENT so a crash anywhere just re-runs:
+        // postings/dl are anti-join rewrites (a second pass filters
+        // nothing new), and df/stats are RECOMPUTED from the surviving
+        // postings/dl rather than merged with the negative partials —
+        // merging would double-subtract if a crash landed between the
+        // df swap and the forgets/ delete. Exactness is free: df is an
+        // integer row count per term, stats an integer count/sum.
         rewrite("postings")(p =>
           s.read.parquet(p).join(broadcast(dels), Seq("doc_id"), "left_anti"))
         rewrite("dl")(p =>
           s.read.parquet(p).join(broadcast(dels), Seq("doc_id"), "left_anti"))
-        rewrite("df")(p =>
-          s.read.parquet(p +: forgets.map(_ + "/df"): _*)
-            .groupBy("term").agg(sum(col("df")).as("df")).filter(col("df") > 0))
-        rewrite("stats")(p =>
-          s.read.parquet(p +: forgets.map(_ + "/stats"): _*)
-            .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/forgets"), true): Unit
+        rewrite("df")(_ =>
+          s.read.parquet(s"$idxDir/postings")
+            .groupBy("term").agg(count(lit(1)).as("df")))
+        // the LAST publication retires forgets/ through its marker, so
+        // the tombstone generations die only once everything above is
+        // visible — and heal finishes the delete if a crash interrupts
+        rewrite("stats", retires = Seq("forgets"))(_ =>
+          s.read.parquet(s"$idxDir/dl")
+            .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")))
       }
     }
 
