@@ -34,7 +34,19 @@ import org.apache.spark.sql.types.LongType
   */
 object SampleGate {
 
-  final case class Config(n: Int = 100, autoFoldGenerations: Int = 64)
+  /** `reserve`: RUNNER-UP candidates kept per generation beyond the
+    * top-n (default -1 = n, i.e. each generation persists its top-2n).
+    * The reserve is what makes [[forget]] exact: a forgotten winner's
+    * replacement must come from its own batch's discarded tail, which
+    * only exists if the generation kept it. The budget is global and
+    * monotone — every forget burns `max per-generation evictions`
+    * slots, tracked in a `_reserve` marker — and when it is exhausted
+    * [[forget]] refuses rather than silently shrinking the sample.
+    */
+  final case class Config(
+      n: Int = 100, autoFoldGenerations: Int = 64, reserve: Int = -1) {
+    def effectiveReserve: Int = if (reserve < 0) n else reserve
+  }
 
   /** the p11 key: round(pow(u, 1/n_chars), 6) with the p01 unit hash */
   private def key =
@@ -58,8 +70,9 @@ object SampleGate {
         length(col("text")).cast(LongType).as("n_chars"))
       .withColumn("key", key)
       .orderBy(col("key").desc, col("doc_id").asc)
-      .limit(cfg.n)
+      .limit(cfg.n + cfg.effectiveReserve)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/batch=$batchTag")
+    initReserve(spark, stateDir, cfg)
     if (cfg.autoFoldGenerations > 0) {
       val p = new org.apache.hadoop.fs.Path(stateDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,6 +100,75 @@ object SampleGate {
       .limit(cfg.n)
     val w = Window.orderBy(col("key").desc, col("doc_id").asc)
     pool.withColumn("rank", row_number().over(w).cast(LongType))
+  }
+
+  // -- right-to-be-forgotten ------------------------------------------
+
+  private def reservePath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/_reserve")
+
+  /** record the remaining forget budget once, when the state is born
+    * (create-if-absent: a replayed first batch must not reset a budget
+    * a forget already burned)
+    */
+  private def initReserve(spark: SparkSession, stateDir: String, cfg: Config): Unit = {
+    val p = reservePath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"${cfg.effectiveReserve}\n".getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => () /* racing writer won */ }
+  }
+
+  private def readReserve(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, cfg: Config): Long = {
+    val p = reservePath(stateDir)
+    if (!fs.exists(p)) cfg.effectiveReserve.toLong
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN on the standing sample, EXACT while the
+    * reserve lasts: consolidate the generations with the predicate's
+    * rows removed (the [[GateForget]] fold — sample state is row-shaped
+    * throughout). Exactness argument: [[sample]] is the global top-n
+    * over the union of per-generation candidate lists, and a
+    * post-forget global top-n doc must rank within top-(n + evicted
+    * from its generation) of its own batch — so as long as the
+    * cumulative per-generation evictions stay within the persisted
+    * reserve, the discarded runner-up a forgotten winner re-elects is
+    * still in the pool. The budget burns CONSERVATIVELY (the max
+    * evictions in any one generation, debited before the fold so a
+    * crash never over-permits) and [[forget]] refuses once it is gone:
+    * the honest fallback is re-deriving the sample from the lake (p11
+    * over the surviving corpus), not silently returning a sample
+    * smaller than n.
+    */
+  def forget(
+      spark: SparkSession,
+      stateDir: String,
+      pred: org.apache.spark.sql.Column,
+      cfg: Config = Config()): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val worst = spark.read.parquet(stateDir).filter(pred)
+      .groupBy("batch").count().agg(max("count")).head()
+    val k = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    if (k == 0) return
+    val remaining = readReserve(fs, stateDir, cfg)
+    require(k <= remaining,
+      s"sample reserve exhausted: this forget evicts up to $k candidates " +
+        s"from one generation but only $remaining reserve slots remain — " +
+        "re-derive the sample from the lake (p11 over the surviving corpus)")
+    val out = fs.create(reservePath(stateDir), true)
+    try out.write(s"${remaining - k}\n".getBytes("UTF-8")) finally out.close()
+    GateForget.fold(spark, pred, Seq((stateDir, None)))
   }
 
   /** Generation fold under the shared lease window. */

@@ -164,6 +164,84 @@ object TrendingTopK {
   def compact(spark: SparkSession, stateDir: String): Unit =
     LakeCompact.foldGenerations(spark, stateDir)
 
+  /** RIGHT-TO-BE-FORGOTTEN on sketch state — the REBUILD form, because
+    * approx_top_k state is a lossy aggregate with no retraction:
+    * a frequent-items sketch cannot subtract an item's contribution,
+    * and negative partials do not exist for it (contrast s22's BM25
+    * retraction, exact only because that state is linear sums; and the
+    * row-shaped gates, where a filtered rewrite is exact). So deletion
+    * here re-accumulates ONE consolidated generation from the surviving
+    * source and publishes it crash-atomically over every old generation
+    * ([[FoldCommit]]), then purges the items from the snapshot HISTORY
+    * (row-shaped → filtered rewrite, relative order preserved, original
+    * mtimes restored so [[current]]'s newest-snapshot resolution is
+    * untouched). Cost ∝ surviving source size — inherent to sketches,
+    * which is exactly why the linear/row-shaped surfaces get cheaper
+    * folds. Runs under the same lease window as compaction; a crash
+    * mid-history-purge re-runs idempotently (forgetting an absent item
+    * rewrites nothing).
+    */
+  def forget(
+      spark: SparkSession,
+      srcDir: String,
+      stateDir: String,
+      outDir: String,
+      items: Seq[String],
+      cfg: Config = Config(),
+      schema: StructType = StructType(Seq(StructField("item", StringType)))): Unit =
+    LakeCompact.withLeases(spark, Seq(stateDir, outDir)) {
+      import org.apache.spark.sql.functions._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = sp.getFileSystem(conf)
+      if (fs.exists(sp)) {
+        FoldCommit.heal(fs, sp)
+        checkCapacity(spark, stateDir, cfg.capacity)
+        val gens = fs.listStatus(sp).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName)
+        if (gens.nonEmpty) {
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          FoldCommit.publish(fs, sp, s"batch=forget-$token", gens) { staging =>
+            spark.read.schema(schema).json(srcDir)
+              .filter(!col(cfg.itemCol).isin(items: _*))
+              .selectExpr(
+                s"approx_top_k_accumulate(${cfg.itemCol}, ${cfg.capacity}) AS st")
+              .write.mode(SaveMode.Overwrite).parquet(staging)
+          }
+        }
+      }
+      val op = new org.apache.hadoop.fs.Path(outDir)
+      val ofs = op.getFileSystem(conf)
+      if (ofs.exists(op)) {
+        FoldCommit.heal(ofs, op)
+        // rewrite the history oldest-first and restore each snapshot's
+        // original mtime, so the (mtime, name) order current() resolves
+        // "newest" with survives the purge
+        val snaps = ofs.listStatus(op)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .sortBy(s => (s.getModificationTime, s.getPath.getName))
+        for (snap <- snaps) {
+          val name = snap.getPath.getName
+          val dirty = !spark.read.parquet(snap.getPath.toString)
+            .filter(col("item").isin(items: _*)).isEmpty
+          if (dirty) {
+            FoldCommit.publish(ofs, op, name, Nil) { staging =>
+              import org.apache.spark.sql.expressions.Window
+              spark.read.parquet(snap.getPath.toString)
+                .filter(!col("item").isin(items: _*))
+                .withColumn("rank", row_number()
+                  .over(Window.orderBy(col("rank").asc)).cast("bigint"))
+                .select("rank", "item", "est_count")
+                .write.mode(SaveMode.Overwrite).parquet(staging)
+            }
+            ofs.setTimes(new org.apache.hadoop.fs.Path(op, name),
+              snap.getModificationTime, -1)
+          }
+        }
+      }
+    }
+
   /** Streaming entry point: JSON drop dir in, per-batch ranking
     * snapshots out. Same checkpoint-lineage token recipe as
     * [[NearDupGate.start]] so replays rewrite their own generations.

@@ -51,14 +51,72 @@ class SampleGateSpec extends AnyFunSuite {
     assertEqualsBatch("after folding generations")
   }
 
-  test("per-generation state is O(n): each batch lands at most n candidate rows") {
+  test("per-generation state is O(n): each batch lands at most n + reserve candidate rows") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sample_n").toString
     val state = s"$base/state"
     val big = (0 until 500).map(i =>
       (5000L + i, ("w " * (10 + i % 50)).trim, "en", "t"))
       .toDF("doc_id", "text", "lang", "source")
+    // default reserve = n, so a generation persists its batch top-2n
     SampleGate.step(spark, big, "n-0", state, SampleGate.Config(n = 25))
-    assert(spark.read.parquet(s"$state/batch=n-0").count() == 25)
+    assert(spark.read.parquet(s"$state/batch=n-0").count() == 50)
+    SampleGate.step(spark, big, "n-1", state,
+      SampleGate.Config(n = 25, reserve = 5))
+    assert(spark.read.parquet(s"$state/batch=n-1").count() == 30)
+  }
+
+  test("forget re-elects the discarded runner-up exactly, and refuses past the reserve") {
+    val base = Files.createTempDirectory("graft_sample_forget").toString
+    val state = s"$base/state"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang", "source")
+    val cfg = SampleGate.Config(n = 50, reserve = 8)
+    SampleGate.step(spark, docs.filter(col("doc_id") % 2 === 0), "f-0", state, cfg)
+    SampleGate.step(spark, docs.filter(col("doc_id") % 2 === 1), "f-1", state, cfg)
+
+    // forget the top 3 WINNERS — the worst case the old top-n-only state
+    // could not re-elect (their replacements were discarded at ingest)
+    val winners = SampleGate.sample(spark, state, cfg)
+      .orderBy(col("rank")).limit(3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    SampleGate.forget(spark, state, col("doc_id").isin(winners: _*), cfg)
+
+    // ground truth: the batch p11 sampler over the surviving corpus
+    // (same key formula, computed independently of the gate's state)
+    import org.apache.spark.sql.expressions.Window
+    val key = round(pow(
+      graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast("string")) /
+        lit(1152921504606846976.0),
+      lit(1.0) / col("n_chars")), 6)
+    val expected = docs.filter(!col("doc_id").isin(winners: _*))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("key", key)
+      .orderBy(col("key").desc, col("doc_id").asc).limit(cfg.n)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("key").desc, col("doc_id").asc)).cast("long"))
+    val got = SampleGate.sample(spark, state, cfg)
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "post-forget sample != batch sampler over the surviving corpus")
+    assert(got.count() == cfg.n, "forget shrank the sample")
+
+    // the budget burned the worst per-generation eviction count (2 or 3
+    // of 8, depending on how the winners split across the two
+    // generations — and the first fold consolidated the state to ONE
+    // generation, so this forget's evictions all count against it):
+    // evicting 8 more exceeds any possible remainder and must REFUSE,
+    // not silently under-fill the sample
+    val eightMore = SampleGate.sample(spark, state, cfg)
+      .orderBy(col("rank")).limit(8)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val refused = intercept[IllegalArgumentException] {
+      SampleGate.forget(spark, state, col("doc_id").isin(eightMore: _*), cfg)
+    }
+    assert(refused.getMessage.contains("reserve exhausted"))
+    // and the refused fold changed nothing
+    val after = SampleGate.sample(spark, state, cfg)
+    assert(after.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(after).count() == 0)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import graft.streaming.{LakeCompact, TrendingTopK}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming mergeable top-k: exactness below capacity, replay
@@ -115,6 +116,59 @@ class TrendingSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("item"), r.getAs[Long]("est_count"))).toMap
     val expect = (0 until 5).map(i => s"item$i" -> ((i + 1) * 10 * 7).toLong).toMap
     assert(got == expect, "retention corrupted the newest snapshot")
+  }
+
+  test("forget rebuilds the sketch from the surviving source and purges the snapshot history") {
+    val (state, out) = dirs()
+    val src = Files.createTempDirectory("graft_trend_src").toString
+    val cfg = TrendingTopK.Config(k = 5, capacity = 64)
+    batchDf(1).write.mode("append").json(src)
+    TrendingTopK.step(spark, batchDf(1), "b0", state, out, cfg)
+    batchDf(2).write.mode("append").json(src)
+    TrendingTopK.step(spark, batchDf(2), "b1", state, out, cfg)
+
+    // forget the DOMINANT item: a sketch cannot retract, so this must
+    // rebuild the state from the surviving source
+    TrendingTopK.forget(spark, src, state, out, Seq("item4"), cfg)
+
+    def mergedEstimate(): Map[String, Long] =
+      spark.read.parquet(state).filter("st IS NOT NULL")
+        .selectExpr("approx_top_k_estimate(approx_top_k_combine(st, 64), 5) AS top")
+        .selectExpr("explode(top) AS t")
+        .selectExpr("t.item AS item", "CAST(t.count AS BIGINT) AS c")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the item is gone from the STATE itself (not just suppressed), and
+    // below capacity the rebuilt sketch is exact for the survivors
+    val est = mergedEstimate()
+    assert(!est.contains("item4"), "forgotten item still in the sketch state")
+    assert(est == (0 until 4).map(i => s"item$i" -> ((i + 1) * 10 * 3).toLong).toMap)
+
+    // the snapshot HISTORY is purged: no snapshot mentions the item, and
+    // each re-ranks its survivors 1..k-1 in the original relative order
+    for (snap <- Seq("b0", "b1")) {
+      val r = spark.read.parquet(s"$out/batch=$snap")
+        .orderBy(col("rank")).collect()
+        .map(x => (x.getAs[Long]("rank"), x.getAs[String]("item")))
+      assert(!r.exists(_._2 == "item4"), s"history snapshot $snap still lists the item")
+      assert(r.map(_._1).toSeq == (1L to 4L), s"snapshot $snap ranks not re-packed: $r")
+      assert(r.map(_._2).toSeq == Seq("item3", "item2", "item1", "item0"),
+        s"snapshot $snap lost its relative order: $r")
+    }
+    // the mtime restore kept current() resolving the NEWEST snapshot
+    val cur = TrendingTopK.current(spark, out).collect()
+      .map(x => x.getAs[String]("item") -> x.getAs[Long]("est_count")).toMap
+    // (each snapshot is the merged ranking AS OF its batch, so b1's
+    // surviving counts are the b0+b1 cumulative ones)
+    assert(cur == (0 until 4).map(i => s"item$i" -> ((i + 1) * 10 * 3).toLong).toMap,
+      s"current() no longer resolves the purged b1 snapshot: $cur")
+
+    // new occurrences after the forget are NEW data: a later batch
+    // containing the item counts only its own contribution — proof the
+    // rebuild actually removed the prior ones rather than masking them
+    TrendingTopK.step(spark, batchDf(1), "b2", state, out, cfg)
+    val est2 = mergedEstimate()
+    assert(est2("item4") == 50L,
+      s"rebuilt state resurrected pre-forget counts: ${est2.get("item4")}")
   }
 
   test("a leased state dir refuses the step") {
