@@ -207,44 +207,129 @@ object BusSource {
     * fresh `earliest` consumer starts at the retained floor. Reads
     * BELOW the floor are governed by `failOnDataLoss` (Kafka's option,
     * default true). Lease-guarded: one fold at a time, publishers are
-    * fenced for the window. Size/floor-based only — the wire carries
-    * no timestamps, so `MaxAge` has no honest image here (documented
-    * non-goal).
+    * fenced for the window. Size/floor-based; the age axis is covered
+    * by [[retainAboveHeight]] (the wire carries no timestamps, but the
+    * envelope's block height is the block bus's age).
     */
   def retain(
       dir: String,
       ackFloor: Map[Int, Long],
-      maxBytesRetained: Long = 0L): Unit = {
-    val lock = new java.io.File(dir, RetentionLock)
-    if (lock.exists() &&
-        System.currentTimeMillis() - lock.lastModified() < RetentionStaleMs)
-      throw new IllegalStateException(s"graftbus: retention already in progress on $dir")
-    lock.delete()
-    require(lock.createNewFile(), s"graftbus: could not take retention lease on $dir")
-    try {
+      maxBytesRetained: Long = 0L): Unit =
+    withRetentionLease(dir) {
       for (p <- partitions(dir)) {
         val (seg, base) = activeSegment(dir, p)
         val len = seg.length()
         val end = base + (if (len == 0) 0L else lastTerminated(seg, len))
         val desired = math.max(base,
           math.min(ackFloor.getOrElse(p, base), end - math.max(0L, maxBytesRetained)))
-        val cut = alignDownToRecordStart(seg, base, desired)
-        if (cut > base) {
-          val pd = partDir(dir, p)
-          val tmp = new java.io.File(pd, s"$cut.log.tmp")
-          copyRange(seg, cut - base, seg.length(), tmp)
-          val fresh = new java.io.File(pd, s"$cut.log")
-          require(tmp.renameTo(fresh), s"graftbus: segment swap failed for p$p")
-          // stale segments (including a crash's leftovers) die last —
-          // the max-base rule already made `fresh` the active one
-          Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.getName == "log" ||
-              (f.getName.matches("\\d+\\.log") && f.getName.stripSuffix(".log").toLong < cut))
-            .foreach(_.delete())
-        }
+        foldPartition(dir, p, seg, base, alignDownToRecordStart(seg, base, desired))
       }
-    } finally { lock.delete(): Unit }
+    }
+
+  /** HEIGHT-based retention — the honest image of JetStream's `MaxAge`
+    * (`StreamConfig`, borealis-consumer/src/main.rs:574-582): the wire
+    * carries no timestamps, but the envelope DOES carry the block
+    * height (`seq_id`, [[graft.blocks.Envelope]]), and for the block
+    * bus height IS the age axis. Drops every record below
+    * `heightFloor`: the per-partition cut point is the first record
+    * whose height reaches the floor (heights are published in block
+    * order, so the log is non-decreasing in height; like Kafka /
+    * JetStream age truncation this is PREFIX truncation — the scan
+    * stops at the first qualifying record, and any out-of-order
+    * straggler behind it survives). Unparseable records are treated as
+    * AT the floor (conservative: retain, stop the scan). Faithful to
+    * `DiscardPolicy::Old` semantics, MaxAge discards unconsumed
+    * records too — there is deliberately no ack-floor input here; a
+    * consumer whose committed offset falls below the new floor hits
+    * the same `failOnDataLoss` gate as the size/floor fold. Offsets
+    * are preserved (base-offset segment naming), and a fresh
+    * `earliest` consumer starts at the height floor.
+    */
+  def retainAboveHeight(
+      dir: String,
+      heightFloor: Long,
+      heightOf: String => Long = defaultHeightOf): Unit =
+    withRetentionLease(dir) {
+      for (p <- partitions(dir)) {
+        val (seg, base) = activeSegment(dir, p)
+        foldPartition(dir, p, seg, base,
+          firstAtOrAboveHeight(seg, base, heightFloor, heightOf))
+      }
+    }
+
+  private lazy val heightMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** envelope height of one wire record: `seq_id` (the published
+    * envelope form), falling back to `$.block.header.height` (a raw
+    * block document); anything unparseable reads as Long.MaxValue so
+    * the height fold RETAINS it and stops
+    */
+  private[graft] def defaultHeightOf(record: String): Long =
+    try {
+      val node = heightMapper.readTree(record)
+      val seq = node.path("seq_id")
+      if (seq.isNumber) seq.asLong()
+      else {
+        val h = node.path("block").path("header").path("height")
+        if (h.isNumber) h.asLong() else Long.MaxValue
+      }
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** logical offset of the first complete record with height >= floor;
+    * the un-terminated trailing bytes (a torn write) always survive
+    */
+  private def firstAtOrAboveHeight(
+      seg: java.io.File, base: Long, floor: Long, heightOf: String => Long): Long = {
+    if (!seg.exists()) return base
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(seg), 1 << 16)
+    try {
+      var recStart = 0L
+      val line = new java.io.ByteArrayOutputStream()
+      var b = in.read()
+      while (b >= 0) {
+        if (b == '\n') {
+          if (heightOf(new String(line.toByteArray, "UTF-8")) >= floor)
+            return base + recStart
+          recStart += line.size() + 1
+          line.reset()
+        } else line.write(b)
+        b = in.read()
+      }
+      base + recStart
+    } finally in.close()
   }
+
+  private def withRetentionLease(dir: String)(body: => Unit): Unit = {
+    val lock = new java.io.File(dir, RetentionLock)
+    if (lock.exists() &&
+        System.currentTimeMillis() - lock.lastModified() < RetentionStaleMs)
+      throw new IllegalStateException(s"graftbus: retention already in progress on $dir")
+    lock.delete()
+    require(lock.createNewFile(), s"graftbus: could not take retention lease on $dir")
+    try body finally { lock.delete(): Unit }
+  }
+
+  /** truncate one partition's log below `cut`: copy the retained tail
+    * to a `<cut>.log` segment (offset-preserving base-offset naming),
+    * swap by rename, then delete stale segments — the max-base rule
+    * already made the fresh one active, so a crash at any point leaves
+    * a readable log
+    */
+  private def foldPartition(
+      dir: String, p: Int, seg: java.io.File, base: Long, cut: Long): Unit =
+    if (cut > base) {
+      val pd = partDir(dir, p)
+      val tmp = new java.io.File(pd, s"$cut.log.tmp")
+      copyRange(seg, cut - base, seg.length(), tmp)
+      val fresh = new java.io.File(pd, s"$cut.log")
+      require(tmp.renameTo(fresh), s"graftbus: segment swap failed for p$p")
+      // stale segments (including a crash's leftovers) die last —
+      // the max-base rule already made `fresh` the active one
+      Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName == "log" ||
+          (f.getName.matches("\\d+\\.log") && f.getName.stripSuffix(".log").toLong < cut))
+        .foreach(_.delete())
+    }
 
   /** greatest record-start logical offset <= desired (a record start is
     * position 0 or any byte after a '\n')

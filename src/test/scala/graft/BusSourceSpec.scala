@@ -241,6 +241,61 @@ class BusSourceSpec extends AnyFunSuite {
     assert(vals.length == 25 && vals.head == "m075")
   }
 
+  test("height-based retention: the MaxAge image over the envelope's height axis") {
+    val dir = newTopic(2)
+    val base = Files.createTempDirectory("graft_bus_height").toString
+    def rec(h: Int) = s"""{"seq_id": $h, "payload": "blk$h"}"""
+    // evens to p0, odds to p1 — heights non-decreasing within each log
+    BusSource.append(dir, 0, (100 until 130 by 2).map(rec))
+    BusSource.append(dir, 1, (101 until 130 by 2).map(rec))
+    // a consumer that stops HERE has its committed floor below the
+    // eventual height cut — the failOnDataLoss case exercised at the end
+    assert(drainTo(dir, s"$base/lagging").length == 30)
+    BusSource.append(dir, 0, (130 until 150 by 2).map(rec))
+    BusSource.append(dir, 1, (131 until 150 by 2).map(rec))
+    // a fully-caught-up consumer, unaffected by the fold
+    assert(drainTo(dir, s"$base/caught").length == 50)
+
+    BusSource.retainAboveHeight(dir, 140)
+
+    // a fresh earliest consumer starts at the height floor
+    val fresh = drainTo(dir, s"$base/fresh")
+    val heights = fresh.map(v => v.split("""[:,]""")(1).trim.toInt).sorted
+    assert(heights == (140 until 150).toList, s"fresh consumer saw heights $heights")
+    // offsets are preserved: the retained floor is the byte position the
+    // first height>=140 record always had
+    val floors = BusSource.earliestOffsets(dir)
+    assert(floors.values.forall(_ > 0), s"floors not advanced: $floors")
+    assert(floors == BusSource.committedOffsets(s"$base/fresh").get.map {
+      case (p, o) => p -> (o - fresh.filter(v =>
+        BusSource.defaultHeightOf(v) % 2 == p).map(_.length + 1).sum)
+    }, "fresh consumer's start offsets must be the retained floors")
+
+    // the caught-up consumer resumes over the fold without loss or dup
+    BusSource.append(dir, 0, Seq(rec(150)))
+    assert(drainTo(dir, s"$base/caught") == Seq(rec(150)))
+
+    // the lagging consumer's committed offset is below the height floor:
+    // failOnDataLoss (default true) refuses, opting out clamps
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(dir, s"$base/lagging")
+    }
+    assert(ex.getCause.toString.contains("retention floor"), s"got ${ex.getCause}")
+    val clamped = drainTo(dir, s"$base/lagging", Map("failondataloss" -> "false"))
+    val clampedHeights = clamped.map(BusSource.defaultHeightOf(_).toInt).sorted
+    assert(clampedHeights == ((140 to 150).toList),
+      s"clamped resume saw heights $clampedHeights")
+
+    // an unparseable record is retained conservatively and stops the scan
+    val dir2 = newTopic(1)
+    BusSource.append(dir2, 0, Seq(rec(5), "not json at all", rec(6), rec(99)))
+    BusSource.retainAboveHeight(dir2, 50)
+    val left = spark.read.format("graftbus").option("path", dir2).load()
+      .collect().map(_.getAs[String]("value")).toSeq
+    assert(left == Seq("not json at all", rec(6), rec(99)),
+      s"conservative stop violated: $left")
+  }
+
   test("startingOffsets accepts the Kafka per-partition JSON form with -1/-2 sentinels") {
     val dir = newTopic(3)
     BusSource.append(dir, 0, Seq("x0", "x1", "x2")) // 3 bytes each
