@@ -306,6 +306,20 @@ object Bench {
     }
     val vsBaselineMedian = median(ratios().map(_._4))
     val vsBaselineMax = if (ratios().isEmpty) 0.0 else ratios().map(_._4).max
+    // canary-NORMALIZED ratio column (ratio ÷ the canary factor nearest
+    // the query's run position): r11 committed one >2x entry (d04) that
+    // the canary series ATTRIBUTED to box drift but the raw max could
+    // not absorb — the normalized max measures code, not the box. The
+    // factor is ≥1 by construction (canary0 is the run's fastest
+    // observation), so normalization can only shrink ratios when the
+    // box was provably slow at that run position — it can never
+    // manufacture a regression, and the RAW max stays committed beside
+    // it so normalization can never hide one either.
+    val ratiosNorm = ratios().map { case (name, _, _, ratio) =>
+      (name, ratio / math.max(canaryFactorAt(posByName(name)), 1.0))
+    }
+    val vsBaselineMaxNorm = if (ratiosNorm.isEmpty) 0.0 else ratiosNorm.map(_._2).max
+    val vsBaselineMedianNorm = median(ratiosNorm.map(_._2))
     var baselineRegressions = 0
     var contendedFlags = 0
     val regressionsDetail = scala.collection.mutable.ArrayBuffer[String]()
@@ -419,6 +433,15 @@ object Bench {
     // fixed micro-batch + index-open overhead from its per-vector cost
     val semanticVecsPerSec8k = probeGated("semantic_8k") { semanticRun(spark, sfDir, 8000) }
     val contamDocsPerSec = probeGated("contam") { contamThroughput(spark, sfDir) }
+    // takedown-path probe: the gates' right-to-be-forgotten fold is
+    // spec-tested (crash injection, re-admission) but was never TIMED —
+    // every other streaming surface commits a throughput number, and a
+    // 100 TB takedown path is an operational surface like any other.
+    // Metric = admitted state rows folded per second (the fold is one
+    // filtered rewrite of lake + both signature roots, so its cost
+    // follows the INDEX size, not the forget-set size — the axis that
+    // matters at scale)
+    val gateForgetDocsPerSec = probeGated("gate_forget") { gateForgetThroughput(spark, sfDir) }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -443,14 +466,16 @@ object Bench {
     val canarySeriesJson = canarySamples
       .map { case (pos, t) => s"[$pos,${f"${t / canary0}%.2f"}]" }.mkString("[", ",", "]")
     val sentinel =
-      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
+      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"canary_series":$canarySeriesJson,"regressions_detail":$regressionsJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"canary_series":$canarySeriesJson,"regressions_detail":$regressionsJson,"baseline_ratios_norm":${
+        ratiosNorm.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      },"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -775,6 +800,47 @@ object Bench {
         .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Gate takedown probe: admit a doc slice through NearDupGate once
+    * (untimed — admission throughput is the neardup probes' job), then
+    * time `forget` of every tenth doc_id across the lake + both
+    * signature-index roots and return admitted-rows/s through the
+    * fold. Decisions must survive (the audit log is deliberately not
+    * part of a takedown) and the forgotten ids must be gone from the
+    * lake — a fold that corrupts state must fail the probe, not
+    * commit a throughput number for broken output.
+    */
+  private def gateForgetThroughput(spark: SparkSession, sfDir: String): Double = {
+    gateForgetRun(spark, WarmDir, 100) // JIT the fold/lease path, untimed
+    gateForgetRun(spark, sfDir, 2000)
+  }
+
+  private[graft] def gateForgetRun(spark: SparkSession, sfDir: String, nDocs: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_gforget").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "text", "lang", "source")
+        .orderBy("doc_id").limit(nDocs)
+      docs.write.mode("append").json(src)
+      graft.streaming.NearDupGate
+        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
+        .awaitTermination()
+      val admitted = spark.read.parquet(s"$base/lake").count()
+      val decisions = spark.read.parquet(s"$base/dec").count()
+      val t0 = System.nanoTime()
+      graft.streaming.NearDupGate.forget(spark, s"$base/lake", s"$base/idx",
+        org.apache.spark.sql.functions.col("doc_id") % 10 === 3)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val left = spark.read.parquet(s"$base/lake")
+      require(left.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 3).count() == 0,
+        "gate forget probe left forgotten doc_ids in the lake")
+      require(spark.read.parquet(s"$base/dec").count() == decisions,
+        "gate forget probe touched the decision log")
+      admitted / secs
     } finally rmTree(base)
   }
 

@@ -328,4 +328,11 @@ class NearDupGateSpec extends AnyFunSuite {
       .select("decision").head().getString(0)
     assert(d20 == "drop_corpus", s"dup of re-admitted content must drop, got $d20")
   }
+
+  test("the bench gate-forget probe folds a takedown and reports a positive rate") {
+    // rate asserted >0 only: the probe's own require()s enforce the
+    // semantic half (forgotten ids gone, decision log untouched)
+    val rate = graft.Bench.gateForgetRun(spark, "/root/testdata/sf0.001", 60)
+    assert(rate > 0, s"gate forget probe rate $rate")
+  }
 }
