@@ -48,6 +48,12 @@ object ScaleProbe {
   private val BaseVecs = 2000
   private val Dims = Similarity.Dims
   private val Multipliers = Seq(1, 2, 5, 10)
+  // the two highest-exponent families get a 30x point to tighten the
+  // fit (r11 verdict: d16 read b=0.63 and d09's contraction was never
+  // tabled — a 3-decade span separates "mildly super-linear constant"
+  // from "bend a cluster would hit")
+  private val MultipliersExt = Seq(1, 2, 5, 10, 30)
+  private val ExtQueries = Set("d16_dup_spans", "d09_dedup_clusters")
 
   /** driver-corpus-shaped documents: mostly novel word streams, ~5%
     * near-dup perturbed copies of an earlier doc, ~0.2% exact dups
@@ -185,19 +191,22 @@ object ScaleProbe {
     val spark = SparkSessions.local("graft-scaleprobe", cores)
     import spark.implicits._
 
-    // one generation at 10x; every m× dir is a row-count prefix of it
-    val docs10 = genDocs(BaseDocs * Multipliers.max)
+    // one generation at the largest multiplier; every m× dir is a
+    // row-count prefix of it (docs to 30x for the extended families;
+    // embeddings only to 10x — no vector query runs past that)
+    val docsMax = genDocs(BaseDocs * MultipliersExt.max)
     val vecs10 = genVecs(BaseVecs * Multipliers.max)
-    Multipliers.foreach { m =>
+    MultipliersExt.foreach { m =>
       val dir = s"$outBase/x$m"
-      docs10.take(BaseDocs * m)
+      docsMax.take(BaseDocs * m)
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .repartition(cores)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      vecs10.take(BaseVecs * m)
-        .toDF("vec_id", "embedding", "label")
-        .repartition(cores)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      if (Multipliers.contains(m))
+        vecs10.take(BaseVecs * m)
+          .toDF("vec_id", "embedding", "label")
+          .repartition(cores)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
     val queries = Seq(
@@ -206,14 +215,19 @@ object ScaleProbe {
       "s12_bm25_topk", "d16_dup_spans",
       // r10 LSH-family additions: both ride the d05 banding, so the
       // linearity claim extends to them — measure it, don't assume it
-      "d17_containment", "c04_fuzzy_contamination")
+      "d17_containment", "c04_fuzzy_contamination",
+      // r12: the pair-graph contraction (large-star/small-star rounds)
+      // and the map-only multi-frame GIF decode — the first was never
+      // tabled, the second is the r11 codec addition
+      "d09_dedup_clusters", "m10_gif_frames")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
     queries.foreach { q =>
-      results(q) = Multipliers.map { m =>
+      val mults = if (ExtQueries(q)) MultipliersExt else Multipliers
+      results(q) = mults.map { m =>
         val t = bestOf(reps)(materialize(SparkEntry.queries(q)(spark, s"$outBase/x$m")))
         println(f"""{"probe":"$q","mult":$m,"sec":$t%.3f}""")
         (m, t)
@@ -239,6 +253,61 @@ object ScaleProbe {
       val docs = graft.Tables.documents(spark, s"$outBase/x$m")
       val t = bestOf(reps)(materialize(bm25Fixed(docs, 50)))
       println(f"""{"probe":"s12_fixed_queries","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
+    // takedown folds vs index size (r11 verdict #5): the claim is
+    // fold cost ∝ index size (one filtered rewrite / one retraction
+    // generation) and probe-after-forget ≈ probe-before. Rebuild per
+    // rep — a second fold over an already-folded index is an
+    // idempotent no-op, which would flatter the timing.
+    results("d18_forget_fold") = Multipliers.map { m =>
+      val dir = s"$outBase/x$m"
+      val idxDir = s"$dir/idx_d18"
+      val t = (1 to reps).map { _ =>
+        graft.llm.LlmQueries.d15BuildAt(spark, dir, idxDir)
+        val pre = bestOf(1)(materialize(graft.llm.LlmQueries.d15ProbeAt(spark, dir, idxDir)))
+        val t0 = System.nanoTime()
+        graft.llm.LlmQueries.forgetDocs(spark, idxDir, col("doc_id") % 10 === 3)
+        val fold = (System.nanoTime() - t0) / 1e9
+        val post = bestOf(1)(materialize(graft.llm.LlmQueries.d15ProbeAt(spark, dir, idxDir)))
+        println(f"""{"probe":"d18_forget_fold","mult":$m,"sec":$fold%.3f,"probe_pre":$pre%.3f,"probe_post":$post%.3f}""")
+        fold
+      }.min
+      (m, t)
+    }
+    results("s22_retraction_fold") = Multipliers.map { m =>
+      val dir = s"$outBase/x$m"
+      val idxDir = s"$dir/idx_s22"
+      val t = (1 to reps).map { _ =>
+        graft.llm.LlmQueries.s13BuildAt(spark, dir, idxDir)
+        val t0 = System.nanoTime()
+        graft.llm.LlmQueries.s13Forget(spark, idxDir, col("doc_id") % 10 === 3)
+        val fold = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"s22_retraction_fold","mult":$m,"sec":$fold%.3f}""")
+        fold
+      }.min
+      (m, t)
+    }
+
+    // bus height-retention fold vs log size: driver-side segment scan +
+    // retained-tail copy, expected ~linear in the log bytes. 4
+    // partitions like the bench probes; the floor cuts ~half the log.
+    results("bus_retain_height") = Multipliers.map { m =>
+      val nBlocks = 2000 * m
+      val t = (1 to reps).map { _ =>
+        val topic = s"$outBase/x$m/bus_retain_${java.util.UUID.randomUUID().toString.take(8)}"
+        val nParts = 4
+        graft.sources.BusSource.createTopic(topic, nParts)
+        val blocks = graft.blocks.Fixtures.blocksJson(7000000L, nBlocks)
+        for ((g, i) <- blocks.grouped(math.max(1, nBlocks / nParts)).zipWithIndex)
+          graft.sources.BusSource.append(topic, i % nParts, g)
+        val t0 = System.nanoTime()
+        graft.sources.BusSource.retainAboveHeight(topic, 7000000L + nBlocks / 2)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"bus_retain_height","mult":$m,"sec":$secs%.3f}""")
+        secs
+      }.min
       (m, t)
     }
 
