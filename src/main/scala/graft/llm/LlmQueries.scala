@@ -1128,14 +1128,22 @@ object LlmQueries {
         .withColumn("rank", row_number().over(wg).cast(LongType))
         .filter(col("rank") <= 10)
     },
-    Some(s"""
+    Some(hammingOracleWhere("")))
+
+  /** `extraShort` is an extra `AND …` predicate on the code rows
+    * (alias `b`) of the hamming first pass — "" for the full
+    * corpus/index (s18/s19), a slice exclusion for the forget image
+    * (s24). Codes are per-row pure functions of the vector, so
+    * deletion carries no frozen-state subtlety on this family at all.
+    */
+  private def hammingOracleWhere(extraShort: String) = s"""
       WITH $binCodesCte,
       qc AS (SELECT code_lo AS q_lo, code_hi AS q_hi FROM bcodes WHERE vec_id = 0),
       short AS (SELECT b.vec_id, b.label,
                   CAST(bit_count(xor(b.code_lo, qc.q_lo))
                      + bit_count(xor(b.code_hi, qc.q_hi)) AS BIGINT) AS hamming
                 FROM bcodes b, qc
-                WHERE b.vec_id <> 0
+                WHERE b.vec_id <> 0$extraShort
                 ORDER BY hamming ASC, b.vec_id ASC LIMIT 50),
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       x AS (SELECT e.vec_id, sh.label, sh.hamming,
@@ -1151,7 +1159,7 @@ object LlmQueries {
       FROM x
       QUALIFY row_number() OVER (ORDER BY round(dt / (sqrt(na) * sqrt(nb)), 6) DESC,
                                  vec_id ASC) <= 10
-    """.trim))
+    """.trim
 
   // -- s19: hamming search against a STANDING binary-code index — the
   //    d15/s10/s13 recipe applied to the e03 family: the 8-byte codes
@@ -1170,15 +1178,18 @@ object LlmQueries {
     * appended; codes are per-row pure functions of the vector, so
     * append ≡ rebuild by construction — asserted in LlmSpec anyway)
     */
-  private[graft] def s19Build(s: SparkSession, d: String): Unit = {
+  private[graft] def s19Build(s: SparkSession, d: String): Unit =
+    s19BuildAt(s, d, s19IdxDir)
+
+  private[graft] def s19BuildAt(s: SparkSession, d: String, codesDir: String): Unit = {
     val emb = Tables.embeddings(s, d)
     val codes = (df: org.apache.spark.sql.DataFrame) =>
       df.select(col("vec_id"), col("label"),
         binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
     codes(emb.filter(col("vec_id") % 10 =!= 7))
-      .write.mode("overwrite").parquet(s19IdxDir)
+      .write.mode("overwrite").parquet(codesDir)
     codes(emb.filter(col("vec_id") % 10 === 7))
-      .write.mode("append").parquet(s19IdxDir)
+      .write.mode("append").parquet(codesDir)
   }
 
   /** s19 PROBE: the s18 search against the standing code parquet — the
@@ -1186,9 +1197,12 @@ object LlmQueries {
     * columns, the plan-audited point); floats are touched first at the
     * 50-row re-rank.
     */
-  private[graft] def s19Probe(s: SparkSession, d: String): DataFrame = {
+  private[graft] def s19Probe(s: SparkSession, d: String): DataFrame =
+    s19ProbeAt(s, d, s19IdxDir)
+
+  private[graft] def s19ProbeAt(s: SparkSession, d: String, codesDir: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val idx = s.read.parquet(s19IdxDir)
+    val idx = s.read.parquet(codesDir)
     val qc = idx.filter(col("vec_id") === 0L)
       .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
     val short = idx.filter(col("vec_id") =!= 0L)
@@ -1213,6 +1227,26 @@ object LlmQueries {
     (s, d) => { s19Build(s, d); s19Probe(s, d) },
     s18.oracle)
 
+  // -- s24: deletion on the binary-code standing index — the s23 story
+  //    on the simplest family: codes are per-row pure functions of the
+  //    vector, so the row-filter fold needs no frozen-state argument
+  //    at all, and the oracle is s18's with the forgotten vectors
+  //    excluded from the hamming first pass. The index root wraps the
+  //    code parquet in a `codes` relation so the fold has a
+  //    FoldCommit-managed child to stage against (the d15/s10 layout).
+  private val s24 = Q(
+    "s24_hamming_forget",
+    (s, d) => {
+      val idxDir = new java.io.File("target/graft_idx/s24_hamming_forget").getAbsolutePath
+      val root = new org.apache.hadoop.fs.Path(idxDir)
+      graft.streaming.FoldCommit.clearResidue(
+        root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+      s19BuildAt(s, d, s"$idxDir/codes")
+      forgetRows(s, idxDir, Seq("codes"), col("vec_id") % 10 === 3)
+      s19ProbeAt(s, d, s"$idxDir/codes")
+    },
+    Some(hammingOracleWhere(" AND b.vec_id % 10 <> 3")))
+
   // -- s09: IVF-PQ top-k — the two verified halves composed into the
   //    billion-scale production shape: the IVF coarse quantizer (s04's
   //    probe stage) restricts the search to 4 of 16 posting lists, and
@@ -1225,14 +1259,21 @@ object LlmQueries {
     * an index over indexed∪delta = the whole corpus answers queries
     * identically to the in-query rebuild, so one oracle covers both.
     */
-  private lazy val ivfPqOracle = s"""
+  /** `extraMembers` is an extra `AND …` predicate on the posting-list
+    * member rows (alias `a`) — "" for the full index (s09/s10), a
+    * doc-slice exclusion for the forget image (s23): only the members
+    * change, because the quantizer CTEs are the oracle image of the
+    * FROZEN cents/books tables, which a membership deletion never
+    * touches (the encode-invariance argument on the vector family).
+    */
+  private def ivfPqOracleWhere(extraMembers: String) = s"""
       WITH $ivfAssignCte,
       $pqCte,
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       probes AS (SELECT cid FROM asim WHERE vec_id = 0
                  QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
       members AS (SELECT a.vec_id FROM assign a
-                  JOIN probes p ON p.cid = a.cid WHERE a.vec_id <> 0),
+                  JOIN probes p ON p.cid = a.cid WHERE a.vec_id <> 0$extraMembers),
       adc AS (SELECT c.code, s.s,
                 CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
                              * CAST(q.qv[s.s*8+i.i+1] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p
@@ -1253,6 +1294,8 @@ object LlmQueries {
       SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim
+
+  private lazy val ivfPqOracle = ivfPqOracleWhere("")
 
   private val s09 = Q(
     "s09_ivfpq_topk",
@@ -1283,21 +1326,24 @@ object LlmQueries {
     * overwritten, delta batch appended against the same frozen tables
     * (append ≡ rebuild because both assignments are per-row).
     */
-  private[graft] def s10Build(s: SparkSession, d: String): Unit = {
-    val s10Root = new org.apache.hadoop.fs.Path(s10IdxDir)
+  private[graft] def s10Build(s: SparkSession, d: String): Unit =
+    s10BuildAt(s, d, s10IdxDir)
+
+  private[graft] def s10BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
+    val s10Root = new org.apache.hadoop.fs.Path(idxDir)
     graft.streaming.FoldCommit.clearResidue(
       s10Root.getFileSystem(s.sparkContext.hadoopConfiguration), s10Root)
     val emb = Tables.embeddings(s, d)
     Similarity.sampledCentroids(emb, 16)
-      .write.mode("overwrite").parquet(s"$s10IdxDir/cents")
+      .write.mode("overwrite").parquet(s"$idxDir/cents")
     Similarity.sampledCodebooks(emb)
-      .write.mode("overwrite").parquet(s"$s10IdxDir/books")
-    val cents = s.read.parquet(s"$s10IdxDir/cents")
-    val books = s.read.parquet(s"$s10IdxDir/books")
+      .write.mode("overwrite").parquet(s"$idxDir/books")
+    val cents = s.read.parquet(s"$idxDir/cents")
+    val books = s.read.parquet(s"$idxDir/books")
     Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 =!= 7), cents, books)
-      .write.mode("overwrite").parquet(s"$s10IdxDir/rows")
+      .write.mode("overwrite").parquet(s"$idxDir/rows")
     Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 10 === 7), cents, books)
-      .write.mode("append").parquet(s"$s10IdxDir/rows")
+      .write.mode("append").parquet(s"$idxDir/rows")
   }
 
   /** s10 PROBE: IVF-PQ search over the standing index — probe 4/16
@@ -1306,17 +1352,42 @@ object LlmQueries {
     * re-rank of the 50-shortlist.
     */
   private[graft] def s10Probe(s: SparkSession, d: String): DataFrame =
+    s10ProbeAt(s, d, s10IdxDir)
+
+  private[graft] def s10ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame =
     Similarity.ivfPqTopKStanding(
       Tables.embeddings(s, d),
-      s.read.parquet(s"$s10IdxDir/rows"),
-      s.read.parquet(s"$s10IdxDir/cents"),
-      s.read.parquet(s"$s10IdxDir/books"),
+      s.read.parquet(s"$idxDir/rows"),
+      s.read.parquet(s"$idxDir/cents"),
+      s.read.parquet(s"$idxDir/books"),
       0L, 10, 4, 50)
 
   private val s10 = Q(
     "s10_ivfpq_standing",
     (s, d) => { s10Build(s, d); s10Probe(s, d) },
     Some(ivfPqOracle))
+
+  // -- s23: deletion on the IVF-PQ standing index — the row-filter
+  //    forget fold (LlmSpec-proven ≡ rebuild since r11) promoted to an
+  //    oracle-checked catalog entry, so the deletion matrix is
+  //    oracle-gated on every standing-index family (d18 lexical
+  //    near-dup, s22 BM25, s23 IVF-PQ, s24 binary hamming), not just
+  //    the first two: build the s10 index, forget a vec slice under
+  //    the lease, search. The oracle is the IVF-PQ oracle with the
+  //    forgotten vectors excluded from the posting-list MEMBERS only —
+  //    the quantizer CTEs stay corpus-wide because the frozen
+  //    cents/books are corpus-release state a membership deletion
+  //    never touches (the d18 encode-invariance argument on the
+  //    vector family).
+  private val s23 = Q(
+    "s23_ivfpq_forget",
+    (s, d) => {
+      val idxDir = new java.io.File("target/graft_idx/s23_ivfpq_forget").getAbsolutePath
+      s10BuildAt(s, d, idxDir)
+      forgetRows(s, idxDir, Seq("rows"), col("vec_id") % 10 === 3)
+      s10ProbeAt(s, d, idxDir)
+    },
+    Some(ivfPqOracleWhere(" AND a.vec_id % 10 <> 3")))
 
   // -- d10: cross-modal semantic dedup — embedding-LSH candidate pairs
   //    verified by cosine (the semantic signal) and annotated with
@@ -3022,7 +3093,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
