@@ -238,6 +238,58 @@ object Curation {
       FROM sc GROUP BY doc_id
     """.trim))
 
+  // -- t12: bigram-LM surprisal — t07's perplexity filter upgraded to
+  //    the CONDITIONAL form a real LM filter uses (CCNet/Gopher score
+  //    docs with an n-gram LM: formulaic word TRANSITIONS score low
+  //    even when the words themselves are rare, and improbable
+  //    transitions mark gibberish that unigram statistics miss). The
+  //    in-corpus MLE is p(w2|w1) = c(w1 w2) / c(w1 ·), so
+  //    surprisal(w1 w2) = floor(log2(c(w1 ·) DIV c(w1 w2))) — t07's
+  //    integer floor-log2 image (pure integer/string ops, exact on
+  //    both engines, monotone in the true -log2 p at 1-bit
+  //    granularity). Every scored bigram occurs in the corpus, so
+  //    counts are >= 1 and no smoothing term is needed. Scale shape:
+  //    two aggregation passes (bigram counts; left-context totals
+  //    derived from them, never a second corpus scan) + one join back
+  //    to the stream — the bigram relation grows with vocab², so it
+  //    deliberately stays a shuffle join (t05's broadcast note applies
+  //    only to the vocab-sized unigram side).
+  private val t12 = Q(
+    "t12_bigram_surprisal",
+    (s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      val cc = bc.groupBy("w1").agg(sum(col("bc")).as("cc"))
+      bi.join(bc, Seq("w1", "w2"))
+        .join(broadcast(cc), "w1")
+        .withColumn("surprisal", expr("length(bin(cc DIV bc)) - 1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(col("surprisal")), 6).as("mean_surprisal"),
+          max(col("surprisal")).cast(LongType).as("max_surprisal"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, toks[i.i+1] AS w1, toks[i.i+2] AS w2
+             FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
+             WHERE len(toks) >= 2 AND i.i <= len(toks) - 2),
+      bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+      cc AS (SELECT w1, SUM(bc) AS cc FROM bc GROUP BY 1),
+      sc AS (SELECT bi.doc_id, length(bin(cc.cc // bc.bc)) - 1 AS surprisal
+             FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1))
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(surprisal), 6) AS mean_surprisal,
+             CAST(max(surprisal) AS BIGINT) AS max_surprisal
+      FROM sc GROUP BY doc_id
+    """.trim))
+
   /** words per dedup passage (d08) */
   val PassageWords = 10
 
@@ -955,6 +1007,59 @@ object Curation {
       SELECT doc_id, source, n_chars, key,
              CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
       FROM pool
+    """.trim))
+
+  /** p12 window geometry: 64-token windows every 48 tokens (16-token
+    * overlap); a non-first window must cover at least W - S = 16 fresh
+    * tokens or it is dropped as a sliver
+    */
+  val WindowToks = 64
+  val WindowStride = 48
+
+  // -- p12: overlapping CONTEXT-WINDOW chunking — the long-document
+  //    counterpart of p03's packing and the text image of m05's
+  //    hop < window audio framing: split each doc's token stream into
+  //    fixed windows (64 tokens, stride 48 — the overlap that keeps a
+  //    boundary sentence inside at least one window, the recipe both
+  //    long-context pretraining chunkers and RAG indexers use),
+  //    emitting per window its index, token offset, width and the
+  //    materialized slice. A window is kept when it is the doc's first
+  //    or covers at least W - S fresh tokens (no text silently
+  //    dropped; the tail never degenerates to a sliver) — and because
+  //    starts ascend, the filter only ever trims the tail, so window
+  //    indexes stay dense. Pure map-side explode over sequence():
+  //    no shuffle, no corpus state, linear at any scale.
+  private val p12 = Q(
+    "p12_context_windows",
+    (s, d) => {
+      val (w, st) = (WindowToks, WindowStride)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n"), col("toks"),
+          posexplode(expr(
+            s"filter(sequence(0, size(toks) - 1, $st), x -> x = 0 OR size(toks) - x >= ${w - st})"))
+            .as(Seq("win_idx", "start_tok")))
+        .select(
+          col("doc_id"),
+          col("win_idx").cast(LongType).as("win_idx"),
+          col("start_tok").cast(LongType).as("start_tok"),
+          least(lit(w), col("n") - col("start_tok")).cast(LongType).as("win_toks"),
+          expr(s"array_join(slice(toks, start_tok + 1, least($w, n - start_tok)), ' ')")
+            .as("win_text"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, len(toks) AS n, toks,
+                   unnest(range(0, len(toks), $WindowStride)) AS start
+            FROM t),
+      w AS (SELECT doc_id, n, toks, start,
+              row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS win_idx
+            FROM g WHERE start = 0 OR n - start >= ${WindowToks - WindowStride})
+      SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+             CAST(start AS BIGINT) AS start_tok,
+             CAST(least($WindowToks, n - start) AS BIGINT) AS win_toks,
+             array_to_string(toks[start + 1 : start + least($WindowToks, n - start)], ' ') AS win_text
+      FROM w
     """.trim))
 
   // -- v05: MULTI-ROUND BPE training — v04's single greedy merge round
@@ -1764,5 +1869,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, t05, t06, t07, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
 }

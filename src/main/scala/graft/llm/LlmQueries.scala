@@ -2461,6 +2461,130 @@ object LlmQueries {
              round((SELECT count(*) FROM t_b JOIN bf USING (vec_id)) / 10.0, 6)
     """.trim))
 
+  /** s25 parameters: λ relevance / μ diversity weights as SEPARATE
+    * literals (μ is NOT derived as 1 - λ: `1 - 0.7` is
+    * 0.30000000000000004 in IEEE — deriving it on one engine and
+    * hardcoding 0.3 on the other would flip near-tie selections),
+    * shortlist 20, k 10.
+    */
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3
+  private val MmrShortlist = 20
+  private val MmrK = 10
+
+  /** Generated s25 oracle: shortlist + pairwise-cosine CTEs, then one
+    * CTE block PER GREEDY PICK (the v05 recipe — the same loop that
+    * drives the engine generates the oracle's rounds): pick 1 is
+    * argmax qsim; pick i scores every unpicked candidate
+    * λ·qsim − μ·max(sim to picked) and takes the argmax, ties to the
+    * lower vec_id. All comparisons run on 6-dp-rounded cosines, so
+    * both engines select from identical inputs with identical IEEE
+    * arithmetic.
+    */
+  private lazy val mmrOracle = {
+    val picks = (2 to MmrK).map { i =>
+      s"""cand$i AS (SELECT s.*, $MmrLambda * s.qsim - $MmrMu *
+              (SELECT max(p.sim) FROM mpairs p WHERE p.v1 = s.vec_id
+                 AND p.v2 IN (SELECT vec_id FROM acc${i - 1})) AS sc
+            FROM mshort s
+            WHERE s.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})),
+      sel$i AS (SELECT vec_id, label, qsim, $i AS rank FROM cand$i
+                ORDER BY sc DESC, vec_id ASC LIMIT 1),
+      acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      mdims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      mx AS MATERIALIZED (SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+               SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+             FROM embeddings e, q, mdims d
+             WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label),
+      mshort AS MATERIALIZED (SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS qsim
+                 FROM mx ORDER BY qsim DESC, vec_id ASC LIMIT $MmrShortlist),
+      mpx AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                SUM(CAST(ea.embedding[d.d+1] AS DOUBLE) * CAST(eb.embedding[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(ea.embedding[d.d+1] AS DOUBLE) * CAST(ea.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(eb.embedding[d.d+1] AS DOUBLE) * CAST(eb.embedding[d.d+1] AS DOUBLE)) AS nb
+              FROM mshort a JOIN embeddings ea ON ea.vec_id = a.vec_id,
+                   mshort b JOIN embeddings eb ON eb.vec_id = b.vec_id,
+                   mdims d
+              WHERE a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+      mpairs AS MATERIALIZED (SELECT v1, v2, round(dt / (sqrt(na) * sqrt(nb)), 6) AS sim FROM mpx
+                 UNION ALL
+                 SELECT v2, v1, round(dt / (sqrt(na) * sqrt(nb)), 6) FROM mpx),
+      sel1 AS (SELECT vec_id, label, qsim, 1 AS rank FROM mshort
+               ORDER BY qsim DESC, vec_id ASC LIMIT 1),
+      acc1 AS MATERIALIZED (SELECT * FROM sel1),
+      $picks
+      SELECT vec_id, label, qsim, CAST(rank AS BIGINT) AS rank FROM acc$MmrK
+    """.trim
+  }
+
+  // -- s25: MMR diversity re-rank — Maximal Marginal Relevance over
+  //    the exact-cosine shortlist: the serving-layer answer to "the
+  //    top 10 are 10 copies of the same document", complementing s15's
+  //    label-capped rule with the metric-space form (no labels needed:
+  //    a result is penalized by its similarity to what is already
+  //    selected). Candidate generation is the s01 top-20 (swappable
+  //    for the IVF/hamming probes like s15's pool stage); the greedy
+  //    is O(k · shortlist) driver work over a collected table bounded
+  //    by MmrShortlist² = 400 rows (the centroid-collect precedent) —
+  //    constant-size head of the retrieval ladder, scale-independent
+  //    at any corpus size. Selection compares
+  //    λ·qsim − μ·max(sim to selected) on 6-dp-rounded cosines; the
+  //    oracle replays the identical greedy as generated per-pick CTEs.
+  private val s25 = Q(
+    "s25_mmr_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val short = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("qsim"))
+        .orderBy(col("qsim").desc, col("vec_id").asc)
+        .limit(MmrShortlist)
+      val se = short.select("vec_id").join(emb, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      val a = se.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = se.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      // pairwise cosines among the shortlist, computed distributed and
+      // collected — bounded by MmrShortlist choose 2 (190 rows)
+      val sim = scala.collection.mutable.Map[(Long, Long), Double]()
+      for (r <- a.join(broadcast(b), col("v1") < col("v2"))
+          .select(col("v1"), col("v2"),
+            round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
+          .collect()) {
+        val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        sim((v1, v2)) = sv
+        sim((v2, v1)) = sv
+      }
+      val qsims = scala.collection.mutable.LinkedHashMap[Long, Double]()
+      for (r <- short.select("vec_id", "qsim").collect())
+        qsims(r.getLong(0)) = r.getDouble(1)
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      val remaining = scala.collection.mutable.LinkedHashSet[Long](qsims.keys.toSeq: _*)
+      while (selected.size < MmrK && remaining.nonEmpty) {
+        val best = remaining.toSeq.map { v =>
+          val score =
+            if (selected.isEmpty) qsims(v)
+            else MmrLambda * qsims(v) - MmrMu * selected.map(p => sim((v, p))).max
+          (score, v)
+        }.minBy { case (score, v) => (-score, v) }._2
+        selected += best
+        remaining -= best
+      }
+      import s.implicits._
+      val picks = selected.zipWithIndex
+        .map { case (v, i) => (v, (i + 1).toLong) }.toSeq.toDF("vec_id", "rank")
+      short.join(broadcast(picks), "vec_id")
+        .select(col("vec_id"), col("label"), col("qsim"), col("rank"))
+    },
+    Some(mmrOracle))
+
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
     "t01_lang_id",
@@ -3093,7 +3217,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
