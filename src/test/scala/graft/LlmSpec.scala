@@ -834,4 +834,28 @@ class LlmSpec extends AnyFunSuite {
     LlmQueries.s13Forget(spark, idx, col("doc_id") % 7 === 3)
     assert(results(idx) != tombstoned)
   }
+
+  test("s25: MMR leads with the relevance argmax, trades relevance for diversity, never increases self-similarity") {
+    val top10 = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val picks = Catalog.byName("s25_mmr_rerank").run(spark, sf)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id"))
+    assert(picks.length == 10)
+    assert(picks.head == top10.head, "rank 1 must be the relevance argmax")
+    assert(picks.toSet != top10.toSet,
+      "MMR never traded relevance for diversity — vacuous fixture")
+    // the selection's mean pairwise cosine must not exceed the plain
+    // top-10's (the whole point of the diversity penalty)
+    val emb = Tables.embeddings(spark, sf)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val e = emb.filter(col("vec_id").isin(ids: _*))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      a.join(broadcast(b), col("v1") < col("v2"))
+        .select(graft.llm.Similarity.cosine(col("e1"), col("e2")).as("c"))
+        .agg(avg("c")).head().getDouble(0)
+    }
+    assert(meanPairSim(picks.toSeq) <= meanPairSim(top10.toSeq) + 1e-9,
+      "MMR selection is MORE self-similar than the plain top-10")
+  }
 }

@@ -136,10 +136,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "t08_normalize_unicode", "t09_pii_redact", "t10_gopher_rules",
         "e01_quantize_int8", "d04_simhash", "p01_split_assign", "m01_multimodal_meta",
         "m06_wav_decode", "m07_ppm_decode", "m08_png_decode", "m09_jpeg_decode",
-        "m10_gif_frames", "e03_binary_quantize")) {
+        "m10_gif_frames", "e03_binary_quantize", "p12_context_windows")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n$plan")
     }
+  }
+
+  test("t12 broadcasts the vocab-sized context totals but shuffle-joins the bigram relation") {
+    // the unigram left-context table is vocab-sized => broadcast; the
+    // bigram-count relation grows with vocab² => must NOT be forced
+    // into a broadcast (at real vocabularies it would OOM the driver;
+    // the optimizer may still pick one at toy scale, so assert only
+    // the broadcast that is REQUIRED, plus no cartesian)
+    val plan = planOf("t12_bigram_surprisal")
+    assert(plan.contains("BroadcastHashJoin"), s"t12 lost the context-total broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("s25's shortlist stages stay broadcast-shaped with a single-reduce pool") {
+    // candidate generation is s01's pool: a TakeOrdered single reduce,
+    // never a global sort; the pairwise stage runs over two ≤20-row
+    // sides so any join there must be broadcast, not a shuffle
+    val plan = planOf("s25_mmr_rerank")
+    assert(plan.contains("TakeOrderedAndProject"), s"s25 pool is not single-reduce:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
