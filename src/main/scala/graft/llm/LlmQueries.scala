@@ -2562,28 +2562,205 @@ object LlmQueries {
         sim((v1, v2)) = sv
         sim((v2, v1)) = sv
       }
-      val qsims = scala.collection.mutable.LinkedHashMap[Long, Double]()
-      for (r <- short.select("vec_id", "qsim").collect())
-        qsims(r.getLong(0)) = r.getDouble(1)
-      val selected = scala.collection.mutable.ArrayBuffer[Long]()
-      val remaining = scala.collection.mutable.LinkedHashSet[Long](qsims.keys.toSeq: _*)
-      while (selected.size < MmrK && remaining.nonEmpty) {
-        val best = remaining.toSeq.map { v =>
-          val score =
-            if (selected.isEmpty) qsims(v)
-            else MmrLambda * qsims(v) - MmrMu * selected.map(p => sim((v, p))).max
-          (score, v)
-        }.minBy { case (score, v) => (-score, v) }._2
-        selected += best
-        remaining -= best
-      }
+      val qsims = short.select("vec_id", "qsim").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
       import s.implicits._
-      val picks = selected.zipWithIndex
-        .map { case (v, i) => (v, (i + 1).toLong) }.toSeq.toDF("vec_id", "rank")
+      val picks = mmrGreedy(qsims, sim).toDF("vec_id", "rank")
       short.join(broadcast(picks), "vec_id")
         .select(col("vec_id"), col("label"), col("qsim"), col("rank"))
     },
     Some(mmrOracle))
+
+  /** The shared MMR greedy (s25/x08): candidates with 6-dp relevance
+    * plus the symmetric 6-dp pairwise-similarity map in, (id, rank)
+    * picks out. Pick 1 is the relevance argmax; pick i maximizes
+    * λ·rel − μ·max(sim to picked); ties to the lower id — the exact
+    * arithmetic the generated oracle CTEs replay.
+    */
+  private def mmrGreedy(
+      rel: Seq[(Long, Double)],
+      sim: scala.collection.Map[(Long, Long), Double]): Seq[(Long, Long)] = {
+    val relMap = rel.toMap
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    val remaining = scala.collection.mutable.LinkedHashSet[Long](rel.map(_._1): _*)
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val best = remaining.toSeq.map { v =>
+        val score =
+          if (selected.isEmpty) relMap(v)
+          else MmrLambda * relMap(v) - MmrMu * selected.map(p => sim((v, p))).max
+        (score, v)
+      }.minBy { case (score, v) => (-score, v) }._2
+      selected += best
+      remaining -= best
+    }
+    selected.toSeq.zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) }
+  }
+
+  /** x08's generated pick chain: the s25 recipe with relevance = the
+    * 6-dp RRF score and the fused candidate set as the pool.
+    */
+  private lazy val x08Oracle = {
+    val picks = (2 to MmrK).map { i =>
+      s"""xcand$i AS (SELECT f.*, $MmrLambda * f.rrf - $MmrMu *
+              (SELECT max(p.sim) FROM xpairs p WHERE p.v1 = f.corpus_doc
+                 AND p.v2 IN (SELECT corpus_doc FROM xacc${i - 1})) AS sc
+            FROM fused f
+            WHERE f.corpus_doc NOT IN (SELECT corpus_doc FROM xacc${i - 1})),
+      xsel$i AS (SELECT corpus_doc, lex_rank, vec_rank, rrf, $i AS rank FROM xcand$i
+                 ORDER BY sc DESC, corpus_doc ASC LIMIT 1),
+      xacc$i AS MATERIALIZED (SELECT * FROM xacc${i - 1} UNION ALL SELECT * FROM xsel$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH xdocs AS MATERIALIZED (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+      xtf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM xdocs),
+      xtfc AS (SELECT doc_id, term, count(*) AS tf FROM xtf GROUP BY 1, 2),
+      xctf AS (SELECT doc_id, term, tf FROM xtfc WHERE doc_id <> 0),
+      xdl AS (SELECT doc_id, SUM(tf) AS dl FROM xctf GROUP BY 1),
+      xdfc AS (SELECT term, count(*) AS df FROM xctf GROUP BY 1),
+      xst AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS s FROM xdl),
+      xqt AS (SELECT term FROM xtfc WHERE doc_id = 0
+              QUALIFY row_number() OVER (ORDER BY tf DESC, term ASC) <= 4),
+      xlex0 AS (SELECT c.doc_id AS corpus_doc,
+                  SUM(CAST(round(((xst.n - xdfc.df + 0.5) / (xdfc.df + 0.5))
+                    * (CAST(c.tf AS DOUBLE) * 2.2
+                       / (CAST(c.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(xdl.dl AS DOUBLE) * xst.n / xst.s))), 6)
+                    AS DECIMAL(18, 6))) AS sdec
+                FROM xqt q
+                JOIN xctf c USING (term)
+                JOIN xdfc USING (term)
+                JOIN xdl ON xdl.doc_id = c.doc_id
+                CROSS JOIN xst
+                GROUP BY c.doc_id),
+      xlex AS MATERIALIZED (
+        SELECT corpus_doc,
+               CAST(row_number() OVER (ORDER BY sdec DESC, corpus_doc ASC) AS BIGINT) AS lex_rank
+        FROM xlex0
+        QUALIFY row_number() OVER (ORDER BY sdec DESC, corpus_doc ASC) <= 10),
+      xq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      xdims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      xdx AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(xq.qv[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e, xq, xdims d
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      xdense AS MATERIALIZED (
+        SELECT vec_id AS corpus_doc,
+               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+        FROM (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xdx)
+        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10),
+      fused AS MATERIALIZED (
+        SELECT corpus_doc, l.lex_rank, v.vec_rank,
+               round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0), 6) AS rrf
+        FROM xlex l FULL OUTER JOIN xdense v USING (corpus_doc)),
+      xpx AS (SELECT a.corpus_doc AS v1, b.corpus_doc AS v2,
+                SUM(CAST(ea.embedding[d.d+1] AS DOUBLE) * CAST(eb.embedding[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(ea.embedding[d.d+1] AS DOUBLE) * CAST(ea.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(eb.embedding[d.d+1] AS DOUBLE) * CAST(eb.embedding[d.d+1] AS DOUBLE)) AS nb
+              FROM fused a JOIN embeddings ea ON ea.vec_id = a.corpus_doc,
+                   fused b JOIN embeddings eb ON eb.vec_id = b.corpus_doc,
+                   xdims d
+              WHERE a.corpus_doc < b.corpus_doc
+              GROUP BY a.corpus_doc, b.corpus_doc),
+      xpairs AS MATERIALIZED (
+        SELECT v1, v2, round(dt / (sqrt(na) * sqrt(nb)), 6) AS sim FROM xpx
+        UNION ALL
+        SELECT v2, v1, round(dt / (sqrt(na) * sqrt(nb)), 6) FROM xpx),
+      xsel1 AS (SELECT corpus_doc, lex_rank, vec_rank, rrf, 1 AS rank FROM fused
+                ORDER BY rrf DESC, corpus_doc ASC LIMIT 1),
+      xacc1 AS MATERIALIZED (SELECT * FROM xsel1),
+      $picks
+      SELECT corpus_doc, lex_rank, vec_rank, rrf, CAST(rank AS BIGINT) AS rank
+      FROM xacc$MmrK
+    """.trim
+  }
+
+  // -- x08: the retrieval SERVING stack composed end-to-end — lexical
+  //    BM25 (s12's scoring) + dense cosine (s01) fused by
+  //    reciprocal-rank fusion (s14's k=60 rule) and DIVERSIFIED by
+  //    MMR (s25's greedy, relevance = the fused score), the four-stage
+  //    answer a serving deployment actually returns for one query.
+  //    The corpus restricts to the EMBEDDED collection — diversity
+  //    needs a vector for every candidate, and at sf0.1 only 2 of 5
+  //    documents are embedded, so the restriction is a real filter.
+  //    Query = doc/vec 0 (doc_id ≡ vec_id, the d10 convention). Both
+  //    retrieval arms are the proven catalog operators; everything
+  //    downstream of the two top-10s is bounded (≤ 20 fused members),
+  //    so fusion + greedy cost constant driver work at any corpus
+  //    size, and each arm swaps for its standing-index form (s13/s10)
+  //    without touching the fusion or diversification stages.
+  private val x08 = Q(
+    "x08_retrieval_serving",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val embIds = emb.select(col("vec_id"))
+      val docs = Tables.documents(s, d)
+        .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val corpusTf = tf.filter(col("doc_id") =!= 0L)
+      val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val dfr = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      val nCorpus = stats.getLong(0).toDouble
+      val sumDl = stats.getLong(1).toDouble
+      val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+      val qTerms = tf.filter(col("doc_id") === 0L)
+        .withColumn("qr", row_number().over(wq)).filter(col("qr") <= 4)
+        .select("term")
+      val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val lenNorm = lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+      val tfNorm = col("tf").cast(DoubleType) * lit(2.2) /
+        (col("tf").cast(DoubleType) + lit(1.2) * lenNorm)
+      val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+      val wl = Window.orderBy(col("sdec").desc, col("corpus_doc"))
+      val lex = broadcast(qTerms)
+        .join(corpusTf.withColumnRenamed("doc_id", "corpus_doc"), "term")
+        .join(broadcast(dfr), "term")
+        .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+        .groupBy("corpus_doc").agg(sum(contrib).as("sdec"))
+        .withColumn("lex_rank", row_number().over(wl).cast(LongType))
+        .filter(col("lex_rank") <= 10)
+        .select("corpus_doc", "lex_rank")
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val wd = Window.orderBy(col("cos").desc, col("corpus_doc"))
+      val dense = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("corpus_doc"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("vec_rank", row_number().over(wd).cast(LongType))
+        .filter(col("vec_rank") <= 10)
+        .select("corpus_doc", "vec_rank")
+      val rrfRaw = coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+      val fused = lex.join(dense, Seq("corpus_doc"), "full_outer")
+        .withColumn("rrf", round(rrfRaw, 6))
+      val members = fused.select("corpus_doc")
+        .join(emb, col("corpus_doc") === col("vec_id"))
+        .select(col("corpus_doc"), col("embedding"))
+      val a = members.select(col("corpus_doc").as("v1"), col("embedding").as("e1"))
+      val b = members.select(col("corpus_doc").as("v2"), col("embedding").as("e2"))
+      val sim = scala.collection.mutable.Map[(Long, Long), Double]()
+      for (r <- a.join(broadcast(b), col("v1") < col("v2"))
+          .select(col("v1"), col("v2"),
+            round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
+          .collect()) {
+        val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        sim((v1, v2)) = sv
+        sim((v2, v1)) = sv
+      }
+      val rel = fused.select("corpus_doc", "rrf").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      import s.implicits._
+      val picks = mmrGreedy(rel, sim).toDF("corpus_doc", "rank")
+      fused.join(broadcast(picks), "corpus_doc")
+        .select(col("corpus_doc"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+    },
+    Some(x08Oracle))
 
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
@@ -3217,7 +3394,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

@@ -187,6 +187,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scaleprobe")
     val reps = if (args.length > 1) args(1).toInt else 2
+    // local iteration: any further args restrict the probe set by name
+    // (catalog entries AND the named special probes), so a new entry's
+    // scaling row doesn't cost a full-sweep re-run
+    val only = args.drop(2).toSet
+    def enabled(name: String) = only.isEmpty || only(name)
     val cores = Runtime.getRuntime.availableProcessors()
     val spark = SparkSessions.local("graft-scaleprobe", cores)
     import spark.implicits._
@@ -219,13 +224,18 @@ object ScaleProbe {
       // r12: the pair-graph contraction (large-star/small-star rounds)
       // and the map-only multi-frame GIF decode — the first was never
       // tabled, the second is the r11 codec addition
-      "d09_dedup_clusters", "m10_gif_frames")
+      "d09_dedup_clusters", "m10_gif_frames",
+      // r12 additions: the serving re-rank (constant-size shortlist =>
+      // expected ~linear scan tail), the bigram LM (aggregation-shaped),
+      // and the window chunker (map-only)
+      "s25_mmr_rerank", "t12_bigram_surprisal", "p12_context_windows")
     // warmup: JIT + codegen on the smallest slice, untimed
-    queries.foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
-    materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
+    queries.filter(enabled).foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
+    if (only.isEmpty)
+      materialize(semDedup(graft.Tables.embeddings(spark, s"$outBase/x1"), 16))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
-    queries.foreach { q =>
+    queries.filter(enabled).foreach { q =>
       val mults = if (ExtQueries(q)) MultipliersExt else Multipliers
       results(q) = mults.map { m =>
         val t = bestOf(reps)(materialize(SparkEntry.queries(q)(spark, s"$outBase/x$m")))
@@ -235,13 +245,13 @@ object ScaleProbe {
     }
     // the knob variants: nCentroids grows with the corpus (16·m);
     // hyperplane band width grows with log2(m) (4 bands kept)
-    results("d14_scaled_centroids") = Multipliers.map { m =>
+    if (enabled("d14_scaled_centroids")) results("d14_scaled_centroids") = Multipliers.map { m =>
       val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
       val t = bestOf(reps)(materialize(semDedup(emb, 16 * m)))
       println(f"""{"probe":"d14_scaled_centroids","mult":$m,"sec":$t%.3f}""")
       (m, t)
     }
-    results("d06_scaled_planes") = Multipliers.map { m =>
+    if (enabled("d06_scaled_planes")) results("d06_scaled_planes") = Multipliers.map { m =>
       val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
       val bits = 4 + (math.log(m.toDouble) / math.log(2)).ceil.toInt
       val t = bestOf(reps)(materialize(embNearDup(emb, 4 * bits, bits)))
@@ -249,7 +259,7 @@ object ScaleProbe {
       (m, t)
     }
 
-    results("s12_fixed_queries") = Multipliers.map { m =>
+    if (enabled("s12_fixed_queries")) results("s12_fixed_queries") = Multipliers.map { m =>
       val docs = graft.Tables.documents(spark, s"$outBase/x$m")
       val t = bestOf(reps)(materialize(bm25Fixed(docs, 50)))
       println(f"""{"probe":"s12_fixed_queries","mult":$m,"sec":$t%.3f}""")
@@ -261,7 +271,7 @@ object ScaleProbe {
     // generation) and probe-after-forget ≈ probe-before. Rebuild per
     // rep — a second fold over an already-folded index is an
     // idempotent no-op, which would flatter the timing.
-    results("d18_forget_fold") = Multipliers.map { m =>
+    if (enabled("d18_forget_fold")) results("d18_forget_fold") = Multipliers.map { m =>
       val dir = s"$outBase/x$m"
       val idxDir = s"$dir/idx_d18"
       val t = (1 to reps).map { _ =>
@@ -276,7 +286,7 @@ object ScaleProbe {
       }.min
       (m, t)
     }
-    results("s22_retraction_fold") = Multipliers.map { m =>
+    if (enabled("s22_retraction_fold")) results("s22_retraction_fold") = Multipliers.map { m =>
       val dir = s"$outBase/x$m"
       val idxDir = s"$dir/idx_s22"
       val t = (1 to reps).map { _ =>
@@ -293,7 +303,7 @@ object ScaleProbe {
     // bus height-retention fold vs log size: driver-side segment scan +
     // retained-tail copy, expected ~linear in the log bytes. 4
     // partitions like the bench probes; the floor cuts ~half the log.
-    results("bus_retain_height") = Multipliers.map { m =>
+    if (enabled("bus_retain_height")) results("bus_retain_height") = Multipliers.map { m =>
       val nBlocks = 2000 * m
       val t = (1 to reps).map { _ =>
         val topic = s"$outBase/x$m/bus_retain_${java.util.UUID.randomUUID().toString.take(8)}"
