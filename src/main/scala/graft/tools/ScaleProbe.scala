@@ -228,7 +228,8 @@ object ScaleProbe {
       // r12 additions: the serving re-rank (constant-size shortlist =>
       // expected ~linear scan tail), the bigram LM (aggregation-shaped),
       // and the window chunker (map-only)
-      "s25_mmr_rerank", "t12_bigram_surprisal", "p12_context_windows")
+      "s25_mmr_rerank", "t12_bigram_surprisal", "p12_context_windows",
+      "x08_retrieval_serving")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.filter(enabled).foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     if (only.isEmpty)
