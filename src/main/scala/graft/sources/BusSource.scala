@@ -319,6 +319,12 @@ object BusSource {
       dir: String, p: Int, seg: java.io.File, base: Long, cut: Long): Unit =
     if (cut > base) {
       val pd = partDir(dir, p)
+      // a fold that died mid-copy leaves a *.log.tmp: never visible to
+      // readers (activeSegment matches only log/N.log) but the stale-
+      // segment sweep below doesn't match it either, so clear crash
+      // leftovers here or they leak forever
+      Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".log.tmp")).foreach(_.delete())
       val tmp = new java.io.File(pd, s"$cut.log.tmp")
       copyRange(seg, cut - base, seg.length(), tmp)
       val fresh = new java.io.File(pd, s"$cut.log")

@@ -228,6 +228,25 @@ class BusSourceSpec extends AnyFunSuite {
     assert(fresh.length == 15, s"fresh earliest consumer saw ${fresh.length} records")
   }
 
+  test("a fold that died mid-copy leaves residue the next fold clears; readers never see it") {
+    val dir = newTopic(1)
+    val base = Files.createTempDirectory("graft_bus_crash").toString
+    BusSource.append(dir, 0, (0 until 40).map(i => s"""{"seq_id":${100 + i},"v":$i}"""))
+    // simulate a retention fold killed mid-copy: a partial .log.tmp in
+    // the partition dir (never a reader-visible segment name)
+    val leftover = new java.io.File(s"$dir/p0", "999.log.tmp")
+    java.nio.file.Files.write(leftover.toPath, "torn partial".getBytes("UTF-8"))
+    // readers ignore it outright
+    assert(drainTo(dir, s"$base/c").length == 40)
+    // the next fold clears the crash leftover and lands normally
+    BusSource.retainAboveHeight(dir, 120)
+    assert(!leftover.exists(), "crashed fold's .log.tmp must be cleared by the next fold")
+    assert(!new java.io.File(s"$dir/p0").listFiles().exists(_.getName.endsWith(".tmp")),
+      "no temp residue after a completed fold")
+    val fresh = drainTo(dir, s"$base/c2")
+    assert(fresh.length == 20, s"fresh earliest consumer saw ${fresh.length} records")
+  }
+
   test("maxBytesRetained keeps a bounded tail even below the ack floor") {
     val dir = newTopic(1)
     BusSource.append(dir, 0, (0 until 100).map(i => f"m$i%03d")) // 5 bytes/record
