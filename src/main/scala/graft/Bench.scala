@@ -376,8 +376,36 @@ object Bench {
             name -> None
         }
       }
-    val splitsJson = splitTimes.collect { case (n, Some((b, p))) =>
-      s""""${n}_build_s":${f"$b%.3f"},"${n}_probe_s":${f"$p%.3f"}""" }.mkString("{", ",", "}")
+    // build / FOLD / probe split for the deletion composites — the
+    // takedown fold gets its own certified number instead of hiding
+    // inside a build-dominated composite (the d18/s22 accounting)
+    val forgetSplitTimes = graft.llm.LlmQueries.forgetSplits
+      .filter { case (n, _) => only.isEmpty || only(n) }.toSeq.sortBy(_._1)
+      .map { case (name, (build, fold, probe)) =>
+        try {
+          build(spark, WarmDir); fold(spark, WarmDir); materialize(probe(spark, WarmDir))
+          val times = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            val tb = System.nanoTime()
+            build(spark, sfDir)
+            val tf = System.nanoTime()
+            fold(spark, sfDir)
+            val tm = System.nanoTime()
+            materialize(probe(spark, sfDir))
+            ((tf - tb) / 1e9, (tm - tf) / 1e9, (System.nanoTime() - tm) / 1e9)
+          }
+          name -> Some((times.map(_._1).min, times.map(_._2).min, times.map(_._3).min))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] forget split $name failed: $e")
+            name -> None
+        }
+      }
+    val splitsJson = (splitTimes.collect { case (n, Some((b, p))) =>
+      s""""${n}_build_s":${f"$b%.3f"},"${n}_probe_s":${f"$p%.3f"}""" } ++
+      forgetSplitTimes.collect { case (n, Some((b, f, p))) =>
+        s""""${n}_build_s":${f"$b%.3f"},"${n}_fold_s":${f"$f%.3f"},"${n}_probe_s":${f"$p%.3f"}""" })
+      .mkString("{", ",", "}")
     // canary + load sample AROUND each probe: r10's streaming numbers
     // swung 3x on unchanged code with no per-probe evidence (probes run
     // last, after minutes of load, with no gate of their own) — now

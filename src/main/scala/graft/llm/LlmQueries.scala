@@ -3406,6 +3406,49 @@ object LlmQueries {
     * tables, codes, postings), so the halves run in different
     * processes.
     */
+  /** build / forget-fold / probe split for the four deletion
+    * composites — the catalog number is dominated by the honest index
+    * build (the d15/s13 accounting), and these sub-metrics let the
+    * bench certify the FOLD itself as `<name>_fold_s` next to the
+    * build/probe halves, so the takedown cost is a committed number
+    * instead of a residual. Each triple uses the entry's own predicate
+    * and a dedicated index dir, so timing splits never race the
+    * catalog entry's run.
+    */
+  def forgetSplits: Map[String,
+      ((SparkSession, String) => Unit,
+       (SparkSession, String) => Unit,
+       (SparkSession, String) => DataFrame)] = {
+    val d18Dir = new java.io.File("target/graft_idx/split_d18").getAbsolutePath
+    val s22Dir = new java.io.File("target/graft_idx/split_s22").getAbsolutePath
+    val s23Dir = new java.io.File("target/graft_idx/split_s23").getAbsolutePath
+    val s24Dir = new java.io.File("target/graft_idx/split_s24").getAbsolutePath
+    val pred = col("doc_id") % 10 === 3
+    val vpred = col("vec_id") % 10 === 3
+    Map(
+      "d18_forget_neardup" -> ((
+        (s: SparkSession, d: String) => d15BuildAt(s, d, d18Dir),
+        (s: SparkSession, _: String) => forgetDocs(s, d18Dir, pred),
+        (s: SparkSession, d: String) => d15ProbeAt(s, d, d18Dir))),
+      "s22_bm25_forget" -> ((
+        (s: SparkSession, d: String) => s13BuildAt(s, d, s22Dir),
+        (s: SparkSession, _: String) => s13Forget(s, s22Dir, pred),
+        (s: SparkSession, d: String) => s13ProbeAt(s, d, s22Dir))),
+      "s23_ivfpq_forget" -> ((
+        (s: SparkSession, d: String) => s10BuildAt(s, d, s23Dir),
+        (s: SparkSession, _: String) => forgetRows(s, s23Dir, Seq("rows"), vpred),
+        (s: SparkSession, d: String) => s10ProbeAt(s, d, s23Dir))),
+      "s24_hamming_forget" -> ((
+        (s: SparkSession, d: String) => {
+          val root = new org.apache.hadoop.fs.Path(s24Dir)
+          graft.streaming.FoldCommit.clearResidue(
+            root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+          s19BuildAt(s, d, s"$s24Dir/codes")
+        },
+        (s: SparkSession, _: String) => forgetRows(s, s24Dir, Seq("codes"), vpred),
+        (s: SparkSession, d: String) => s19ProbeAt(s, d, s"$s24Dir/codes"))))
+  }
+
   def standingSplits: Map[String,
       ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = Map(
     "d15_standing_neardup" -> ((d15Build _, d15Probe _)),
