@@ -470,6 +470,13 @@ object Bench {
     // follows the INDEX size, not the forget-set size — the axis that
     // matters at scale)
     val gateForgetDocsPerSec = probeGated("gate_forget") { gateForgetThroughput(spark, sfDir) }
+    // the last two gates without a committed number: the weighted
+    // sampler's per-batch top-N election + generation append, and the
+    // transformWithState keeper election (RocksDB state) under real
+    // duplicate pressure — with these every streaming surface in the
+    // module map carries a throughput figure
+    val sampleDocsPerSec = probeGated("sample") { sampleThroughput(spark, sfDir) }
+    val keeperDocsPerSec = probeGated("keeper") { keeperThroughput(spark, sfDir) }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -496,7 +503,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -828,6 +835,71 @@ object Bench {
         .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Streaming weighted-sampler docs/s: the corpus streamed through
+    * SampleGate's per-batch exponential-key top-N election + candidate
+    * generation append; the probe asserts the standing sample is
+    * non-empty so a silently-degenerate gate can't commit a number.
+    */
+  private def sampleThroughput(spark: SparkSession, sfDir: String): Double = {
+    sampleRun(spark, WarmDir)
+    sampleRun(spark, sfDir)
+  }
+
+  private[graft] def sampleRun(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_sample").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "text", "lang", "source")
+      val n = docs.count()
+      docs.write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.SampleGate
+        .start(spark, src, s"$base/state", s"$base/ckpt")
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(graft.streaming.SampleGate.sample(spark, s"$base/state").count() > 0,
+        "sample probe produced an empty standing sample")
+      n / secs
+    } finally rmTree(base)
+  }
+
+  /** Keeper-election docs/s: the corpus streamed TWICE with remapped
+    * doc_ids so every second-pass fingerprint collides and the
+    * transformWithState election (RocksDB state store) actually runs
+    * per key — the maximum-duplicate-pressure recipe the near-dup and
+    * semantic probes use, applied to the exact-fingerprint family.
+    */
+  private def keeperThroughput(spark: SparkSession, sfDir: String): Double = {
+    keeperRun(spark, WarmDir)
+    keeperRun(spark, sfDir)
+  }
+
+  private[graft] def keeperRun(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_keeper").toString
+    try {
+      val src = s"$base/src"
+      val docs = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "text", "lang", "source")
+      val n = docs.count() * 2
+      val off = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head().getLong(0) + 1
+      docs.write.mode("append").json(src)
+      docs.selectExpr(s"doc_id + $off AS doc_id", "text", "lang", "source")
+        .write.mode("append").json(src)
+      val t0 = System.nanoTime()
+      graft.streaming.DocIngest
+        .startKeeper(spark, src, s"$base/dec", s"$base/ckpt")
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(graft.streaming.DocIngest.keeperCompact(spark, s"$base/dec").count() > 0,
+        "keeper probe produced no decisions")
+      n / secs
     } finally rmTree(base)
   }
 

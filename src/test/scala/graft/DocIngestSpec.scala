@@ -166,4 +166,10 @@ class DocIngestSpec extends AnyFunSuite {
     // filters on pre-evolution columns still push down across versions
     assert(merged.filter(col("doc_id") === 2L).count() == 1)
   }
+
+  test("the bench keeper probe elects under duplicate pressure and reports a positive rate") {
+    // the probe's own require() enforces a non-empty decision log
+    val rate = graft.Bench.keeperRun(spark, "/root/testdata/sf0.001")
+    assert(rate > 0, s"keeper probe rate $rate")
+  }
 }

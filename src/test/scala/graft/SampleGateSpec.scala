@@ -119,4 +119,10 @@ class SampleGateSpec extends AnyFunSuite {
     assert(after.exceptAll(expected).count() == 0 &&
       expected.exceptAll(after).count() == 0)
   }
+
+  test("the bench sample probe streams the corpus and reports a positive rate") {
+    // the probe's own require() enforces a non-empty standing sample
+    val rate = graft.Bench.sampleRun(spark, "/root/testdata/sf0.001")
+    assert(rate > 0, s"sample probe rate $rate")
+  }
 }
