@@ -97,6 +97,85 @@ object MediaCodecs {
     Wav(sampleRate, channels, bits, out)
   }
 
+  // ------------------------------------------------- G.711 μ-law WAV
+
+  /** G.711 μ-law compressor — the classic CCITT segment algorithm
+    * (clip 32635, bias 0x84, floor-log2 segment, truncated 4-bit
+    * mantissa), hand-written so the DuckDB oracle can replay
+    * encode∘decode as pure integer math. The DECODE side goes through
+    * the JDK's own javax.sound codec ([[ulawWavDecode]]); CodecSpec
+    * proves the two agree on every one of the 256 codewords.
+    */
+  def ulawEncode(sample: Short): Byte = {
+    val v = sample.toInt
+    val sign = if (v < 0) 0x80 else 0
+    val m = math.min(math.abs(v), 32635) + 132
+    val e = 31 - Integer.numberOfLeadingZeros(m) - 7 // floor-log2(m) − 7; m ≥ 132 ⇒ e ∈ [0,7]
+    val mant = (m >> (e + 3)) & 0x0f
+    (~(sign | (e << 4) | mant)).toByte
+  }
+
+  /** the G.711 expansion formula — what the oracle replays in SQL and
+    * what the spec checks the JDK codec's output against, code by code
+    */
+  def ulawExpand(code: Byte): Short = {
+    val u = (~code) & 0xff
+    val t = (((u & 0x0f) << 3) + 132) << ((u >> 4) & 7)
+    (if ((u & 0x80) != 0) 132 - t else t - 132).toShort
+  }
+
+  /** RIFF/WAVE writer for the COMPRESSED telephony layout: format tag
+    * 7 (WAVE_FORMAT_MULAW), 8 bits/sample, block align 1, and the
+    * 18-byte fmt chunk (cbSize = 0) non-PCM formats require
+    */
+  def ulawWavWrite(codes: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer
+      .allocate(46 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(38 + codes.length) // riff chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(18) // fmt chunk size (non-PCM: 16 + cbSize field)
+    buf.putShort(7) // audio format: WAVE_FORMAT_MULAW
+    buf.putShort(1) // channels: mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate) // byte rate: 1 byte/sample
+    buf.putShort(1) // block align
+    buf.putShort(8) // bits per sample
+    buf.putShort(0) // cbSize: no format extension
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(codes.length)
+    buf.put(codes)
+    buf.array()
+  }
+
+  /** REAL compressed-audio decode via the JDK's own javax.sound codec
+    * stack — WaveFileReader parses the format-tag-7 container, the
+    * ULAW→PCM_SIGNED FormatConversionProvider expands the companded
+    * bytes to 16-bit linear; no external library, and no stub. Returns
+    * (sampleRate, PCM16 samples).
+    */
+  def ulawWavDecode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val src = ais.getFormat
+      require(src.getEncoding == AudioFormat.Encoding.ULAW,
+        s"not a μ-law stream: ${src.getEncoding}")
+      require(src.getChannels == 1, s"unsupported channels: ${src.getChannels}")
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, 1, 2, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(dst, ais)
+      val out = pcm.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](out.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+      (src.getSampleRate.toInt, samples)
+    } finally ais.close()
+  }
+
   // ---------------------------------------------------------------- PPM
 
   /** minimal PPM P6 writer: binary RGB, maxval 255 */

@@ -3022,8 +3022,9 @@ object LlmQueries {
   // -- m02: batched feature extraction through the typed Dataset
   //    boundary (decode here is a deterministic stub exercising the
   //    PIPELINE shape — schema, batching, typed rows; the REAL decode
-  //    kernels live in m06-m09: WAV/PPM/PNG hash-exact, JPEG
-  //    bound-verified; exact values also asserted in LlmSpec). The
+  //    kernels live in m06-m11: WAV/PPM/PNG/GIF hash-exact, JPEG
+  //    bound-verified, G.711 μ-law companding error-image-exact;
+  //    exact values also asserted in LlmSpec). The
   //    library API returns the typed
   //    Array[Float] features; the catalog projection recovers the
   //    integer digest bytes (f*255 is exact for b/255 floats) both to
@@ -3319,6 +3320,56 @@ object LlmQueries {
       GROUP BY media_id, nf, f, w, h
     """.trim))
 
+  // -- m11: REAL COMPRESSED audio decode — G.711 μ-law, the telephony
+  //    companding codec: encoded by the hand-written CCITT compressor
+  //    (clip 32635, bias 0x84, floor-log2 segment, truncated 4-bit
+  //    mantissa) and decoded by the JDK's OWN javax.sound codec stack
+  //    (WaveFileReader walks the format-tag-7 RIFF container, the
+  //    ULAW→PCM conversion provider expands to 16-bit linear — no
+  //    external library, no stub). Extends the real-codec ladder to
+  //    compressed AUDIO the way m08/PNG did for images — and although
+  //    companding is LOSSY, the G.711 expansion is deterministic
+  //    integer math, so the oracle replays encode∘decode per sample
+  //    with `length(bin(m))-8` as the segment and checks every decoded
+  //    statistic (peak / total amplitude / zero crossings) AND the
+  //    companding-error image (sum/max |decoded − original|)
+  //    byte-exactly. CodecSpec proves the JDK table ≡ the formula on
+  //    all 256 codewords. After this rung only perceptual codecs
+  //    (MP3/H.264-class) remain behind the m02 stub — they need codec
+  //    libraries this container doesn't ship. Per-row mapPartitions,
+  //    zero exchanges (PlanAuditSpec).
+  private val m11 = Q(
+    "m11_ulaw_decode",
+    (s, d) =>
+      Multimodal
+        .ulawFeatures(s, Multimodal.ulawTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id, 8000 AS sr,
+                        400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+                 FROM documents),
+      sm AS (SELECT media_id, sr, n, i.i AS i,
+               ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+             FROM p, (SELECT unnest(range(600)) AS i) i WHERE i.i < n),
+      en AS (SELECT *, LEAST(abs(v), 32635) + 132 AS m FROM sm),
+      ex AS (SELECT *, length(bin(m)) - 8 AS e FROM en),
+      de AS (SELECT media_id, sr, n, i, v,
+               CASE WHEN v < 0
+                    THEN 132 - ((((m >> (e + 3)) & 15) * 8 + 132) << e)
+                    ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132 END AS dv
+             FROM ex),
+      lg AS (SELECT *, lag(dv) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM de)
+      SELECT media_id,
+             CAST(sr AS BIGINT) AS sample_rate,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(max(abs(dv)) AS BIGINT) AS peak,
+             CAST(sum(abs(dv)) AS BIGINT) AS sum_abs,
+             CAST(sum(CASE WHEN i > 0 AND ((dv >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS crossings,
+             CAST(sum(abs(dv - v)) AS BIGINT) AS sum_err,
+             CAST(max(abs(dv - v)) AS BIGINT) AS max_err
+      FROM lg GROUP BY media_id, sr, n
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -3394,7 +3445,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

@@ -164,6 +164,57 @@ object Multimodal {
     })
   }
 
+  /** real μ-law blobs: the SAME sawtooth as m06, compressed through
+    * the hand-written G.711 companding encoder into a format-tag-7
+    * RIFF container — the compressed-audio sibling of the PCM fixture
+    */
+  def ulawTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val codes = wavSamples(id).map(MediaCodecs.ulawEncode)
+      MediaRow(id, "audio", MediaCodecs.ulawWavWrite(codes, 8000))
+    })
+  }
+
+  case class UlawFeatures(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      peak: Long, sum_abs: Long, crossings: Long,
+      sum_err: Long, max_err: Long)
+
+  /** REAL compressed-audio decode: the JDK's javax.sound μ-law codec
+    * expands the companded container back to PCM16; signal statistics
+    * over the DECODED samples plus the companding-error image vs the
+    * original sawtooth (re-derived from media_id) — a LOSSY codec
+    * whose loss is still byte-exactly oracle-checkable, because the
+    * G.711 expansion is deterministic integer math. Audio's analogue
+    * of what PNG (m08) is for compressed images.
+    */
+  def ulawFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[UlawFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (sr, dec) = MediaCodecs.ulawWavDecode(r.bytes)
+      val orig = wavSamples(r.media_id)
+      require(dec.length == orig.length,
+        s"decoded ${dec.length} samples, fixture has ${orig.length}")
+      var peak = 0L; var sumAbs = 0L; var crossings = 0L
+      var sumErr = 0L; var maxErr = 0L
+      var i = 0
+      while (i < dec.length) {
+        val v = dec(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumAbs += a
+        if (i > 0 && ((dec(i - 1) >= 0) != (v >= 0))) crossings += 1
+        val err = math.abs(v - orig(i).toLong)
+        sumErr += err
+        if (err > maxErr) maxErr = err
+        i += 1
+      }
+      UlawFeatures(r.media_id, sr.toLong, dec.length.toLong,
+        peak, sumAbs, crossings, sumErr, maxErr)
+    })
+  }
+
   /** deterministic raster parameters per media id: w = 16 + id%16,
     * h = 12 + id%8, channel values linear-modular in (x, y, id)
     */

@@ -229,7 +229,10 @@ object ScaleProbe {
       // expected ~linear scan tail), the bigram LM (aggregation-shaped),
       // and the window chunker (map-only)
       "s25_mmr_rerank", "t12_bigram_surprisal", "p12_context_windows",
-      "x08_retrieval_serving")
+      "x08_retrieval_serving",
+      // r12: the compressed-audio rung — map-only per-row encode+decode
+      // like m10, so b ≈ 1 expected; measured, not assumed
+      "m11_ulaw_decode")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.filter(enabled).foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     if (only.isEmpty)

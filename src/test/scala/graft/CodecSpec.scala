@@ -236,6 +236,46 @@ class CodecSpec extends AnyFunSuite {
     intercept[Exception](gifParse(bytes.take(10))) // truncated container
   }
 
+  test("μ-law: JDK codec decode equals the G.711 expansion on all 256 codewords") {
+    import graft.functions.MediaCodecs._
+    // every possible codeword through a real format-tag-7 container and
+    // the JDK's ULAW→PCM conversion provider — the proof that lets the
+    // DuckDB oracle replay the decode as pure integer math
+    val codes = Array.tabulate(256)(i => i.toByte)
+    val (sr, dec) = ulawWavDecode(ulawWavWrite(codes, 8000))
+    assert(sr == 8000 && dec.length == 256)
+    for (i <- 0 until 256)
+      assert(dec(i) == ulawExpand(codes(i)),
+        s"codeword $i: jdk=${dec(i)} formula=${ulawExpand(codes(i))}")
+    // the canonical anchors: digital silence is 0xFF and round-trips to
+    // exact zero; full-scale clips to ±32124 (mant 15, segment 7)
+    assert(ulawEncode(0) == 0xff.toByte && ulawExpand(0xff.toByte) == 0)
+    assert(ulawExpand(ulawEncode(32767)) == 32124)
+    assert(ulawExpand(ulawEncode(-32768)) == -32124)
+  }
+
+  test("μ-law companding error is segment-centre bounded: |round-trip − clip(v)| ≤ 4·2^seg ≤ 512") {
+    import graft.functions.MediaCodecs._
+    check(Prop.forAll(Arbitrary.arbitrary[Short]) { s =>
+      val d = ulawExpand(ulawEncode(s)).toInt
+      val clipped = math.max(-32635, math.min(32635, s.toInt))
+      val m = math.abs(clipped) + 132
+      val seg = 31 - Integer.numberOfLeadingZeros(m) - 7
+      math.abs(d - clipped) <= (4 << seg) && math.abs(d - clipped) <= 512 &&
+      // companding never flips a sign (a negative may decode to exact 0)
+      (if (clipped > 0) d >= 0 else if (clipped < 0) d <= 0 else d == 0)
+    })
+  }
+
+  test("μ-law container rejects structural corruption instead of guessing") {
+    import graft.functions.MediaCodecs._
+    val good = ulawWavWrite(Array.tabulate(16)(_.toByte), 8000)
+    intercept[Exception](ulawWavDecode(good.take(20)))
+    intercept[Exception](ulawWavDecode("JUNK".getBytes ++ good.drop(4)))
+    // a PCM16 container is NOT silently mis-decoded as μ-law
+    intercept[Exception](ulawWavDecode(wavWrite(Array[Short](1, -1), 8000)))
+  }
+
   test("PPM nearest-neighbor resize matches a brute-force reference") {
     import graft.functions.MediaCodecs._
     check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {
