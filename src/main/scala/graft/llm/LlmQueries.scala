@@ -3019,39 +3019,74 @@ object LlmQueries {
       FROM documents
     """.trim))
 
-  // -- m02: batched feature extraction through the typed Dataset
-  //    boundary (decode here is a deterministic stub exercising the
-  //    PIPELINE shape — schema, batching, typed rows; the REAL decode
-  //    kernels live in m06-m11: WAV/PPM/PNG/GIF hash-exact, JPEG
-  //    bound-verified, G.711 μ-law companding error-image-exact;
-  //    exact values also asserted in LlmSpec). The
-  //    library API returns the typed
-  //    Array[Float] features; the catalog projection recovers the
-  //    integer digest bytes (f*255 is exact for b/255 floats) both to
-  //    be harness-sortable and to give the oracle integer parity — no
-  //    float-to-string formatting drift across engines.
+  // -- m02: the REAL batched multi-kind decoder — one mapPartitions
+  //    pass over real containers routed by kind (doc_id%3: PNG image /
+  //    G.711 μ-law audio / animated-GIF video, the m08/m11/m10
+  //    fixtures verbatim), each blob decoded by the JDK codec for its
+  //    format and reduced to a unified integer feature row: frames,
+  //    decoded units (pixels·frames / samples), value sum, peak. The
+  //    oracle re-derives every number per kind from the fixture
+  //    formulas (PNG and palette-GIF are lossless; μ-law expansion is
+  //    deterministic integer math) and UNION ALLs the three arms — so
+  //    the router's dispatch, not just each codec, is hash-gated: a
+  //    row sent down the wrong arm throws or diverges. This is the
+  //    production "decode the corpus" shape (per-partition codec
+  //    reuse, one scan, zero exchanges — PlanAuditSpec); an MP3 or
+  //    H.264 decoder, which this container does not ship, would drop
+  //    into the matching arm without touching schema or plan.
   private val m02 = Q(
     "m02_media_features",
     (s, d) =>
       Multimodal
-        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("byte_len"), col("n_frames"),
-          col("checksum"),
-          expr("concat_ws(',', transform(features, " +
-            "f -> cast(cast(round(cast(f as double) * 255) as int) as string)))").as("features")),
-    Some(s"""
-      SELECT doc_id AS media_id,
-        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                  WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 64 + 1
-                  ELSE octet_length(encode(text)) // 32 + 1 END AS BIGINT) AS n_frames,
-        md5(text) AS checksum,
-        array_to_string([${(0 until 8)
-        .map(i => s"CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
-        .mkString(", ")}], ',') AS features
-      FROM documents
+        .decodeRouted(s, Multimodal.realMediaTable(s, Tables.documents(s, d)))
+        .toDF(),
+    Some("""
+      WITH img AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+      img_px AS (SELECT media_id, w, h,
+                   SUM((x.x*3 + y.y*5 + media_id) % 256
+                     + (x.x*7 + y.y + 2*media_id) % 256
+                     + (x.x + y.y*11 + 3*media_id) % 256) AS s,
+                   MAX(GREATEST((x.x*3 + y.y*5 + media_id) % 256,
+                                (x.x*7 + y.y + 2*media_id) % 256,
+                                (x.x + y.y*11 + 3*media_id) % 256)) AS p
+                 FROM img, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+                 WHERE x.x < w AND y.y < h GROUP BY media_id, w, h),
+      img_out AS (SELECT media_id, 'image' AS kind, 1 AS n_frames, w*h AS n_units,
+                         s AS sum_vals, p AS peak FROM img_px),
+      aud AS (SELECT doc_id AS media_id, 8000 AS sr,
+                     400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+              FROM documents WHERE doc_id % 3 = 1),
+      aud_sm AS (SELECT media_id, n, ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+                 FROM aud, (SELECT unnest(range(600)) AS i) i WHERE i.i < n),
+      aud_en AS (SELECT *, LEAST(abs(v), 32635) + 132 AS m FROM aud_sm),
+      aud_ex AS (SELECT *, length(bin(m)) - 8 AS e FROM aud_en),
+      aud_de AS (SELECT media_id, n,
+                   CASE WHEN v < 0 THEN 132 - ((((m >> (e + 3)) & 15) * 8 + 132) << e)
+                        ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132 END AS dv
+                 FROM aud_ex),
+      aud_out AS (SELECT media_id, 'audio' AS kind, 1 AS n_frames, n AS n_units,
+                         SUM(abs(dv)) AS sum_vals, MAX(abs(dv)) AS peak
+                  FROM aud_de GROUP BY media_id, n),
+      vid AS (SELECT doc_id AS media_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents WHERE doc_id % 3 = 2),
+      vid_fr AS (SELECT media_id, w, h, nf, unnest(range(nf)) AS f FROM vid),
+      vid_px AS (SELECT media_id, w, h, nf,
+                   SUM(51 * ((x.x*3 + y.y*5 + media_id + 7*f) % 6)
+                     + 51 * ((x.x*7 + y.y + 2*media_id + 3*f) % 6)
+                     + 51 * ((x.x + y.y*11 + 3*media_id + 5*f) % 6)) AS s,
+                   MAX(GREATEST(51 * ((x.x*3 + y.y*5 + media_id + 7*f) % 6),
+                                51 * ((x.x*7 + y.y + 2*media_id + 3*f) % 6),
+                                51 * ((x.x + y.y*11 + 3*media_id + 5*f) % 6))) AS p
+                 FROM vid_fr, (SELECT unnest(range(16)) AS x) x, (SELECT unnest(range(12)) AS y) y
+                 WHERE x.x < w AND y.y < h GROUP BY media_id, w, h, nf),
+      vid_out AS (SELECT media_id, 'video' AS kind, nf AS n_frames, nf*w*h AS n_units,
+                         s AS sum_vals, p AS peak FROM vid_px)
+      SELECT media_id, kind,
+             CAST(n_frames AS BIGINT) AS n_frames, CAST(n_units AS BIGINT) AS n_units,
+             CAST(sum_vals AS BIGINT) AS sum_vals, CAST(peak AS BIGINT) AS peak
+      FROM (SELECT * FROM img_out UNION ALL SELECT * FROM aud_out UNION ALL SELECT * FROM vid_out)
     """.trim))
 
   // -- m03: frame sampling over byte-math frame indexing — every 4th
@@ -3068,8 +3103,7 @@ object LlmQueries {
     "m03_frame_sample",
     (s, d) =>
       Multimodal
-        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
-        .toDF()
+        .mediaFrameMeta(Multimodal.mediaTable(Tables.documents(s, d)))
         .filter(col("n_frames") > 1)
         .select(
           col("media_id"),
@@ -3107,8 +3141,7 @@ object LlmQueries {
     "m05_audio_windows",
     (s, d) =>
       Multimodal
-        .extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))
-        .toDF()
+        .mediaFrameMeta(Multimodal.mediaTable(Tables.documents(s, d)))
         .filter(col("kind") === "audio")
         .select(col("media_id"), col("byte_len").as("n_samples"))
         .filter(col("n_samples") >= 64)
@@ -3144,12 +3177,18 @@ object LlmQueries {
   // family is engine-internal (never oracle-checkable) and its
   // approxSimilarityJoin is strictly redundant with d03's banded LSH.)
 
-  // -- m04: resize plumbing — aspect-preserving target box per media
-  //    blob (stubbed scaler; invariants also in LlmSpec). The oracle
-  //    replays the stub's integer math: first text byte is ASCII
-  //    across all SFs (verified), so ascii(substr(text,1,1)) ≡ the
-  //    JVM's signed-byte toInt, and (w*scale).toInt ≡ floor for the
-  //    positive scale.
+  // -- m04: the REAL kind-routed downsampler — each modality reduced
+  //    along its natural axis over the same real containers as m02,
+  //    with the reduced content re-measured from actually-decoded
+  //    bytes: images NN-resize into an aspect-preserving 8-px box
+  //    (the m07 kernel on the decoded PNG raster), audio decimates
+  //    every 3rd expanded μ-law sample, video keeps every 2nd decoded
+  //    GIF frame. The oracle replays all three reductions from the
+  //    fixture formulas (the image arm reuses m07's integer
+  //    source-mapping sx = u·w//dw; the audio arm filters the sample
+  //    CTE to i%3=0; the video arm strides the frame range) — the
+  //    unified (src_extent, dst_extent, sum_out, peak_out) row is the
+  //    size-accounting record a 100 TB re-encode job plans from.
   // -- m06: REAL audio decode — actual RIFF/PCM16 WAV files (real
   //    writer, real chunk-walking parser, no codec library needed for
   //    the uncompressed container) with integer-sawtooth content, so
@@ -3374,25 +3413,61 @@ object LlmQueries {
     "m04_media_resize",
     (s, d) =>
       Multimodal
-        .resize(s, Multimodal.mediaTable(Tables.documents(s, d)), maxDim = 256)
+        .resizeRouted(s, Multimodal.realMediaTable(s, Tables.documents(s, d)))
         .toDF(),
-    Some(s"""
-      WITH m AS (SELECT doc_id AS media_id,
-          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          octet_length(encode(text)) AS blen,
-          CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS b0
-        FROM documents),
-      d AS (SELECT media_id, kind,
-          CAST(64 + blen % 1024 AS INT) AS src_w,
-          CAST(64 + (abs(b0) * 7) % 1024 AS INT) AS src_h
-        FROM m),
-      s AS (SELECT *, least(1.0, 256.0 / greatest(src_w, src_h)) AS scale FROM d)
-      SELECT media_id, kind, src_w, src_h,
-        CAST(greatest(1, CAST(floor(src_w * scale) AS INT)) AS INT) AS dst_w,
-        CAST(greatest(1, CAST(floor(src_h * scale) AS INT)) AS INT) AS dst_h,
-        CAST(greatest(1, CAST(floor(src_w * scale) AS INT)) AS BIGINT)
-          * greatest(1, CAST(floor(src_h * scale) AS INT)) * 3 AS est_bytes
-      FROM s
+    Some("""
+      WITH img AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+      img_d AS (SELECT media_id, w, h,
+                  GREATEST(1, (w * 8) // GREATEST(w, h)) AS dw,
+                  GREATEST(1, (h * 8) // GREATEST(w, h)) AS dh
+                FROM img),
+      img_rz AS (SELECT media_id, w, h, dw, dh,
+                   SUM(((u.u * w // dw) * 3 + (v.v * h // dh) * 5 + media_id) % 256
+                     + ((u.u * w // dw) * 7 + (v.v * h // dh) + 2 * media_id) % 256
+                     + ((u.u * w // dw) + (v.v * h // dh) * 11 + 3 * media_id) % 256) AS s,
+                   MAX(GREATEST(((u.u * w // dw) * 3 + (v.v * h // dh) * 5 + media_id) % 256,
+                                ((u.u * w // dw) * 7 + (v.v * h // dh) + 2 * media_id) % 256,
+                                ((u.u * w // dw) + (v.v * h // dh) * 11 + 3 * media_id) % 256)) AS p
+                 FROM img_d, (SELECT unnest(range(8)) AS u) u, (SELECT unnest(range(8)) AS v) v
+                 WHERE u.u < dw AND v.v < dh GROUP BY media_id, w, h, dw, dh),
+      img_out AS (SELECT media_id, 'image' AS kind, w*h AS src_extent, dw*dh AS dst_extent,
+                         s AS sum_out, p AS peak_out FROM img_rz),
+      aud AS (SELECT doc_id AS media_id, 8000 AS sr,
+                     400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+              FROM documents WHERE doc_id % 3 = 1),
+      aud_sm AS (SELECT media_id, n, ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+                 FROM aud, (SELECT unnest(range(0, 600, 3)) AS i) i WHERE i.i < n),
+      aud_en AS (SELECT *, LEAST(abs(v), 32635) + 132 AS m FROM aud_sm),
+      aud_ex AS (SELECT *, length(bin(m)) - 8 AS e FROM aud_en),
+      aud_de AS (SELECT media_id, n,
+                   CASE WHEN v < 0 THEN 132 - ((((m >> (e + 3)) & 15) * 8 + 132) << e)
+                        ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132 END AS dv
+                 FROM aud_ex),
+      aud_out AS (SELECT media_id, 'audio' AS kind, n AS src_extent,
+                         COUNT(*) AS dst_extent,
+                         SUM(abs(dv)) AS sum_out, MAX(abs(dv)) AS peak_out
+                  FROM aud_de GROUP BY media_id, n),
+      vid AS (SELECT doc_id AS media_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents WHERE doc_id % 3 = 2),
+      vid_fr AS (SELECT media_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM vid),
+      vid_px AS (SELECT media_id, w, h, nf,
+                   COUNT(DISTINCT f) AS kept,
+                   SUM(51 * ((x.x*3 + y.y*5 + media_id + 7*f) % 6)
+                     + 51 * ((x.x*7 + y.y + 2*media_id + 3*f) % 6)
+                     + 51 * ((x.x + y.y*11 + 3*media_id + 5*f) % 6)) AS s,
+                   MAX(GREATEST(51 * ((x.x*3 + y.y*5 + media_id + 7*f) % 6),
+                                51 * ((x.x*7 + y.y + 2*media_id + 3*f) % 6),
+                                51 * ((x.x + y.y*11 + 3*media_id + 5*f) % 6))) AS p
+                 FROM vid_fr, (SELECT unnest(range(16)) AS x) x, (SELECT unnest(range(12)) AS y) y
+                 WHERE x.x < w AND y.y < h GROUP BY media_id, w, h, nf),
+      vid_out AS (SELECT media_id, 'video' AS kind, nf AS src_extent, kept AS dst_extent,
+                         s AS sum_out, p AS peak_out FROM vid_px)
+      SELECT media_id, kind,
+             CAST(src_extent AS BIGINT) AS src_extent, CAST(dst_extent AS BIGINT) AS dst_extent,
+             CAST(sum_out AS BIGINT) AS sum_out, CAST(peak_out AS BIGINT) AS peak_out
+      FROM (SELECT * FROM img_out UNION ALL SELECT * FROM aud_out UNION ALL SELECT * FROM vid_out)
     """.trim))
 
   // -- s06: incremental IVF index append — the maintenance op the s04

@@ -7,25 +7,21 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque binary
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container ships no image/audio codecs); everything around it — the
-  * schema, the typed Dataset boundary, the per-partition batch shape,
-  * the feature-vector contract — is the real pipeline a decoder drops
-  * into. `mapPartitions` is the Scala analog of arrow-batched pandas
-  * UDFs: the decode amortizes per-partition setup (codec init, model
-  * load) across the rows of each batch.
+  * Every decode in this file is REAL: the kind-routed batch decoder
+  * ([[decodeRouted]]) and downsampler ([[resizeRouted]]) dispatch each
+  * row to the JDK's own codecs — PNG (javax.imageio inflate+defilter)
+  * for images, G.711 μ-law (javax.sound) for audio, multi-frame GIF
+  * (javax.imageio LZW) for video — over real containers written by
+  * real encoders. `mapPartitions` is the Scala analog of
+  * arrow-batched pandas UDFs: the decode amortizes per-partition
+  * setup (codec/reader init) across the rows of each batch, and a
+  * perceptual codec this container doesn't ship (MP3, H.264) would
+  * drop into the matching arm of the router without touching the
+  * schema, the batching, or the downstream algebra.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
-
-  case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      byte_len: Long,
-      checksum: String,
-      n_frames: Long,
-      features: Array[Float])
 
   /** synthesize a binary media column from the documents table (the
     * fixture corpus has no real media; text bytes stand in for the blob)
@@ -37,64 +33,23 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"))
 
-  /** STUB decoder: a real implementation calls an image/audio codec
-    * here (per-partition init, batched decode). This stand-in derives
-    * deterministic pseudo-features from the bytes so the pipeline is
-    * testable end-to-end.
+  /** metadata-driven frame/sample accounting over the opaque blobs —
+    * pure column algebra (no typed boundary, no decode: the whole
+    * point of the m03/m05 sampling entries is that a 100 TB pipeline
+    * picks offsets WITHOUT touching bytes it will drop, so this stays
+    * inside whole-stage codegen). The per-kind frame rule is the
+    * documented metadata contract: images are single-frame; audio and
+    * video frame counts derive from the blob length at the container's
+    * nominal frame stride (64 / 32 bytes).
     */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(r.bytes)
-    val checksum = digest.map("%02x".format(_)).mkString
-    val nFrames = r.kind match {
-      case "image" => 1L
-      case "audio" => (r.bytes.length / 64 + 1).toLong
-      case _ => (r.bytes.length / 32 + 1).toLong
-    }
-    val features = digest.take(8).map(b => (b & 0xff).toFloat / 255.0f)
-    MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum, nFrames, features)
-  }
-
-  /** batched feature extraction: one decoder instance per partition,
-    * streamed over the rows (never materializes a partition in memory)
-    */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      // per-partition setup happens here (codec/model init in a real impl)
-      rows.map(decodeStub)
-    }
-  }
-
-  case class ResizedMedia(
-      media_id: Long,
-      kind: String,
-      src_w: Int,
-      src_h: Int,
-      dst_w: Int,
-      dst_h: Int,
-      est_bytes: Long)
-
-  /** STUB resize: a real implementation decodes, scales, and re-encodes
-    * per partition; this stand-in derives deterministic source
-    * dimensions from the bytes and computes the aspect-preserving
-    * target box — the exact plumbing (typed rows, batched partitions,
-    * size accounting) a real scaler drops into.
-    */
-  def resize(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        // fake source dims from content bytes (stable per blob)
-        val w = 64 + (r.bytes.length % 1024)
-        val h = 64 + (math.abs(r.bytes.headOption.getOrElse(0: Byte).toInt) * 7 % 1024)
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        val dw = math.max(1, (w * scale).toInt)
-        val dh = math.max(1, (h * scale).toInt)
-        ResizedMedia(r.media_id, r.kind, w, h, dw, dh, dw.toLong * dh * 3)
-      }
-    }
-  }
+  def mediaFrameMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("kind"),
+      length(col("bytes")).cast(LongType).as("byte_len"),
+      when(col("kind") === "image", lit(1L))
+        .when(col("kind") === "audio", (length(col("bytes")) / 64 + 1).cast(LongType))
+        .otherwise((length(col("bytes")) / 32 + 1).cast(LongType)).as("n_frames"))
 
   /** scalar metadata view of the media table — oracle-checkable
     * (byte length, md5, kind routing) without the stubbed decode
@@ -389,6 +344,136 @@ object Multimodal {
         }
         GifFrameFeatures(r.media_id, nf.toLong, fi.toLong,
           anim.w.toLong, anim.h.toLong, sr, sg, sb)
+      }
+    })
+  }
+
+  // ------------------------------------------- kind-routed REAL decode
+
+  /** one REAL container per document, routed by kind exactly like the
+    * m01 metadata rule (doc_id%3: 0 image, 1 audio, 2 video) — a PNG
+    * of the m07/m08 raster, a G.711 μ-law WAV of the m06/m11
+    * sawtooth, an animated GIF of the m10 palette frames. The
+    * fixtures reuse the per-format generators verbatim, so every
+    * statistic the router decodes is the same integer formula the
+    * per-format oracles already replay.
+    */
+  def realMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      (id % 3) match {
+        case 0 =>
+          val (w, h, rgb) = ppmPixels(id)
+          MediaRow(id, "image", MediaCodecs.pngWrite(w, h, rgb))
+        case 1 =>
+          val codes = wavSamples(id).map(MediaCodecs.ulawEncode)
+          MediaRow(id, "audio", MediaCodecs.ulawWavWrite(codes, 8000))
+        case _ =>
+          val (w, h, frames) = gifFrameIndices(id)
+          MediaRow(id, "video", MediaCodecs.gifWrite(w, h, frames))
+      }
+    })
+  }
+
+  case class RoutedFeatures(
+      media_id: Long, kind: String, n_frames: Long, n_units: Long,
+      sum_vals: Long, peak: Long)
+
+  /** the REAL batched multi-kind decoder: one mapPartitions pass whose
+    * per-row dispatch hands each blob to the JDK codec for its kind —
+    * PNG inflate+defilter, μ-law expansion, GIF LZW multi-frame — and
+    * emits a unified integer feature row (frames, decoded units,
+    * value sum, peak) the oracle re-derives per kind from the fixture
+    * formulas. This is the production shape of "decode the corpus":
+    * per-partition codec reuse, one scan, no shuffle; an MP3 or H.264
+    * decoder (absent from this container) would drop into the audio /
+    * video arm without touching the schema or the plan.
+    */
+  def decodeRouted(spark: SparkSession, media: Dataset[MediaRow]): Dataset[RoutedFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      r.kind match {
+        case "image" =>
+          val img = MediaCodecs.pngParse(r.bytes)
+          var s = 0L; var p = 0L; var i = 0
+          while (i < img.rgb.length) {
+            val v = (img.rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+          }
+          RoutedFeatures(r.media_id, r.kind, 1L, (img.w * img.h).toLong, s, p)
+        case "audio" =>
+          val (_, dec) = MediaCodecs.ulawWavDecode(r.bytes)
+          var s = 0L; var p = 0L; var i = 0
+          while (i < dec.length) {
+            val a = math.abs(dec(i).toLong); s += a; if (a > p) p = a; i += 1
+          }
+          RoutedFeatures(r.media_id, r.kind, 1L, dec.length.toLong, s, p)
+        case _ =>
+          val anim = MediaCodecs.gifParse(r.bytes)
+          var s = 0L; var p = 0L
+          anim.frames.foreach { rgb =>
+            var i = 0
+            while (i < rgb.length) {
+              val v = (rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+            }
+          }
+          RoutedFeatures(r.media_id, r.kind, anim.frames.length.toLong,
+            anim.frames.length.toLong * anim.w * anim.h, s, p)
+      }
+    })
+  }
+
+  case class RoutedResize(
+      media_id: Long, kind: String, src_extent: Long, dst_extent: Long,
+      sum_out: Long, peak_out: Long)
+
+  /** the REAL kind-routed downsampler — each modality reduced along
+    * its natural axis, with the reduced content re-measured from the
+    * actually-decoded bytes: images NN-resize into an
+    * aspect-preserving `maxDim` box (the m07 kernel on the decoded
+    * PNG raster), audio decimates by `audioStride` over the expanded
+    * μ-law samples, video keeps every `frameStride`-th decoded GIF
+    * frame. src/dst extents use each kind's unit (pixels / samples /
+    * frames), so the row doubles as the size-accounting record a
+    * 100 TB re-encode job plans from.
+    */
+  def resizeRouted(
+      spark: SparkSession, media: Dataset[MediaRow],
+      maxDim: Int = 8, audioStride: Int = 3, frameStride: Int = 2): Dataset[RoutedResize] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      r.kind match {
+        case "image" =>
+          val img = MediaCodecs.pngParse(r.bytes)
+          val m = math.max(img.w, img.h)
+          val (dw, dh) =
+            if (m <= maxDim) (img.w, img.h)
+            else (math.max(1, img.w * maxDim / m), math.max(1, img.h * maxDim / m))
+          val rz = MediaCodecs.ppmResize(img, dw, dh)
+          var s = 0L; var p = 0L; var i = 0
+          while (i < rz.rgb.length) {
+            val v = (rz.rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+          }
+          RoutedResize(r.media_id, r.kind, (img.w * img.h).toLong, (dw * dh).toLong, s, p)
+        case "audio" =>
+          val (_, dec) = MediaCodecs.ulawWavDecode(r.bytes)
+          var s = 0L; var p = 0L; var i = 0; var kept = 0L
+          while (i < dec.length) {
+            val a = math.abs(dec(i).toLong); s += a; if (a > p) p = a
+            kept += 1; i += audioStride
+          }
+          RoutedResize(r.media_id, r.kind, dec.length.toLong, kept, s, p)
+        case _ =>
+          val anim = MediaCodecs.gifParse(r.bytes)
+          var s = 0L; var p = 0L; var kept = 0L; var fi = 0
+          while (fi < anim.frames.length) {
+            val rgb = anim.frames(fi)
+            var i = 0
+            while (i < rgb.length) {
+              val v = (rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+            }
+            kept += 1; fi += frameStride
+          }
+          RoutedResize(r.media_id, r.kind, anim.frames.length.toLong, kept, s, p)
       }
     })
   }

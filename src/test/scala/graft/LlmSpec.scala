@@ -459,19 +459,26 @@ class LlmSpec extends AnyFunSuite {
     assert(probed.size <= 4, s"results span ${probed.size} centroids, nProbe=4")
   }
 
-  test("media features are deterministic and shaped correctly") {
-    val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
-    val f2 = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
-    assert(f1.map(_.media_id).sorted.toSeq == f2.map(_.media_id).sorted.toSeq)
-    val m1 = f1.map(f => f.media_id -> f).toMap
-    for (f <- f2) {
-      assert(m1(f.media_id).checksum == f.checksum)
-      assert(f.features.length == 8)
-      assert(f.features.forall(v => v >= 0f && v <= 1f))
-      assert(f.n_frames >= 1)
+  test("m02 router decodes real containers for every kind, deterministically") {
+    val f1 = Multimodal.decodeRouted(spark, Multimodal.realMediaTable(spark, docs)).collect()
+    val f2 = Multimodal.decodeRouted(spark, Multimodal.realMediaTable(spark, docs)).collect()
+    assert(f1.sortBy(_.media_id).toSeq == f2.sortBy(_.media_id).toSeq,
+      "two decode passes over freshly-encoded containers must agree")
+    // kinds route per the doc_id % 3 rule, and per-kind decode invariants hold
+    for (f <- f1) {
+      val expected = (f.media_id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      assert(f.kind == expected, s"$f routed down the wrong arm")
+      f.kind match {
+        case "image" =>
+          assert(f.n_frames == 1 && f.n_units >= 16 * 12 && f.peak <= 255)
+        case "audio" =>
+          assert(f.n_frames == 1 && f.n_units >= 400 && f.peak <= 32124) // μ-law full-scale
+        case _ =>
+          assert(f.n_frames >= 2 && f.n_units == f.n_frames * (8 + f.media_id % 8) * (6 + f.media_id % 6))
+          assert(f.peak <= 255 && f.peak % 51 == 0) // web-safe palette levels
+      }
+      assert(f.sum_vals > 0)
     }
-    // kinds route per the doc_id % 3 rule
-    assert(f1.filter(_.media_id % 3 == 0).forall(_.kind == "image"))
   }
 
   test("rolling fingerprint is order-sensitive, content fingerprint is whitespace-insensitive") {
@@ -532,19 +539,22 @@ class LlmSpec extends AnyFunSuite {
     out.unpersist()
   }
 
-  test("m04 resize preserves aspect ratio within the max box") {
-    val rs = graft.llm.Multimodal
-      .resize(spark, Multimodal.mediaTable(docs), maxDim = 256).collect()
-    assert(rs.nonEmpty)
+  test("m04 router downsamples each kind along its natural axis, never upsampling") {
+    val rs = Multimodal
+      .resizeRouted(spark, Multimodal.realMediaTable(spark, docs)).collect()
+    assert(rs.nonEmpty && rs.exists(_.kind == "image")
+      && rs.exists(_.kind == "audio") && rs.exists(_.kind == "video"))
     for (r <- rs) {
-      assert(r.dst_w <= 256 && r.dst_h <= 256 && r.dst_w >= 1 && r.dst_h >= 1)
-      // no upscaling
-      assert(r.dst_w <= r.src_w && r.dst_h <= r.src_h)
-      // aspect preserved within integer truncation
-      val srcAr = r.src_w.toDouble / r.src_h
-      val dstAr = r.dst_w.toDouble / r.dst_h
-      assert(math.abs(srcAr - dstAr) / srcAr < 0.05, s"$r")
-      assert(r.est_bytes == r.dst_w.toLong * r.dst_h * 3)
+      assert(r.dst_extent >= 1 && r.dst_extent <= r.src_extent, s"$r upsampled")
+      r.kind match {
+        case "image" => // NN resize into the 8-px box
+          assert(r.dst_extent <= 64 && r.peak_out <= 255)
+        case "audio" => // stride-3 decimation keeps ceil(n/3) samples
+          assert(r.dst_extent == (r.src_extent + 2) / 3 && r.peak_out <= 32124)
+        case _ => // stride-2 frame keep
+          assert(r.dst_extent == (r.src_extent + 1) / 2 && r.peak_out <= 255)
+      }
+      assert(r.sum_out > 0)
     }
   }
 

@@ -136,7 +136,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "t08_normalize_unicode", "t09_pii_redact", "t10_gopher_rules",
         "e01_quantize_int8", "d04_simhash", "p01_split_assign", "m01_multimodal_meta",
         "m06_wav_decode", "m07_ppm_decode", "m08_png_decode", "m09_jpeg_decode",
-        "m10_gif_frames", "m11_ulaw_decode", "e03_binary_quantize", "p12_context_windows")) {
+        "m10_gif_frames", "m11_ulaw_decode", "m02_media_features", "m04_media_resize",
+        "e03_binary_quantize", "p12_context_windows")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n$plan")
     }
