@@ -230,9 +230,10 @@ object ScaleProbe {
       // and the window chunker (map-only)
       "s25_mmr_rerank", "t12_bigram_surprisal", "p12_context_windows",
       "x08_retrieval_serving",
-      // r12: the compressed-audio rung — map-only per-row encode+decode
-      // like m10, so b ≈ 1 expected; measured, not assumed
-      "m11_ulaw_decode")
+      // r12: the compressed-audio rung and the kind-routed batch
+      // decoder — both map-only per-row encode+decode like m10, so
+      // b ≈ 1 expected; measured, not assumed
+      "m11_ulaw_decode", "m02_media_features")
     // warmup: JIT + codegen on the smallest slice, untimed
     queries.filter(enabled).foreach(q => materialize(SparkEntry.queries(q)(spark, s"$outBase/x1")))
     if (only.isEmpty)

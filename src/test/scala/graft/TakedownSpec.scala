@@ -1,0 +1,117 @@
+package graft
+
+import graft.llm.LlmQueries
+import graft.streaming.Takedown
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-surface takedown ledger: a request must eventually be
+  * forgotten from EVERY registered surface even when the driver dies
+  * between two surfaces' folds — and never twice, never torn.
+  */
+class TakedownSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** a toy standing surface: one row-shaped relation keyed on `key`,
+    * forgotten through the production row-filter fold (idempotent,
+    * crash-atomic via FoldCommit) — exactly what the real index
+    * surfaces register, minus their build cost
+    */
+  private def mkSurface(name: String, key: String, n: Int): (String, Takedown.Surface) = {
+    val dir = s"${tmp("graft_takedown")}/$name"
+    (0 until n).map(_.toLong).toDF(key).write.mode("overwrite").parquet(s"$dir/rows")
+    (dir, Takedown.Surface(name,
+      (s, ids) => LlmQueries.forgetRows(s, dir, Seq("rows"), col(key).isInCollection(ids))))
+  }
+
+  private def keys(dir: String): Seq[Long] =
+    spark.read.parquet(s"$dir/rows").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("a takedown resumes across a crash between surfaces and closes exactly once") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (dirA, srfA) = mkSurface("lex", "doc_id", 50)
+    val (dirB, srfB) = mkSurface("vec", "vec_id", 50)
+
+    val token = Takedown.request(spark, ledger, Seq(3L, 7L, 7L, 11L).toDF("doc_id"))
+    assert(Takedown.pending(spark, ledger) == Seq(token))
+    // a request is pure data: nothing forgotten yet
+    assert(keys(dirA).size == 50 && keys(dirB).size == 50)
+
+    // crash INJECTED between surfaces: lex folds, then the driver dies
+    var boomRuns = 0
+    val boom = Takedown.Surface("boom", (_, _) => {
+      boomRuns += 1
+      throw new IllegalStateException("injected crash between surfaces")
+    })
+    val crashed = intercept[IllegalStateException] {
+      Takedown.resume(spark, ledger, Seq(srfA, boom, srfB))
+    }
+    assert(crashed.getMessage.contains("injected"))
+    // the completed surface is durably marked; the rest are untouched
+    assert(keys(dirA) == (0L until 50L).filterNot(Set(3L, 7L, 11L)))
+    assert(keys(dirB).size == 50)
+    assert(Takedown.pending(spark, ledger) == Seq(token), "crashed request must stay open")
+
+    // re-entry (the failing surface healed) completes the remainder —
+    // and must NOT re-run the lex fold (its marker is durable)
+    var lexReruns = 0
+    val srfACounted = Takedown.Surface("lex", (s, ids) => { lexReruns += 1; srfA.forget(s, ids) })
+    val fixedBoom = Takedown.Surface("boom", (_, _) => ())
+    val closed = Takedown.resume(spark, ledger, Seq(srfACounted, fixedBoom, srfB))
+    assert(closed == Seq(token))
+    assert(lexReruns == 0, "a marked surface must not fold again on resume")
+    assert(keys(dirB) == (0L until 50L).filterNot(Set(3L, 7L, 11L)))
+    assert(Takedown.pending(spark, ledger).isEmpty)
+
+    // a closed ledger is a pure listing: third resume is a no-op
+    assert(Takedown.resume(spark, ledger, Seq(srfACounted, fixedBoom, srfB)).isEmpty)
+    assert(lexReruns == 0 && boomRuns == 1)
+  }
+
+  test("a crash between a fold and its marker re-runs only that fold, harmlessly") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (dirA, srfA) = mkSurface("lex", "doc_id", 30)
+    val token = Takedown.request(spark, ledger, Seq(5L).toDF("doc_id"))
+    // simulate fold-then-die-before-marker: run the fold by hand
+    LlmQueries.forgetRows(spark, dirA, Seq("rows"), col("doc_id").isInCollection(Seq(5L)))
+    assert(keys(dirA) == (0L until 30L).filterNot(_ == 5L))
+    // resume sees no marker, re-runs the idempotent fold, marks, closes
+    assert(Takedown.resume(spark, ledger, Seq(srfA)) == Seq(token))
+    assert(keys(dirA) == (0L until 30L).filterNot(_ == 5L), "re-run must be a no-op")
+    assert(Takedown.pending(spark, ledger).isEmpty)
+  }
+
+  test("requests close oldest-token-first, each against every surface") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (dirA, srfA) = mkSurface("lex", "doc_id", 20)
+    val t1 = Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"))
+    val t2 = Takedown.request(spark, ledger, Seq(2L).toDF("doc_id"))
+    assert(Takedown.pending(spark, ledger) == Seq(t1, t2).sorted)
+    assert(Takedown.resume(spark, ledger, Seq(srfA)) == Seq(t1, t2).sorted)
+    assert(keys(dirA) == (0L until 20L).filterNot(Set(1L, 2L)))
+  }
+
+  test("an oversized id set is refused loudly, not silently truncated") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (_, srfA) = mkSurface("lex", "doc_id", 5)
+    Takedown.request(spark, ledger, (0L until 100L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      Takedown.resume(spark, ledger, Seq(srfA), maxIds = 10)
+    }
+    assert(e.getMessage.contains("split the request"))
+  }
+
+  test("surface names must be unique and path-safe") {
+    intercept[IllegalArgumentException](Takedown.Surface("a/b", (_, _) => ()))
+    intercept[IllegalArgumentException](Takedown.Surface("", (_, _) => ()))
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val dup = Takedown.Surface("x", (_, _) => ())
+    intercept[IllegalArgumentException](
+      Takedown.resume(spark, ledger, Seq(dup, dup.copy())))
+  }
+}
