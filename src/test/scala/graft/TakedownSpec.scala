@@ -106,6 +106,38 @@ class TakedownSpec extends AnyFunSuite {
     assert(e.getMessage.contains("split the request"))
   }
 
+  test("the ledger drives a real takedown across the d15 and s13 standing indexes") {
+    val base = tmp("graft_takedown")
+    val lex = s"$base/lex"; val bm = s"$base/bm25"; val ledger = s"$base/ledger"
+    LlmQueries.d15BuildAt(spark, sf, lex)
+    LlmQueries.s13BuildAt(spark, sf, bm)
+    val beforeLex = LlmQueries.d15ProbeAt(spark, sf, lex).collect().map(_.toString).sorted.toSeq
+    val beforeBm = LlmQueries.s13ProbeAt(spark, sf, bm).collect().map(_.toString).sorted.toSeq
+
+    // the s22 fixture slice plus docs 8 and 12 — both on the STANDING
+    // (corpus_doc) side of d15 near-dup pairs at sf0.001, so the
+    // takedown is non-trivial in BOTH probes
+    val gone = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 2 || col("doc_id").isin(8L, 12L)).select("doc_id")
+    val goneIds = gone.as[Long].collect().toSet
+    val token = Takedown.request(spark, ledger, gone)
+    val closed = Takedown.resume(spark, ledger, Seq(
+      Takedown.Surface("lex", (s, ids) =>
+        LlmQueries.forgetDocs(s, lex, col("doc_id").isInCollection(ids))),
+      Takedown.Surface("bm25", (s, ids) =>
+        LlmQueries.s13Forget(s, bm, col("doc_id").isInCollection(ids)))))
+    assert(closed == Seq(token) && Takedown.pending(spark, ledger).isEmpty)
+
+    // every surface forgot: no forgotten doc survives in the row-shaped
+    // relations, the BM25 tombstones exist, and both probes moved
+    for (rel <- Seq("shingles", "bands"))
+      assert(spark.read.parquet(s"$lex/$rel")
+        .filter(col("doc_id").isInCollection(goneIds)).count() == 0, s"$rel kept a forgotten doc")
+    assert(!spark.read.parquet(s"$bm/forgets/*/deletes").isEmpty)
+    assert(LlmQueries.d15ProbeAt(spark, sf, lex).collect().map(_.toString).sorted.toSeq != beforeLex)
+    assert(LlmQueries.s13ProbeAt(spark, sf, bm).collect().map(_.toString).sorted.toSeq != beforeBm)
+  }
+
   test("surface names must be unique and path-safe") {
     intercept[IllegalArgumentException](Takedown.Surface("a/b", (_, _) => ()))
     intercept[IllegalArgumentException](Takedown.Surface("", (_, _) => ()))
