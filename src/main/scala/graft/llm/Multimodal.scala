@@ -51,8 +51,8 @@ object Multimodal {
         .when(col("kind") === "audio", (length(col("bytes")) / 64 + 1).cast(LongType))
         .otherwise((length(col("bytes")) / 32 + 1).cast(LongType)).as("n_frames"))
 
-  /** scalar metadata view of the media table — oracle-checkable
-    * (byte length, md5, kind routing) without the stubbed decode
+  /** scalar metadata view of the media table — byte length, md5, kind
+    * routing straight off the blob column, no decode
     */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(
