@@ -477,6 +477,13 @@ object Bench {
     // module map carries a throughput figure
     val sampleDocsPerSec = probeGated("sample") { sampleThroughput(spark, sfDir) }
     val keeperDocsPerSec = probeGated("keeper") { keeperThroughput(spark, sfDir) }
+    // streaming multimodal ingest: real files sniffed by magic bytes
+    // and decoded by the JDK codec for their format (the m02 kernel) —
+    // the r12 media×streaming cell's committed number. Metric = blobs/s
+    // through sniff + decode + verdict + two-sink commit; the drop is
+    // one file per blob, so the probe also pays the binaryFile source's
+    // per-file listing cost, exactly like a real crawl drop.
+    val mediaBlobsPerSec = probeGated("media") { mediaThroughput(spark) }
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -503,7 +510,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -708,6 +715,51 @@ object Bench {
   private def docThroughput(spark: SparkSession, sfDir: String): Double = {
     docRun(spark, WarmDir, copies = 1) // warmup: JIT the gate+dedup path
     docRun(spark, sfDir, copies = 4)
+  }
+
+  private def mediaThroughput(spark: SparkSession): Double = {
+    mediaRun(spark, nBlobs = 150) // warmup: JIT the sniff+decode kernel
+    mediaRun(spark, nBlobs = 2400)
+  }
+
+  /** one media-file drop -> MediaIngest -> lake pass; returns blobs/s.
+    * The drop rotates the real-container ladder per id (PNG raster /
+    * G.711 μ-law WAV / animated GIF), one file per blob — so the probe
+    * pays sniff + JDK decode + verdict + both sink commits AND the
+    * binaryFile source's per-file listing, like a real crawl drop.
+    */
+  private def mediaRun(spark: SparkSession, nBlobs: Int): Double = {
+    import graft.functions.MediaCodecs
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_bench_media").toString
+    try {
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      var id = 0
+      while (id < nBlobs) {
+        val (name, bytes) = (id % 3) match {
+          case 0 =>
+            val w = 16 + id % 16; val h = 12 + id % 8
+            (f"m$id%06d.png", MediaCodecs.pngWrite(w, h,
+              Array.tabulate(w * h * 3)(i => ((i * 7 + id) % 256).toByte)))
+          case 1 =>
+            (f"m$id%06d.wav", MediaCodecs.ulawWavWrite(
+              Array.tabulate(400 + id % 200)(i =>
+                MediaCodecs.ulawEncode((((i * (100 + id % 400)) % 8000) * 3 - 12000).toShort)), 8000))
+          case _ =>
+            val w = 8 + id % 8; val h = 6 + id % 6
+            (f"m$id%06d.gif", MediaCodecs.gifWrite(w, h, Seq.tabulate(2 + id % 4)(f =>
+              Array.tabulate(w * h)(i => ((i * 5 + id + f) % 216).toByte))))
+        }
+        Files.write(Paths.get(src, name), bytes)
+        id += 1
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.MediaIngest
+        .start(spark, src, s"$base/lake", s"$base/decisions", s"$base/ckpt")
+        .awaitTermination()
+      nBlobs / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
   }
 
   /** one corpus-drop -> DocIngest -> lake pass; returns docs/s */

@@ -4,10 +4,10 @@ package graft.functions
   * (audio) and PPM P6 (image) parsers for the uncompressed formats,
   * plus the JDK's own ImageIO codecs for PNG (lossless), JPEG (lossy)
   * and multi-frame animated GIF — so the multimodal pipeline's decode
-  * step is genuinely real for every JDK-reachable format; only
-  * non-JDK codecs (MP3/H.264) remain behind
-  * [[graft.llm.Multimodal]]'s clearly-marked stub, because this
-  * container ships no external codec libraries.
+  * step is genuinely real for every JDK-reachable format; the only
+  * media gap is perceptual codecs the JDK itself lacks (MP3/H.264),
+  * because this container ships no external codec libraries — their
+  * decoder would slot into [[graft.llm.Multimodal]]'s router arms.
   *
   * Everything here is byte-exact and integer-only on the hot path, so
   * decoded statistics are reproducible by the DuckDB oracle from the
@@ -174,6 +174,51 @@ object MediaCodecs {
       while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
       (src.getSampleRate.toInt, samples)
     } finally ais.close()
+  }
+
+  // -------------------------------------------------- container sniff
+
+  /** magic-byte format detection across the whole codec ladder —
+    * what a real ingest must do, because arriving blobs carry no
+    * trustworthy kind column. Returns the format token
+    * (`png | jpeg | gif | ppm | wav-pcm | wav-ulaw`) or None for
+    * anything unrecognized; WAV disambiguates the audio format by
+    * walking the RIFF chunks to the fmt tag (1 = PCM, 7 = μ-law),
+    * because the 12-byte RIFF/WAVE prelude is identical for both.
+    * Sniffing never throws: a torn header is just None.
+    */
+  def sniff(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      bytes.length >= from + s.length &&
+        s.indices.forall(i => at(from + i) == s.charAt(i).toInt)
+    if (at(0) == 0x89 && ascii(1, "PNG") && at(4) == 0x0d && at(5) == 0x0a &&
+      at(6) == 0x1a && at(7) == 0x0a) Some("png")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) Some("gif")
+    else if (ascii(0, "P6") && (at(2) == ' ' || at(2) == '\n' || at(2) == '\t' ||
+      at(2) == '\r' || at(2) == '#')) Some("ppm")
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      // walk chunks to the fmt tag; bail to None on any structural tear
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(12)
+      var res: Option[String] = None
+      var go = true
+      while (go && buf.remaining() >= 8) {
+        val id = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+        val size = buf.getInt
+        if (size < 0 || size > buf.remaining()) go = false // torn chunk: None
+        else if (id == "fmt " && size >= 2) {
+          res = buf.getShort.toInt match {
+            case 1 => Some("wav-pcm")
+            case 7 => Some("wav-ulaw")
+            case _ => None // a WAV we cannot decode is unrecognized
+          }
+          go = false
+        } else buf.position(buf.position() + size + (size & 1))
+      }
+      res
+    } else None
   }
 
   // ---------------------------------------------------------------- PPM

@@ -379,6 +379,54 @@ object Multimodal {
       media_id: Long, kind: String, n_frames: Long, n_units: Long,
       sum_vals: Long, peak: Long)
 
+  /** decoded stats for one blob: kind, frames, units (pixels·frames /
+    * samples), value sum (channel bytes / abs samples), peak
+    */
+  case class DecodedStats(
+      kind: String, n_frames: Long, n_units: Long, sum_vals: Long, peak: Long)
+
+  /** the per-blob decode KERNEL shared by the m02 batch router and the
+    * streaming [[graft.streaming.MediaIngest]] gate: a sniffed format
+    * token in ([[graft.functions.MediaCodecs.sniff]]'s vocabulary),
+    * decoded stats out, one JDK codec per arm. Throws on a structurally
+    * corrupt container — the ingest gate catches and quarantines;
+    * unknown tokens are a caller bug, not data, so they also throw.
+    */
+  private[graft] def decodeStats(fmt: String, bytes: Array[Byte]): DecodedStats = {
+    def imageStats(img: MediaCodecs.Ppm): DecodedStats = {
+      var s = 0L; var p = 0L; var i = 0
+      while (i < img.rgb.length) {
+        val v = (img.rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+      }
+      DecodedStats("image", 1L, (img.w * img.h).toLong, s, p)
+    }
+    def audioStats(samples: Array[Short]): DecodedStats = {
+      var s = 0L; var p = 0L; var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toLong); s += a; if (a > p) p = a; i += 1
+      }
+      DecodedStats("audio", 1L, samples.length.toLong, s, p)
+    }
+    fmt match {
+      case "png" | "jpeg" => imageStats(MediaCodecs.pngParse(bytes)) // ImageIO sniffs
+      case "ppm" => imageStats(MediaCodecs.ppmParse(bytes))
+      case "wav-pcm" => audioStats(MediaCodecs.wavParse(bytes).samples)
+      case "wav-ulaw" => audioStats(MediaCodecs.ulawWavDecode(bytes)._2)
+      case "gif" =>
+        val anim = MediaCodecs.gifParse(bytes)
+        var s = 0L; var p = 0L
+        anim.frames.foreach { rgb =>
+          var i = 0
+          while (i < rgb.length) {
+            val v = (rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
+          }
+        }
+        DecodedStats("video", anim.frames.length.toLong,
+          anim.frames.length.toLong * anim.w * anim.h, s, p)
+      case other => throw new IllegalArgumentException(s"no decoder arm for '$other'")
+    }
+  }
+
   /** the REAL batched multi-kind decoder: one mapPartitions pass whose
     * per-row dispatch hands each blob to the JDK codec for its kind —
     * PNG inflate+defilter, μ-law expansion, GIF LZW multi-frame — and
@@ -392,33 +440,13 @@ object Multimodal {
   def decodeRouted(spark: SparkSession, media: Dataset[MediaRow]): Dataset[RoutedFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      r.kind match {
-        case "image" =>
-          val img = MediaCodecs.pngParse(r.bytes)
-          var s = 0L; var p = 0L; var i = 0
-          while (i < img.rgb.length) {
-            val v = (img.rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
-          }
-          RoutedFeatures(r.media_id, r.kind, 1L, (img.w * img.h).toLong, s, p)
-        case "audio" =>
-          val (_, dec) = MediaCodecs.ulawWavDecode(r.bytes)
-          var s = 0L; var p = 0L; var i = 0
-          while (i < dec.length) {
-            val a = math.abs(dec(i).toLong); s += a; if (a > p) p = a; i += 1
-          }
-          RoutedFeatures(r.media_id, r.kind, 1L, dec.length.toLong, s, p)
-        case _ =>
-          val anim = MediaCodecs.gifParse(r.bytes)
-          var s = 0L; var p = 0L
-          anim.frames.foreach { rgb =>
-            var i = 0
-            while (i < rgb.length) {
-              val v = (rgb(i) & 0xff).toLong; s += v; if (v > p) p = v; i += 1
-            }
-          }
-          RoutedFeatures(r.media_id, r.kind, anim.frames.length.toLong,
-            anim.frames.length.toLong * anim.w * anim.h, s, p)
+      val fmt = r.kind match {
+        case "image" => "png"
+        case "audio" => "wav-ulaw"
+        case _ => "gif"
       }
+      val st = decodeStats(fmt, r.bytes)
+      RoutedFeatures(r.media_id, st.kind, st.n_frames, st.n_units, st.sum_vals, st.peak)
     })
   }
 

@@ -276,6 +276,28 @@ class CodecSpec extends AnyFunSuite {
     intercept[Exception](ulawWavDecode(wavWrite(Array[Short](1, -1), 8000)))
   }
 
+  test("sniff identifies every codec-ladder container by magic bytes, and nothing else") {
+    import graft.functions.MediaCodecs._
+    val rgb = Array.tabulate(12 * 9 * 3)(i => (i % 251).toByte)
+    assert(sniff(pngWrite(12, 9, rgb)).contains("png"))
+    assert(sniff(jpegWrite(12, 9, rgb)).contains("jpeg"))
+    assert(sniff(ppmWrite(12, 9, rgb)).contains("ppm"))
+    assert(sniff(gifWrite(4, 3, Seq(Array.tabulate(12)(_.toByte)))).contains("gif"))
+    // the RIFF prelude is identical for both WAV forms: the fmt-tag
+    // chunk walk is what disambiguates them
+    assert(sniff(wavWrite(Array[Short](1, -2, 3), 8000)).contains("wav-pcm"))
+    assert(sniff(ulawWavWrite(Array[Byte](1, 2, 3), 8000)).contains("wav-ulaw"))
+    // unknowns and torn headers are None, never a guess or a throw
+    assert(sniff(Array[Byte]()).isEmpty)
+    assert(sniff("JUNKJUNKJUNKJUNK".getBytes).isEmpty)
+    assert(sniff(pngWrite(12, 9, rgb).take(6)).isEmpty) // torn magic
+    assert(sniff(wavWrite(Array[Short](1), 8000).take(14)).isEmpty) // RIFF, no fmt
+    // a RIFF/WAVE with an unsupported fmt tag is unrecognized
+    val exotic = wavWrite(Array[Short](1, 2), 8000)
+    exotic(20) = 0x55 // fmt tag -> 0x0055 (ITU G.728, not decodable here)
+    assert(sniff(exotic).isEmpty)
+  }
+
   test("PPM nearest-neighbor resize matches a brute-force reference") {
     import graft.functions.MediaCodecs._
     check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {
