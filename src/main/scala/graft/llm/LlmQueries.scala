@@ -3409,6 +3409,49 @@ object LlmQueries {
       FROM lg GROUP BY media_id, sr, n
     """.trim))
 
+  // -- m12: decoded-CONTENT media dedup — the d01 idea on the media
+  //    axis, where it is NOT byte dedup: the same raster written as
+  //    PNG (deflate stream) and as PPM (raw P6) is byte-different but
+  //    decodes identically, so duplicate detection must hash what the
+  //    codec DECODES. Candidate groups by the integer content
+  //    signature (w, h, channel sums — the only shuffle, 6 longs per
+  //    blob, rasters never leave their partition), exact verify inside
+  //    each group by a 64-bit FNV digest of the decoded raster
+  //    (engine-internal, never an output: the m09 earn-the-boolean
+  //    recipe), keeper = lowest id's PNG. Ground truth is derivable
+  //    because every fixture raster is a pure function of id mod 256
+  //    (w/h periods divide 256 and each channel formula is
+  //    (…+k·id) % 256, with k·256 ≡ 0 mod 256) — so ids 256 apart are
+  //    TRUE duplicates across both containers, and the oracle replays
+  //    group sizes and keepers from residue arithmetic that the engine
+  //    must earn through decode + signature + digest verification.
+  private val m12 = Q(
+    "m12_media_content_dedup",
+    (s, d) =>
+      Multimodal.contentDedup(s, Tables.documents(s, d)).toDF(),
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, doc_id % 256 AS r,
+                        16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                 FROM documents),
+      px AS (SELECT media_id, r, w, h,
+               SUM((x.x*3 + y.y*5 + media_id) % 256) AS sum_r,
+               SUM((x.x*7 + y.y + 2*media_id) % 256) AS sum_g,
+               SUM((x.x + y.y*11 + 3*media_id) % 256) AS sum_b
+             FROM m, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+             WHERE x.x < w AND y.y < h GROUP BY media_id, r, w, h),
+      grp AS (SELECT r, count(*) AS n_ids, min(media_id) AS keeper FROM m GROUP BY r)
+      SELECT px.media_id, c.container,
+             CAST(px.w AS BIGINT) AS width, CAST(px.h AS BIGINT) AS height,
+             CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+             CAST(sum_b AS BIGINT) AS sum_b,
+             CAST(2 * grp.n_ids AS BIGINT) AS group_size,
+             CAST(grp.keeper AS BIGINT) AS keeper_id,
+             CAST(CASE WHEN px.media_id = grp.keeper AND c.container = 'png'
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM px JOIN grp ON grp.r = px.r
+      CROSS JOIN (SELECT unnest(['png', 'ppm']) AS container) c
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -3520,7 +3563,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

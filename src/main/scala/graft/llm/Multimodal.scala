@@ -506,6 +506,75 @@ object Multimodal {
     })
   }
 
+  // --------------------------------------- decoded-content dedup (m12)
+
+  /** one decoded-content signature per (id, container): the SAME
+    * raster written as PNG and as PPM — byte-DIFFERENT blobs (deflate
+    * stream vs raw P6) that decode identically, which is exactly why
+    * media dedup must hash decoded content, never container bytes.
+    * `digest` is a 64-bit FNV-1a over (w, h, raster) — engine-internal
+    * exact-verify state, never an output column (the m09 recipe:
+    * the oracle pins what the digest must PROVE, not its value).
+    */
+  case class MediaSig(
+      media_id: Long, container: String, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, digest: Long)
+
+  def contentSignatures(spark: SparkSession, docs: DataFrame): Dataset[MediaSig] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val (w, h, rgb) = ppmPixels(id)
+      def sig(container: String, img: MediaCodecs.Ppm): MediaSig = {
+        var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+        var d = 0xcbf29ce484222325L // FNV-1a offset basis
+        def mix(b: Int): Unit = { d ^= (b & 0xff); d *= 0x100000001b3L }
+        mix(img.w); mix(img.w >> 8); mix(img.h)
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff; sb += img.rgb(i + 2) & 0xff
+          mix(img.rgb(i)); mix(img.rgb(i + 1)); mix(img.rgb(i + 2))
+          i += 3
+        }
+        MediaSig(id, container, img.w.toLong, img.h.toLong, sr, sg, sb, d)
+      }
+      Iterator(
+        sig("png", MediaCodecs.pngParse(MediaCodecs.pngWrite(w, h, rgb))),
+        sig("ppm", MediaCodecs.ppmParse(MediaCodecs.ppmWrite(w, h, rgb))))
+    })
+  }
+
+  /** one media row with its decoded-content group resolved */
+  case class MediaDup(
+      media_id: Long, container: String, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      group_size: Long, keeper_id: Long, is_keeper: Long)
+
+  /** decoded-content dedup: candidate groups by the integer signature
+    * (w, h, channel sums — the only shuffle, and it carries 6 longs
+    * per blob, never rasters), then EXACT verify inside each group by
+    * the FNV digest, keeper = lowest id's PNG. The fixture algebra
+    * makes ground truth derivable: every raster is a pure function of
+    * id mod 256 (w/h divide 256's residue classes and every channel
+    * formula is (…+k·id) % 256), so ids 256 apart are true duplicates
+    * across BOTH containers — the oracle replays group sizes and
+    * keepers from residue arithmetic while the engine must EARN them
+    * through decode + signature + digest verification.
+    */
+  def contentDedup(spark: SparkSession, docs: DataFrame): Dataset[MediaDup] = {
+    import spark.implicits._
+    contentSignatures(spark, docs)
+      .groupByKey(s => (s.width, s.height, s.sum_r, s.sum_g, s.sum_b))
+      .flatMapGroups { (_, it) =>
+        // signature collisions across residues split here: only
+        // digest-identical members are the same decoded content
+        it.toSeq.groupBy(_.digest).valuesIterator.flatMap { grp =>
+          val keeper = grp.iterator.map(_.media_id).min
+          grp.map(m => MediaDup(m.media_id, m.container, m.width, m.height,
+            m.sum_r, m.sum_g, m.sum_b, grp.size.toLong, keeper,
+            if (m.media_id == keeper && m.container == "png") 1L else 0L))
+        }
+      }
+  }
+
   /** SMOOTH raster for the lossy-codec fixtures: linear channel planes
     * with no mod-256 wrap (max value 157 at the corner), because JPEG
     * error concentrates at high-frequency edges — a gradient keeps the

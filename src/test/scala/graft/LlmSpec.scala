@@ -539,6 +539,22 @@ class LlmSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("m12: decoded-content dedup groups cross-container AND cross-id duplicates") {
+    val out = Catalog.byName("m12_media_content_dedup").run(spark, sf).cache()
+    // every content group elects exactly one keeper, and it is a PNG
+    val groups = out.groupBy("keeper_id")
+      .agg(sum("is_keeper").as("k"), count(lit(1)).as("n"), max("group_size").as("gs"))
+    assert(groups.filter(col("k") =!= 1).count() == 0, "each group needs exactly one keeper")
+    assert(groups.filter(col("n") =!= col("gs")).count() == 0, "group_size must equal membership")
+    assert(out.filter(col("is_keeper") === 1 && col("container") =!= "png").count() == 0)
+    // cross-id duplicates exist (ids 256 apart decode identically), so
+    // groups exceed the trivial png+ppm pair
+    assert(out.filter(col("group_size") >= 4).count() > 0, "no cross-id duplicate found")
+    // byte-level dedup would find NONE of this: containers differ
+    assert(out.select("media_id").distinct().count() * 2 == out.count())
+    out.unpersist()
+  }
+
   test("m04 router downsamples each kind along its natural axis, never upsampling") {
     val rs = Multimodal
       .resizeRouted(spark, Multimodal.realMediaTable(spark, docs)).collect()
