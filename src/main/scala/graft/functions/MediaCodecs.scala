@@ -83,8 +83,11 @@ object MediaCodecs {
           buf.get(data)
         case _ => () // skip unknown chunk (LIST, fact, ...)
       }
-      // advance to next chunk: declared size + RIFF word-align padding
-      buf.position(chunkStart + size + (size & 1))
+      // advance to next chunk: declared size + RIFF word-align padding —
+      // CLAMPED to the buffer, because writers commonly omit the final
+      // pad byte after an odd-size trailing chunk (a spec-legal file
+      // that a raw position() call would reject with an off-by-one)
+      buf.position(math.min(chunkStart + size + (size & 1), buf.limit()))
     }
     require(sampleRate > 0 && bits == 16 && channels == 1,
       s"unsupported fmt: rate=$sampleRate bits=$bits ch=$channels")
@@ -215,10 +218,160 @@ object MediaCodecs {
             case _ => None // a WAV we cannot decode is unrecognized
           }
           go = false
-        } else buf.position(buf.position() + size + (size & 1))
+        } else {
+          // bounded advance: an odd-size unpadded TRAILING chunk would
+          // put position past the limit and throw — sniffing never
+          // throws, so a pad that runs off the end just ends the walk
+          val next = buf.position().toLong + size + (size & 1)
+          if (next >= buf.limit()) go = false
+          else buf.position(next.toInt)
+        }
       }
       res
     } else None
+  }
+
+  // ----------------------------------- header bounds (decode-bomb guard)
+
+  /** thrown by the decode guard BEFORE any codec runs: the header
+    * declares more decoded units than the caller's budget allows. A
+    * dedicated type so ingest surfaces can verdict `rejected:oversize`
+    * distinctly from `rejected:corrupt`.
+    */
+  final class OversizeMediaException(msg: String) extends RuntimeException(msg)
+
+  /** default decode budget in UNITS (pixels·frames / samples): 2^26 ≈
+    * 67M units ≈ a 192 MB RGB raster or 128 MB PCM buffer — roomy for
+    * any legitimate single blob, and small enough that one guarded
+    * decode can never take out an executor task. Callers facing an
+    * untrusted feed pass their own (usually tighter) budget.
+    */
+  val MaxDeclaredUnits: Long = 1L << 26
+
+  /** Decoded size in UNITS (pixels·frames for rasters, samples for
+    * audio) declared by the HEADER ALONE — no codec entered, no
+    * allocation proportional to the declaration, O(header) work. This
+    * is the armor between [[sniff]] and the real decode: a crafted
+    * 64-byte PNG header can declare a 10^9-pixel raster, and the JDK
+    * codec would earnestly attempt the multi-GB allocation
+    * (`OutOfMemoryError` is not catchable-in-place, and Spark's task
+    * retry would replay the same poison pill), so the guard must read
+    * the claim WITHOUT honoring it.
+    *
+    * Returns -1 when the header is too torn to declare anything — every
+    * covered format makes its dimensions reachable by a bounded header
+    * walk (PNG's IHDR is the mandatory first chunk; every JPEG carries
+    * a SOF segment; GIF/PPM/WAV dimensions precede the payload), so -1
+    * means the real decoder would reject the blob anyway.
+    */
+  def declaredUnits(fmt: String, bytes: Array[Byte]): Long = {
+    def u8(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def be32(i: Int): Long =
+      if (i + 3 >= bytes.length) -1L
+      else ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    def le16(i: Int): Int = if (i + 1 >= bytes.length) -1 else u8(i) | (u8(i + 1) << 8)
+    def be16(i: Int): Int = if (i + 1 >= bytes.length) -1 else (u8(i) << 8) | u8(i + 1)
+    fmt match {
+      case "png" =>
+        // 8-byte signature, then the mandatory IHDR chunk: len+type at
+        // 8..15, width/height as the first two big-endian u32 fields
+        if (bytes.length < 24 || be32(8) != 13L ||
+          !(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')) -1L
+        else {
+          val w = be32(16); val h = be32(20)
+          if (w <= 0 || h <= 0) -1L else w * h
+        }
+      case "jpeg" =>
+        // segment walk to the first SOFn marker (C0–CF minus C4/C8/CC),
+        // whose payload is [len][precision][height u16][width u16]
+        var i = 2; var units = -1L // -1 = still walking; -2 = torn (mapped to -1 below)
+        while (units == -1L && i + 3 < bytes.length) {
+          if (u8(i) != 0xff) units = -2L // desynced marker stream: torn
+          else {
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill bytes before a marker are legal
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              val h = be16(i + 5); val w = be16(i + 7)
+              units = if (w > 0 && h > 0) w.toLong * h else -2L
+            } else {
+              val len = be16(i + 2)
+              if (len < 2) units = -2L else i += 2 + len
+            }
+          }
+        }
+        math.max(units, -1L)
+      case "gif" =>
+        // logical screen w/h, then a block walk COUNTING image
+        // descriptors (the per-frame cost is the full canvas, so units
+        // = w·h·frames); sub-block skipping never decodes LZW data
+        val w = le16(6); val h = le16(8)
+        if (w <= 0 || h <= 0 || bytes.length < 14) -1L
+        else {
+          var i = 13
+          if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 7) + 1)) // global color table
+          var frames = 0L; var go = true
+          def skipSubBlocks(): Unit = {
+            var n = u8(i)
+            while (n > 0) { i += 1 + n; n = u8(i) }
+            i += 1 // the 0-length terminator
+          }
+          while (go && i < bytes.length) {
+            u8(i) match {
+              case 0x2c => // image descriptor
+                frames += 1
+                val packed = u8(i + 9)
+                i += 10
+                if (packed >= 0 && (packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+                i += 1 // LZW minimum code size
+                skipSubBlocks()
+              case 0x21 => i += 2; skipSubBlocks() // extension: label then sub-blocks
+              case 0x3b => go = false // trailer
+              case _ => go = false // torn block stream: frames so far stand
+            }
+          }
+          if (frames == 0) -1L else w.toLong * h * frames
+        }
+      case "ppm" =>
+        // the decoder's own header tokenizer, stopped before the raster
+        var pos = 2; var w = -1L; var h = -1L
+        def token(): String = {
+          var in = true
+          while (in && pos < bytes.length) {
+            val c = bytes(pos)
+            if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+            else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+            else in = false
+          }
+          val start = pos
+          while (pos < bytes.length && !" \n\r\t".contains(bytes(pos).toChar)) pos += 1
+          new String(bytes, start, pos - start, "US-ASCII")
+        }
+        try { w = token().toLong; h = token().toLong } catch { case _: NumberFormatException => }
+        if (w <= 0 || h <= 0) -1L else w * h
+      case "wav-pcm" | "wav-ulaw" =>
+        // chunk walk to the data chunk's declared byte size; PCM16 is
+        // 2 bytes/sample, μ-law 1 (its decode expands 2x — bounded)
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (bytes.length < 12) -1L
+        else {
+          buf.position(12)
+          var units = -1L // -1 = still walking; -2 = torn (mapped to -1 below)
+          while (units == -1L && buf.remaining() >= 8) {
+            val id = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+            val size = buf.getInt
+            if (size < 0 || size > buf.remaining()) units = -2L // torn
+            else if (id == "data") units = if (fmt == "wav-pcm") size / 2L else size.toLong
+            else {
+              val next = buf.position().toLong + size + (size & 1)
+              if (next >= buf.limit()) units = -2L
+              else buf.position(next.toInt)
+            }
+          }
+          math.max(units, -1L)
+        }
+      case _ => -1L // unknown token: no header knowledge, caller decides
+    }
   }
 
   // ---------------------------------------------------------------- PPM

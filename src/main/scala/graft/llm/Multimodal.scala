@@ -385,14 +385,113 @@ object Multimodal {
   case class DecodedStats(
       kind: String, n_frames: Long, n_units: Long, sum_vals: Long, peak: Long)
 
-  /** the per-blob decode KERNEL shared by the m02 batch router and the
-    * streaming [[graft.streaming.MediaIngest]] gate: a sniffed format
-    * token in ([[graft.functions.MediaCodecs.sniff]]'s vocabulary),
-    * decoded stats out, one JDK codec per arm. Throws on a structurally
-    * corrupt container — the ingest gate catches and quarantines;
-    * unknown tokens are a caller bug, not data, so they also throw.
+  /** the pluggable DECODER SPI shared by the m02 batch router and the
+    * streaming [[graft.streaming.MediaIngest]] gate: one instance per
+    * container format, carrying the format's magic-byte test, its
+    * header-only size declaration (the decode-bomb guard input) and
+    * the real decode. The five JDK codec families register through
+    * this seam at object init; a perceptual codec this container lacks
+    * (MP3/H.264) drops in via [[registerDecoder]] with ZERO changes to
+    * the router, the ingest gate, or the guard — CodecSpec proves the
+    * route end-to-end with a toy external decoder.
+    *
+    * The registry is JVM-global: in `local[*]` a test registration is
+    * immediately visible to tasks; on a real cluster an external
+    * decoder must be registered on the EXECUTOR JVMs too (a static
+    * initializer in the decoder's own jar, or a Spark executor
+    * plugin), same as any JVM-level SPI (ImageIO's own
+    * `ServiceRegistry` has the identical deployment shape).
     */
-  private[graft] def decodeStats(fmt: String, bytes: Array[Byte]): DecodedStats = {
+  trait MediaDecoder extends Serializable {
+    /** routing token, e.g. "png" — unique across the registry */
+    def fmt: String
+    /** magic-byte test: does this blob look like my container? */
+    def sniff(bytes: Array[Byte]): Boolean
+    /** decoded size in units declared by the HEADER ALONE (no decode,
+      * no proportional allocation); -1 when the header is too torn to
+      * declare — see [[MediaCodecs.declaredUnits]] for the contract
+      */
+    def declaredUnits(bytes: Array[Byte]): Long
+    /** the real decode; free to throw on structural corruption */
+    def decode(bytes: Array[Byte]): DecodedStats
+  }
+
+  /** built-in decoder for one of [[MediaCodecs.sniff]]'s tokens: sniff
+    * and header bounds delegate to the shared header parsers, decode
+    * to the JDK codec arm for the token
+    */
+  private def jdkDecoder(token: String): MediaDecoder = new MediaDecoder {
+    val fmt: String = token
+    def sniff(bytes: Array[Byte]): Boolean = MediaCodecs.sniff(bytes).contains(token)
+    def declaredUnits(bytes: Array[Byte]): Long = MediaCodecs.declaredUnits(token, bytes)
+    def decode(bytes: Array[Byte]): DecodedStats = jdkDecode(token, bytes)
+  }
+
+  private val BuiltinFmts: Seq[String] =
+    Seq("png", "jpeg", "gif", "ppm", "wav-pcm", "wav-ulaw")
+
+  /** registration-ordered externals; tiny and read-mostly, so a
+    * volatile immutable vector + synchronized writers is the whole
+    * concurrency story
+    */
+  @volatile private var externalDecoders: Vector[MediaDecoder] =
+    Vector.empty
+
+  def registerDecoder(d: MediaDecoder): Unit = synchronized {
+    require(!BuiltinFmts.contains(d.fmt) && externalDecoders.forall(_.fmt != d.fmt),
+      s"decoder token '${d.fmt}' already registered")
+    externalDecoders = externalDecoders :+ d
+  }
+
+  def unregisterDecoder(fmt: String): Unit = synchronized {
+    externalDecoders = externalDecoders.filterNot(_.fmt == fmt)
+  }
+
+  /** registry-wide sniff: the built-in magic-byte ladder first (one
+    * fused pass), then external decoders in registration order; an
+    * external sniff that throws is treated as "not mine" (sniffing
+    * never throws — the ingest contract)
+    */
+  def sniffMedia(bytes: Array[Byte]): Option[String] =
+    MediaCodecs.sniff(bytes).orElse(
+      externalDecoders.find(d =>
+        try d.sniff(bytes)
+        catch { case scala.util.control.NonFatal(_) => false }).map(_.fmt))
+
+  private def decoderFor(fmt: String): Option[MediaDecoder] =
+    (if (BuiltinFmts.contains(fmt)) Some(jdkDecoder(fmt)) else None)
+      .orElse(externalDecoders.find(_.fmt == fmt))
+
+  /** the per-blob decode KERNEL: a sniffed format token in
+    * ([[sniffMedia]]'s vocabulary), decoded stats out, routed through
+    * the [[MediaDecoder]] registry. Throws on a structurally corrupt
+    * container — the ingest gate catches and quarantines; unknown
+    * tokens are a caller bug, not data, so they also throw.
+    *
+    * GUARDED: the decoder's header-declared size is checked against
+    * `maxUnits` BEFORE its codec runs — a crafted header declaring a
+    * multi-GB raster raises [[MediaCodecs.OversizeMediaException]]
+    * instead of letting the codec attempt the allocation
+    * (`OutOfMemoryError` would kill the executor and poison-pill
+    * Spark's task retry), and an undeclarable header is refused as
+    * corrupt rather than trusted.
+    */
+  private[graft] def decodeStats(
+      fmt: String, bytes: Array[Byte],
+      maxUnits: Long = MediaCodecs.MaxDeclaredUnits): DecodedStats = {
+    val dec = decoderFor(fmt).getOrElse(
+      throw new IllegalArgumentException(s"no decoder arm for '$fmt'"))
+    val declared = dec.declaredUnits(bytes)
+    if (declared < 0)
+      throw new IllegalArgumentException(s"$fmt header declares no decodable size")
+    if (declared > maxUnits)
+      throw new MediaCodecs.OversizeMediaException(
+        s"$fmt header declares $declared units > budget $maxUnits — decode refused")
+    dec.decode(bytes)
+  }
+
+  /** the five JDK codec arms behind the built-in [[MediaDecoder]]s */
+  private def jdkDecode(fmt: String, bytes: Array[Byte]): DecodedStats = {
     def imageStats(img: MediaCodecs.Ppm): DecodedStats = {
       var s = 0L; var p = 0L; var i = 0
       while (i < img.rgb.length) {

@@ -72,28 +72,51 @@ object MediaIngest {
   }
 
   /** the sniff → decode → verdict pass, per partition (codec reuse),
-    * usable on a static binaryFile frame or a micro-batch
+    * usable on a static binaryFile frame or a micro-batch.
+    *
+    * ARMORED for untrusted bytes — this is the one surface fed a raw
+    * crawl/upload feed, so every failure mode lands as a verdict, never
+    * as a task failure:
+    *  - the sniff itself runs inside the quarantine try (a torn header
+    *    that trips a parser edge is `rejected:corrupt`, not a dead
+    *    micro-batch);
+    *  - the decode is budget-GUARDED: a crafted header declaring a
+    *    multi-GB raster is `rejected:oversize` with the codec never
+    *    entered ([[Multimodal.decodeStats]]'s header-only cap) — the
+    *    alternative is an executor `OutOfMemoryError` that Spark's task
+    *    retry replays as a poison pill.
     */
-  def decide(spark: SparkSession, files: DataFrame): Dataset[MediaDecision] = {
+  def decide(
+      spark: SparkSession, files: DataFrame,
+      maxUnits: Long = MediaCodecs.MaxDeclaredUnits): Dataset[MediaDecision] = {
     import spark.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val id = mediaIdOf(path)
-        MediaCodecs.sniff(bytes) match {
-          case None =>
-            MediaDecision(id, path, "unknown", "unknown", "rejected:unrecognized", 0L, 0L, 0L, 0L)
-          case Some(fmt) =>
-            try {
-              val st = Multimodal.decodeStats(fmt, bytes)
-              val verdict = if (st.n_units < MinUnits) "rejected:dust" else "kept"
-              MediaDecision(id, path, fmt, st.kind, verdict,
-                st.n_frames, st.n_units, st.sum_vals, st.peak)
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                // magic bytes promised a format the body doesn't deliver
-                MediaDecision(id, path, fmt, "unknown", "rejected:corrupt", 0L, 0L, 0L, 0L)
-            }
+        try {
+          Multimodal.sniffMedia(bytes) match {
+            case None =>
+              MediaDecision(id, path, "unknown", "unknown", "rejected:unrecognized", 0L, 0L, 0L, 0L)
+            case Some(fmt) =>
+              try {
+                val st = Multimodal.decodeStats(fmt, bytes, maxUnits)
+                val verdict = if (st.n_units < MinUnits) "rejected:dust" else "kept"
+                MediaDecision(id, path, fmt, st.kind, verdict,
+                  st.n_frames, st.n_units, st.sum_vals, st.peak)
+              } catch {
+                case _: MediaCodecs.OversizeMediaException =>
+                  // the header's CLAIM is over budget; nothing was decoded
+                  MediaDecision(id, path, fmt, "unknown", "rejected:oversize", 0L, 0L, 0L, 0L)
+                case scala.util.control.NonFatal(_) =>
+                  // magic bytes promised a format the body doesn't deliver
+                  MediaDecision(id, path, fmt, "unknown", "rejected:corrupt", 0L, 0L, 0L, 0L)
+              }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            // a sniff-layer edge on hostile bytes: quarantine, don't die
+            MediaDecision(id, path, "unknown", "unknown", "rejected:corrupt", 0L, 0L, 0L, 0L)
         }
       })
   }

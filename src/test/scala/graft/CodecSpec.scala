@@ -298,6 +298,99 @@ class CodecSpec extends AnyFunSuite {
     assert(sniff(exotic).isEmpty)
   }
 
+  test("RIFF walks tolerate an odd-size unpadded trailing chunk (spec-legal, commonly written)") {
+    import graft.functions.MediaCodecs._
+    // a valid PCM WAV with a 5-byte "note" chunk appended and NO pad
+    // byte: the advance past it must clamp, not throw
+    val base = wavWrite(Array[Short](100, -200, 300), 8000)
+    val note = "note".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "hello".getBytes("US-ASCII")
+    val trailing = base ++ note
+    // patch the RIFF size field (not that the parsers trust it)
+    val bb = java.nio.ByteBuffer.wrap(trailing).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, trailing.length - 8)
+    assert(wavParse(trailing).samples.toSeq == Seq[Short](100, -200, 300))
+    assert(sniff(trailing).contains("wav-pcm"))
+    // sniff's own walk: the odd unpadded chunk sits BEFORE any fmt tag,
+    // so the walk must clamp and end as None — never throw
+    val noFmt = "RIFF".getBytes ++ Array[Byte](13, 0, 0, 0) ++ "WAVE".getBytes ++ note
+    assert(sniff(noFmt).isEmpty)
+    assert(declaredUnits("wav-pcm", noFmt) == -1L)
+  }
+
+  test("declaredUnits reads every format's size from the header alone") {
+    import graft.functions.MediaCodecs._
+    val rgb = Array.tabulate(12 * 9 * 3)(i => (i % 251).toByte)
+    assert(declaredUnits("png", pngWrite(12, 9, rgb)) == 108L)
+    assert(declaredUnits("jpeg", jpegWrite(12, 9, rgb)) == 108L)
+    assert(declaredUnits("ppm", ppmWrite(12, 9, rgb)) == 108L)
+    val gif = gifWrite(5, 4, Seq.tabulate(3)(f => Array.tabulate(20)(i => ((i + f) % 216).toByte)))
+    assert(declaredUnits("gif", gif) == 60L) // 5*4 px × 3 frames
+    assert(declaredUnits("wav-pcm", wavWrite(Array[Short](1, -2, 3), 8000)) == 3L)
+    assert(declaredUnits("wav-ulaw", ulawWavWrite(Array[Byte](1, 2, 3, 4), 8000)) == 4L)
+    // torn headers declare nothing (the decoder will reject them)
+    assert(declaredUnits("png", pngWrite(12, 9, rgb).take(20)) == -1L)
+    assert(declaredUnits("gif", gif.take(8)) == -1L)
+    assert(declaredUnits("unknown-token", rgb) == -1L)
+  }
+
+  test("decode-bomb guard: crafted oversize headers are refused with the codec never entered") {
+    import graft.functions.MediaCodecs._
+    import graft.llm.Multimodal
+    import CraftedMedia.{craftedGif, craftedPng}
+    // 40000×40000 = 1.6e9 declared pixels from 64 real bytes
+    val bomb = craftedPng(40000L, 40000L)
+    assert(sniff(bomb).contains("png"))
+    assert(declaredUnits("png", bomb) == 1600000000L)
+    intercept[OversizeMediaException](Multimodal.decodeStats("png", bomb))
+    // 1000 declared frames of a 2000×2000 canvas = 4e9 units in ~14 KB
+    val gifBomb = craftedGif(2000, 2000, 1000)
+    assert(declaredUnits("gif", gifBomb) == 4000000000L)
+    intercept[OversizeMediaException](Multimodal.decodeStats("gif", gifBomb))
+    // within budget a crafted header falls through to the REAL codec,
+    // which rejects the garbage body (no IDAT, bad CRC) — proof the
+    // guard is a pre-filter, not a replacement for decode
+    intercept[Exception](Multimodal.decodeStats("png", craftedPng(4L, 3L)))
+    // and a genuine blob under budget still decodes
+    val ok = Multimodal.decodeStats("png",
+      pngWrite(6, 5, Array.tabulate(90)(i => (i % 97).toByte)))
+    assert(ok.n_units == 30L)
+  }
+
+  test("decoder SPI: an external codec registers and both sniff and the m02 arm route it") {
+    import graft.llm.Multimodal
+    // a toy "mp3": ID3 magic, one header byte declaring sample count /
+    // 1000, body = samples. Stands in for any JDK-external perceptual
+    // codec; the REAL integration point a production deployment fills.
+    val toy = new Multimodal.MediaDecoder {
+      val fmt = "mp3"
+      def sniff(bytes: Array[Byte]): Boolean =
+        bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'
+      def declaredUnits(bytes: Array[Byte]): Long =
+        if (bytes.length < 4) -1L else (bytes(3) & 0xff).toLong * 1000L
+      def decode(bytes: Array[Byte]): Multimodal.DecodedStats = {
+        val body = bytes.drop(4)
+        Multimodal.DecodedStats("audio", 1L, body.length.toLong,
+          body.map(b => math.abs(b.toLong)).sum, body.map(b => math.abs(b.toLong)).max)
+      }
+    }
+    Multimodal.registerDecoder(toy)
+    try {
+      val blob = "ID3".getBytes ++ Array[Byte](1) ++ Array[Byte](10, -20, 30)
+      assert(Multimodal.sniffMedia(blob).contains("mp3"))
+      val st = Multimodal.decodeStats("mp3", blob)
+      assert(st.kind == "audio" && st.n_units == 3L && st.sum_vals == 60L && st.peak == 30L)
+      // the guard applies to externals through their own declaration
+      val bomb = "ID3".getBytes ++ Array[Byte](-1) // declares 255,000 units
+      intercept[graft.functions.MediaCodecs.OversizeMediaException](
+        Multimodal.decodeStats("mp3", bomb, maxUnits = 1000L))
+      // built-in tokens stay reserved; double registration refused
+      intercept[IllegalArgumentException](Multimodal.registerDecoder(toy))
+    } finally Multimodal.unregisterDecoder("mp3")
+    // after unregistration the token routes nowhere again
+    intercept[IllegalArgumentException](Multimodal.decodeStats("mp3", "ID3x".getBytes))
+  }
+
   test("PPM nearest-neighbor resize matches a brute-force reference") {
     import graft.functions.MediaCodecs._
     check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {

@@ -86,4 +86,60 @@ class MediaIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(dec)
       .filter(col("media_id") === 110L && col("verdict") === "kept").count() == 1)
   }
+
+  test("hostile feed armor: oversize header claims are quarantined, the stream survives") {
+    import CraftedMedia.{craftedGif, craftedPng}
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val dec = s"$base/decisions"; val ckpt = s"$base/ckpt"
+    // 64 real bytes declaring 1.6e9 pixels; ~14 KB declaring 4e9 units —
+    // either would be a multi-GB allocation (executor OOM + poison-pill
+    // task retry) if the codec were entered
+    drop(dropDir, "m201.png", craftedPng(40000L, 40000L))
+    drop(dropDir, "m202.gif", craftedGif(2000, 2000, 1000))
+    drop(dropDir, "m203.png", pngWrite(6, 5, Array.tabulate(90)(i => (i % 97).toByte)))
+
+    MediaIngest.start(spark, dropDir, lake, dec, ckpt).awaitTermination()
+
+    val verdicts = spark.read.parquet(dec)
+      .select("media_id", "fmt", "verdict").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // oversize ≠ corrupt: the corrupt verdict is what the real codec
+    // produces on a garbage body, so "oversize" itself proves the
+    // decode was never attempted
+    assert(verdicts(201L) == ("png", "rejected:oversize"))
+    assert(verdicts(202L) == ("gif", "rejected:oversize"))
+    assert(verdicts(203L) == ("png", "kept"))
+    assert(spark.read.parquet(lake).count() == 1)
+  }
+
+  test("an external SPI decoder routes through the ingest verdict path") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val toy = new Multimodal.MediaDecoder {
+      val fmt = "mp3"
+      def sniff(bytes: Array[Byte]): Boolean =
+        bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'
+      def declaredUnits(bytes: Array[Byte]): Long =
+        if (bytes.length < 4) -1L else (bytes(3) & 0xff).toLong * 1000L
+      def decode(bytes: Array[Byte]): Multimodal.DecodedStats = {
+        val body = bytes.drop(4)
+        Multimodal.DecodedStats("audio", 1L, body.length.toLong,
+          body.map(b => math.abs(b.toLong)).sum, body.map(b => math.abs(b.toLong)).max)
+      }
+    }
+    Multimodal.registerDecoder(toy)
+    try {
+      val blob = "ID3".getBytes ++ Array[Byte](1) ++
+        Array.tabulate[Byte](40)(i => (i - 10).toByte)
+      val files = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("/drop/m301.mp3", blob))),
+        StructType(Seq(StructField("path", StringType), StructField("content", BinaryType))))
+      val out = MediaIngest.decide(spark, files).collect()
+      assert(out.length == 1)
+      val d = out.head
+      assert(d.media_id == 301L && d.fmt == "mp3" && d.kind == "audio" &&
+        d.verdict == "kept" && d.n_units == 40L)
+    } finally Multimodal.unregisterDecoder("mp3")
+  }
 }
