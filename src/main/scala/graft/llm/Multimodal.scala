@@ -649,29 +649,42 @@ object Multimodal {
 
   /** decoded-content dedup: candidate groups by the integer signature
     * (w, h, channel sums — the only shuffle, and it carries 6 longs
-    * per blob, never rasters), then EXACT verify inside each group by
-    * the FNV digest, keeper = lowest id's PNG. The fixture algebra
-    * makes ground truth derivable: every raster is a pure function of
-    * id mod 256 (w/h divide 256's residue classes and every channel
-    * formula is (…+k·id) % 256), so ids 256 apart are true duplicates
-    * across BOTH containers — the oracle replays group sizes and
-    * keepers from residue arithmetic while the engine must EARN them
-    * through decode + signature + digest verification.
+    * per blob, never rasters), EXACT-verified by grouping on the FNV
+    * digest too (signature collisions across residues split on it),
+    * keeper = lowest id's PNG. The fixture algebra makes ground truth
+    * derivable: every raster is a pure function of id mod 256 (w/h
+    * divide 256's residue classes and every channel formula is
+    * (…+k·id) % 256), so ids 256 apart are true duplicates across
+    * BOTH containers — the oracle replays group sizes and keepers
+    * from residue arithmetic while the engine must EARN them through
+    * decode + signature + digest verification.
+    *
+    * The keeper election is a WINDOW over the content key, not a
+    * `groupByKey.flatMapGroups` buffer: duplicate-heavy corpora are
+    * the NORMAL case for media dedup at crawl scale (one viral image
+    * × 10^8 copies lands in one group), and an object-hash-aggregate
+    * `it.toSeq` would hold that whole group on one task's heap.
+    * `WindowExec` buffers the group in a SPILLABLE row array (disk
+    * after a threshold, never OOM), computes min/count once per
+    * group, and — unlike an agg-plus-self-join shape — runs the
+    * decode lineage exactly ONCE, which dominates cost when the
+    * upstream is a real codec pass. Skewed groups ride the same
+    * spill path; rows carry 8 longs + a token, never rasters.
     */
   def contentDedup(spark: SparkSession, docs: DataFrame): Dataset[MediaDup] = {
     import spark.implicits._
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy("width", "height", "sum_r", "sum_g", "sum_b", "digest")
     contentSignatures(spark, docs)
-      .groupByKey(s => (s.width, s.height, s.sum_r, s.sum_g, s.sum_b))
-      .flatMapGroups { (_, it) =>
-        // signature collisions across residues split here: only
-        // digest-identical members are the same decoded content
-        it.toSeq.groupBy(_.digest).valuesIterator.flatMap { grp =>
-          val keeper = grp.iterator.map(_.media_id).min
-          grp.map(m => MediaDup(m.media_id, m.container, m.width, m.height,
-            m.sum_r, m.sum_g, m.sum_b, grp.size.toLong, keeper,
-            if (m.media_id == keeper && m.container == "png") 1L else 0L))
-        }
-      }
+      .withColumn("group_size", count(lit(1)).over(byContent))
+      .withColumn("keeper_id", min(col("media_id")).over(byContent))
+      .select(
+        col("media_id"), col("container"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("group_size"), col("keeper_id"),
+        when(col("media_id") === col("keeper_id") && col("container") === "png", 1L)
+          .otherwise(0L).as("is_keeper"))
+      .as[MediaDup]
   }
 
   /** SMOOTH raster for the lossy-codec fixtures: linear channel planes

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.LongType
   * transaction.
   *
   * The ledger records each request as an atomically-published
-  * generation (`takedown=<token>/ids` parquet, staged and renamed into
+  * generation (`takedown=<token>/ids` parquet plus the `surfaces`
+  * name-set that exists at request time, staged and renamed into
   * place by [[FoldCommit]], so a half-written request is invisible),
   * then drives it across the registered surfaces with a durable
-  * `done-<surface>` marker after each completed fold:
+  * `done-<surface>` marker after each completed fold — and only
+  * closes the token when every RECORDED surface is marked:
   *
   *   - a crash BETWEEN surfaces: re-entry skips the marked surfaces
   *     and continues with the rest;
@@ -57,23 +59,51 @@ object Takedown {
   }
 
   private val Complete = "_complete"
+  private val SurfacesFile = "surfaces"
   private def gen(token: String) = s"takedown=$token"
 
-  /** register a takedown request: the distinct id set is staged and
-    * published atomically under the ledger; returns the request token.
-    * A request is pure data — nothing is forgotten until [[resume]].
+  /** register a takedown request: the distinct id set AND the names of
+    * the surfaces that exist at request time are staged and published
+    * atomically under the ledger; returns the request token (a full
+    * UUID — a truncated token's 32-bit space admits collisions that
+    * would displace another open request's generation, silently
+    * dropping its id set). A request is pure data — nothing is
+    * forgotten until [[resume]].
+    *
+    * Pinning the surface set at REQUEST time is what makes `_complete`
+    * honest: without it, a resume invoked with a subset registry would
+    * close the request with surfaces unfolded — silent under-deletion
+    * in a right-to-be-forgotten path. [[resume]] refuses to close a
+    * token until every RECORDED surface carries a done marker.
     */
-  def request(spark: SparkSession, ledgerDir: String, ids: DataFrame): String = {
+  def request(
+      spark: SparkSession, ledgerDir: String, ids: DataFrame,
+      surfaces: Seq[String]): String = {
+    require(surfaces.nonEmpty, "a takedown request must name the surfaces it covers")
+    require(surfaces.distinct.size == surfaces.size, "surface names must be unique")
+    surfaces.foreach(n => require(n.nonEmpty && !n.exists(c => c == '/' || c.isWhitespace),
+      s"surface name must be a path-safe token: '$n'"))
     val root = new Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    val token = java.util.UUID.randomUUID().toString.take(8)
+    val token = java.util.UUID.randomUUID().toString
     FoldCommit.publish(fs, root, gen(token), Nil) { staging =>
       ids.select(col(ids.columns.head).cast(LongType).as("id")).distinct()
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/ids")
+      val out = fs.create(new Path(staging, SurfacesFile), true)
+      try out.write(surfaces.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
     }
     token
+  }
+
+  /** the surface-name set recorded when `token` was requested */
+  private def recordedSurfaces(
+      fs: org.apache.hadoop.fs.FileSystem, reqDir: Path): Set[String] = {
+    val in = fs.open(new Path(reqDir, SurfacesFile))
+    try new String(in.readAllBytes(), "UTF-8").linesIterator.filter(_.nonEmpty).toSet
+    finally in.close()
   }
 
   /** request tokens still open (registered, not yet `_complete`) */
@@ -89,10 +119,19 @@ object Takedown {
       .sorted
   }
 
-  /** drive every open request through every surface, oldest token
-    * first; returns the tokens closed by THIS call. Fail-fast: a
+  /** drive every open request through every surface, in lexicographic
+    * token order (tokens are random UUIDs, so the order is stable, not
+    * temporal); returns the tokens closed by THIS call. Fail-fast: a
     * surface that throws aborts the run with completed surfaces
     * durably marked, and the next resume continues from the failure.
+    *
+    * A token only closes when every surface RECORDED at request time
+    * carries a done marker — a resume invoked with a subset registry
+    * folds what it can, durably, and leaves the token pending (loudly)
+    * rather than declaring a right-to-be-forgotten request complete
+    * with surfaces unfolded. Surfaces registered AFTER the request are
+    * folded too when present (idempotent, conservative) but are not
+    * required for closure.
     */
   def resume(
       spark: SparkSession, ledgerDir: String, surfaces: Seq[Surface],
@@ -104,6 +143,7 @@ object Takedown {
     val closed = Seq.newBuilder[String]
     for (token <- pending(spark, ledgerDir)) {
       val reqDir = new Path(root, gen(token))
+      val recorded = recordedSurfaces(fs, reqDir)
       val idRows = spark.read.parquet(s"$reqDir/ids")
       val n = idRows.count()
       require(n <= maxIds,
@@ -117,8 +157,14 @@ object Takedown {
           fs.create(marker, true).close()
         }
       }
-      fs.create(new Path(reqDir, Complete), true).close()
-      closed += token
+      val unmet = recorded.filterNot(name => fs.exists(new Path(reqDir, s"done-$name")))
+      if (unmet.isEmpty) {
+        fs.create(new Path(reqDir, Complete), true).close()
+        closed += token
+      } else
+        System.err.println(s"[takedown] $token stays OPEN: recorded surfaces " +
+          s"${unmet.toSeq.sorted.mkString(", ")} absent from this resume's registry — " +
+          "re-run with the full surface set to close it")
     }
     closed.result()
   }

@@ -305,6 +305,26 @@ object ScaleProbe {
       (m, t)
     }
 
+    // m12 under duplicate PRESSURE: 90% of ids share one decoded
+    // content (id ≡ 0 mod 256 ⇒ identical raster — the viral-image
+    // case), so one content group holds ~1.8·n signature rows. The
+    // r12 flatMapGroups shape buffered that group on one task's heap;
+    // the window election must stay ~linear here or the
+    // de-materialization claim is just prose. Ids are synthesized
+    // directly (m12's rasters are a pure function of doc_id), so the
+    // probe isolates decode + shuffle + window from table generation.
+    if (enabled("m12_dup_heavy")) results("m12_dup_heavy") = Multipliers.map { m =>
+      val n = BaseDocs * m
+      val ids = (0 until n).map(i =>
+        if (i % 10 != 0) 256L * i // 90%: residue 0 — ONE giant content group
+        else 256L * i + 1 + (i % 255)) // 10%: spread across other residues
+      val docs = ids.toDF("doc_id").repartition(cores)
+      val t = bestOf(reps)(materialize(
+        graft.llm.Multimodal.contentDedup(spark, docs).toDF()))
+      println(f"""{"probe":"m12_dup_heavy","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
     // bus height-retention fold vs log size: driver-side segment scan +
     // retained-tail copy, expected ~linear in the log bytes. 4
     // partitions like the bench probes; the floor cuts ~half the log.

@@ -143,6 +143,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("m12's keeper election is a spillable window, never an in-memory group buffer") {
+    // duplicate-heavy corpora are media dedup's NORMAL case (one viral
+    // image × 10^8 copies = one content group): a
+    // groupByKey.flatMapGroups `it.toSeq` holds the whole group on one
+    // task's heap, while WindowExec buffers it in a spillable row
+    // array. Assert the de-materialized shape — and that the single
+    // content-key exchange is still the plan's only shuffle.
+    val plan = planOf("m12_media_content_dedup")
+    assert(!plan.contains("FlatMapGroups") && !plan.contains("AppendColumns"),
+      s"m12 re-grew an object group buffer:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"m12 aggregates through an object heap buffer:\n$plan")
+    assert(plan.contains("Window"), s"m12 lost its window election:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"m12 should shuffle exactly once (the content key):\n$plan")
+  }
+
   test("t12 broadcasts the vocab-sized context totals but shuffle-joins the bigram relation") {
     // the unigram left-context table is vocab-sized => broadcast; the
     // bigram-count relation grows with vocab² => must NOT be forced

@@ -37,7 +37,8 @@ class TakedownSpec extends AnyFunSuite {
     val (dirA, srfA) = mkSurface("lex", "doc_id", 50)
     val (dirB, srfB) = mkSurface("vec", "vec_id", 50)
 
-    val token = Takedown.request(spark, ledger, Seq(3L, 7L, 7L, 11L).toDF("doc_id"))
+    val token = Takedown.request(spark, ledger, Seq(3L, 7L, 7L, 11L).toDF("doc_id"),
+      Seq("lex", "boom", "vec"))
     assert(Takedown.pending(spark, ledger) == Seq(token))
     // a request is pure data: nothing forgotten yet
     assert(keys(dirA).size == 50 && keys(dirB).size == 50)
@@ -76,7 +77,7 @@ class TakedownSpec extends AnyFunSuite {
   test("a crash between a fold and its marker re-runs only that fold, harmlessly") {
     val ledger = s"${tmp("graft_takedown")}/ledger"
     val (dirA, srfA) = mkSurface("lex", "doc_id", 30)
-    val token = Takedown.request(spark, ledger, Seq(5L).toDF("doc_id"))
+    val token = Takedown.request(spark, ledger, Seq(5L).toDF("doc_id"), Seq("lex"))
     // simulate fold-then-die-before-marker: run the fold by hand
     LlmQueries.forgetRows(spark, dirA, Seq("rows"), col("doc_id").isInCollection(Seq(5L)))
     assert(keys(dirA) == (0L until 30L).filterNot(_ == 5L))
@@ -86,11 +87,42 @@ class TakedownSpec extends AnyFunSuite {
     assert(Takedown.pending(spark, ledger).isEmpty)
   }
 
-  test("requests close oldest-token-first, each against every surface") {
+  test("a resume with a subset registry folds what it can but cannot close the request") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (dirA, srfA) = mkSurface("lex", "doc_id", 30)
+    val (dirB, srfB) = mkSurface("vec", "vec_id", 30)
+    val token = Takedown.request(spark, ledger, Seq(4L, 9L).toDF("doc_id"),
+      Seq("lex", "vec"))
+    // operator error (or a partial deploy): resume sees only lex
+    assert(Takedown.resume(spark, ledger, Seq(srfA)).isEmpty,
+      "a subset resume must not close the token")
+    assert(keys(dirA) == (0L until 30L).filterNot(Set(4L, 9L)), "lex still folds")
+    assert(keys(dirB).size == 30, "vec untouched")
+    assert(Takedown.pending(spark, ledger) == Seq(token), "token must stay pending")
+    // the full registry later closes it — lex's marker is durable, so
+    // only vec folds now
+    var lexReruns = 0
+    val lexCounted = Takedown.Surface("lex", (s, ids) => { lexReruns += 1; srfA.forget(s, ids) })
+    assert(Takedown.resume(spark, ledger, Seq(lexCounted, srfB)) == Seq(token))
+    assert(lexReruns == 0 && keys(dirB) == (0L until 30L).filterNot(Set(4L, 9L)))
+    assert(Takedown.pending(spark, ledger).isEmpty)
+  }
+
+  test("a request must pin a non-empty, unique, path-safe surface set") {
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    intercept[IllegalArgumentException](
+      Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"), Nil))
+    intercept[IllegalArgumentException](
+      Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"), Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"), Seq("a/b")))
+  }
+
+  test("requests close in stable token order, each against every surface") {
     val ledger = s"${tmp("graft_takedown")}/ledger"
     val (dirA, srfA) = mkSurface("lex", "doc_id", 20)
-    val t1 = Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"))
-    val t2 = Takedown.request(spark, ledger, Seq(2L).toDF("doc_id"))
+    val t1 = Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"), Seq("lex"))
+    val t2 = Takedown.request(spark, ledger, Seq(2L).toDF("doc_id"), Seq("lex"))
     assert(Takedown.pending(spark, ledger) == Seq(t1, t2).sorted)
     assert(Takedown.resume(spark, ledger, Seq(srfA)) == Seq(t1, t2).sorted)
     assert(keys(dirA) == (0L until 20L).filterNot(Set(1L, 2L)))
@@ -99,7 +131,7 @@ class TakedownSpec extends AnyFunSuite {
   test("an oversized id set is refused loudly, not silently truncated") {
     val ledger = s"${tmp("graft_takedown")}/ledger"
     val (_, srfA) = mkSurface("lex", "doc_id", 5)
-    Takedown.request(spark, ledger, (0L until 100L).toDF("doc_id"))
+    Takedown.request(spark, ledger, (0L until 100L).toDF("doc_id"), Seq("lex"))
     val e = intercept[IllegalArgumentException] {
       Takedown.resume(spark, ledger, Seq(srfA), maxIds = 10)
     }
@@ -120,7 +152,7 @@ class TakedownSpec extends AnyFunSuite {
     val gone = Tables.documents(spark, sf)
       .filter(col("doc_id") % 7 === 2 || col("doc_id").isin(8L, 12L)).select("doc_id")
     val goneIds = gone.as[Long].collect().toSet
-    val token = Takedown.request(spark, ledger, gone)
+    val token = Takedown.request(spark, ledger, gone, Seq("lex", "bm25"))
     val closed = Takedown.resume(spark, ledger, Seq(
       Takedown.Surface("lex", (s, ids) =>
         LlmQueries.forgetDocs(s, lex, col("doc_id").isInCollection(ids))),
