@@ -69,6 +69,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** I/O-sensitive canary arm: a FIXED-byte parquet write + read-back
+    * (~8 MB, 4 files, one overwritten path) through the same commit
+    * protocol the streaming probes pay — file create, rename, listing,
+    * page-cache read. The CPU canary above is page-cache-immune BY
+    * DESIGN, which made it blind to exactly the disk/page-cache
+    * contention that moves commit-bound probes (r12's across-the-board
+    * probe drop sat at canary 1.0-1.3x while load read up to 4.6): this
+    * arm measures that axis. Same baseline-tightening discipline as the
+    * CPU arm; both series are committed so a probe number can be read
+    * against the box's CPU AND I/O state at the moment it ran.
+    */
+  private def ioCanaryOnce(spark: SparkSession, dir: String): Double = {
+    val p = s"$dir/io_canary"
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000L, 1L, 4)
+      .selectExpr("id", "xxhash64(id) AS h", "repeat('x', 64) AS pad")
+      .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** name -> certified-quiet seconds, empty if the table isn't present
     * (fresh clone) — flat string->number JSON object, Jackson-parsed
     * (same bundled lib Cbor.scala uses)
@@ -144,11 +165,16 @@ object Bench {
     // a long-lived cluster amortizes away; later reps are the steady
     // state the per-query numbers are meant to measure, and three reps
     // keep single-run noise out of round-over-round regression diffs.
-    val only = args.filterNot(_.forall(_.isDigit)).toSet
+    // `probes` as an arg runs ONLY the streaming probes (each carries
+    // its own untimed warmup, so they are certifiable without the
+    // 20-minute query sweep in front) — the re-certification path for
+    // probe:<name> baselines that restricted query runs can't provide
+    val probesOnly = args.contains("probes")
+    val only = args.filterNot(_.forall(_.isDigit)).filterNot(_ == "probes").toSet
     val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val loadStart = osBean.getSystemLoadAverage
     val all = Catalog.all
-      .filter(q => only.isEmpty || only(q.name))
+      .filter(q => if (probesOnly) false else only.isEmpty || only(q.name))
       .map(q => q.name -> q.run)
     // warmup: run everything once on the tiny sf
     for ((_, fn) <- all)
@@ -203,6 +229,16 @@ object Bench {
     def canaryFactorAt(pos: Int): Double =
       if (canarySamples.isEmpty) 1.0
       else canarySamples.minBy(s => math.abs(s._1 - pos))._2 / canary0
+    // the I/O arm (see ioCanaryOnce): same reference/tighten/min-of-2
+    // discipline as the CPU arm, sampled at the same cadence
+    val ioCanaryDir = java.nio.file.Files.createTempDirectory("graft_bench_iocanary").toString
+    var ioCanary0 = (1 to 3).map(_ => ioCanaryOnce(spark, ioCanaryDir)).min
+    def ioCanarySample(): Double = {
+      val t = math.min(ioCanaryOnce(spark, ioCanaryDir), ioCanaryOnce(spark, ioCanaryDir))
+      if (t < ioCanary0) ioCanary0 = t
+      t
+    }
+    val ioCanarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     // bounded wait for the box to go quiet again, canary-judged (the
     // guest load average can't see host contention; the canary can).
     // Returns the last observed factor; flips `quietHopeless` when the
@@ -227,10 +263,13 @@ object Bench {
       fac
     }
     val sweep = all.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-      // sample the canary every 8 queries: the series timestamps box
-      // speed ACROSS the run, so a flagged query can be matched to the
-      // box conditions it actually ran under
-      if (i % 8 == 0) canarySamples += ((i, canarySample()))
+      // sample both canary arms every 8 queries: the series timestamp
+      // box speed ACROSS the run, so a flagged query can be matched to
+      // the box conditions it actually ran under
+      if (i % 8 == 0) {
+        canarySamples += ((i, canarySample()))
+        ioCanarySamples += ((i, ioCanarySample()))
+      }
       (name, fn, timeReps(name, fn))
     }
     val posByName = sweep.map(_._1).zipWithIndex.toMap
@@ -357,7 +396,8 @@ object Bench {
     // certify <name>_build_s / <name>_probe_s separately while the
     // catalog entry (and its oracle) stays the composite
     val splitTimes = graft.llm.LlmQueries.standingSplits
-      .filter { case (n, _) => only.isEmpty || only(n) }.toSeq.sortBy(_._1)
+      .filter { case (n, _) => if (probesOnly) false else only.isEmpty || only(n) }
+      .toSeq.sortBy(_._1)
       .map { case (name, (build, probe)) =>
         try {
           build(spark, WarmDir); materialize(probe(spark, WarmDir)) // JIT warm
@@ -380,7 +420,8 @@ object Bench {
     // takedown fold gets its own certified number instead of hiding
     // inside a build-dominated composite (the d18/s22 accounting)
     val forgetSplitTimes = graft.llm.LlmQueries.forgetSplits
-      .filter { case (n, _) => only.isEmpty || only(n) }.toSeq.sortBy(_._1)
+      .filter { case (n, _) => if (probesOnly) false else only.isEmpty || only(n) }
+      .toSeq.sortBy(_._1)
       .map { case (name, (build, fold, probe)) =>
         try {
           build(spark, WarmDir); fold(spark, WarmDir); materialize(probe(spark, WarmDir))
@@ -411,17 +452,23 @@ object Bench {
     // last, after minutes of load, with no gate of their own) — now
     // each probe number is committed next to the box conditions it ran
     // under, and a loud box gets a bounded chance to recover first
-    val probeConditions = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val probeConditions =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val probeResults = scala.collection.mutable.LinkedHashMap[String, Double]()
     def probeGated(name: String)(body: => Double): Double =
       if (only.nonEmpty) 0.0
       else {
         val fac = waitForQuiet(120)
-        probeConditions(name) = (fac, osBean.getSystemLoadAverage)
-        try body
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name probe failed: $e"); 0.0
-        }
+        val ioFac = ioCanarySample() / ioCanary0
+        probeConditions(name) = (fac, ioFac, osBean.getSystemLoadAverage)
+        val v =
+          try body
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name probe failed: $e"); 0.0
+          }
+        probeResults(name) = v
+        v
       }
     // streaming probe LAST (measured: running it first both reads ~3x
     // low — cold JIT on the parse/flatten path — and leaves streaming
@@ -501,21 +548,54 @@ object Bench {
       .map { case (n, e) => s"${jq(n)}:${jq(e)}" }.mkString("{", ",", "}")
     val canaryDriftMax =
       if (canarySamples.isEmpty) 1.0 else canarySamples.map(_._2).max / canary0
+    val ioCanaryDriftMax =
+      if (ioCanarySamples.isEmpty) 1.0 else ioCanarySamples.map(_._2).max / ioCanary0
     val probeCondJson = probeConditions
-      .map { case (n, (fac, load)) =>
-        s""""$n":{"canary":${f"$fac%.2f"},"load":${f"$load%.2f"}}""" }
+      .map { case (n, (fac, ioFac, load)) =>
+        s""""$n":{"canary":${f"$fac%.2f"},"io_canary":${f"$ioFac%.2f"},"load":${f"$load%.2f"}}""" }
       .mkString("{", ",", "}")
     val canarySeriesJson = canarySamples
       .map { case (pos, t) => s"[$pos,${f"${t / canary0}%.2f"}]" }.mkString("[", ",", "]")
+    val ioCanarySeriesJson = ioCanarySamples
+      .map { case (pos, t) => s"[$pos,${f"${t / ioCanary0}%.2f"}]" }.mkString("[", ",", "]")
+    // the probes' regression protocol, mirroring the query table's:
+    // certified quiet-box baselines live in BASELINE_QUERIES.json under
+    // "probe:<name>" (units: per-second throughput, so the slowness
+    // ratio is baseline/measured), each ratio is committed RAW plus
+    // normalized by the worse of the two canary arms AT THE MOMENT that
+    // probe ran (≥1 by construction — normalization can attribute a
+    // drop to a provably slow box, never manufacture one; the raw
+    // column stays beside it). r12's across-the-board probe drop could
+    // only be argued about because probes had numbers but no bar.
+    val probeRatios = probeResults.toSeq.flatMap { case (n, v) =>
+      baseline.get("probe:" + n).filter(_ > 0).flatMap { base =>
+        if (v <= 0) None
+        else {
+          val raw = base / v
+          val (cpuF, ioF, _) = probeConditions.getOrElse(n, (1.0, 1.0, 0.0))
+          Some((n, raw, raw / math.max(1.0, math.max(cpuF, ioF))))
+        }
+      }
+    }
+    val probeVsBaselineJson = probeRatios
+      .map { case (n, r, nr) => s""""$n":{"ratio":${f"$r%.2f"},"norm":${f"$nr%.2f"}}""" }
+      .mkString("{", ",", "}")
+    val probeVsBaselineMaxNorm =
+      if (probeRatios.isEmpty) 0.0 else probeRatios.map(_._3).max
+    val nProbeRegressions = probeRatios.count(_._3 > 1.5)
+    for ((n, r, nr) <- probeRatios if nr > 1.5)
+      System.err.println(f"[bench] WARN probe $n at $r%.2fx under its certified " +
+        f"throughput ($nr%.2fx after canary normalization) — regression or I/O contention " +
+        "both canary arms missed")
     val sentinel =
-      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
+      s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"canary_series":$canarySeriesJson,"regressions_detail":$regressionsJson,"baseline_ratios_norm":${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"canary_series":$canarySeriesJson,"io_canary_series":$ioCanarySeriesJson,"regressions_detail":$regressionsJson,"baseline_ratios_norm":${
         ratiosNorm.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
       },"queries":$qs}"""
     try java.nio.file.Files.write(

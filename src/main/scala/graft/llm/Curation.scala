@@ -1024,9 +1024,12 @@ object Curation {
   //    long-context pretraining chunkers and RAG indexers use),
   //    emitting per window its index, token offset, width and the
   //    materialized slice. A window is kept when it is the doc's first
-  //    or covers at least W - S fresh tokens (no text silently
-  //    dropped; the tail never degenerates to a sliver) — and because
-  //    starts ascend, the filter only ever trims the tail, so window
+  //    or contributes at least ONE fresh token (remaining > W - S: the
+  //    previous window, stride S back and W wide, already covers the
+  //    next W - S tokens, so a tail window with exactly W - S left is
+  //    100% redundant content — dropped; anything with a fresh token
+  //    is kept, so no text is silently dropped) — and because starts
+  //    ascend, the filter only ever trims the tail, so window
   //    indexes stay dense. Pure map-side explode over sequence():
   //    no shuffle, no corpus state, linear at any scale.
   private val p12 = Q(
@@ -1037,7 +1040,7 @@ object Curation {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), size(col("toks")).as("n"), col("toks"),
           posexplode(expr(
-            s"filter(sequence(0, size(toks) - 1, $st), x -> x = 0 OR size(toks) - x >= ${w - st})"))
+            s"filter(sequence(0, size(toks) - 1, $st), x -> x = 0 OR size(toks) - x > ${w - st})"))
             .as(Seq("win_idx", "start_tok")))
         .select(
           col("doc_id"),
@@ -1054,7 +1057,7 @@ object Curation {
             FROM t),
       w AS (SELECT doc_id, n, toks, start,
               row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS win_idx
-            FROM g WHERE start = 0 OR n - start >= ${WindowToks - WindowStride})
+            FROM g WHERE start = 0 OR n - start > ${WindowToks - WindowStride})
       SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
              CAST(start AS BIGINT) AS start_tok,
              CAST(least($WindowToks, n - start) AS BIGINT) AS win_toks,

@@ -2852,6 +2852,55 @@ object LlmQueries {
       FROM documents
     """.trim))
 
+  // -- t13: hashed-feature LINEAR CLASSIFIER inference — the
+  //    fasttext-style quality/domain filter pass crawl pipelines run
+  //    over every document (a trained linear model over hashed
+  //    bag-of-words features, the CCNet-recipe shape). The sandbox
+  //    trains nothing, so the weight vector is a deterministic
+  //    stand-in: bucket = md5_prefix64(token) mod 1024, weight =
+  //    ((bucket * 2654435761) mod 1024 - 512) / 1024 — a fixed
+  //    Knuth-multiplicative mix of the feature hash, keeping the SHAPE
+  //    of real inference (hash -> weight lookup -> fold) while staying
+  //    oracle-replayable. Weights are dyadic rationals (k/1024,
+  //    |k| <= 512), so the running double sum is EXACT and
+  //    order-insensitive: the engine folds them in token order through
+  //    a zero-shuffle aggregate() over the token array while the
+  //    oracle group-by-sums in whatever order DuckDB picks — identical
+  //    bits either way, no rounding image needed before the final
+  //    quotient. At 100 TB this is the ideal inference plan: map-only
+  //    (PlanAuditSpec asserts zero exchanges), whole-stage codegen'd
+  //    (Md5Prefix64 is a native expression), and a REAL trained vector
+  //    swaps in as a 2^20-bucket broadcast array (~8 MB) without
+  //    changing the plan shape.
+  private val t13 = Q(
+    "t13_classifier_score",
+    (s, d) => {
+      def w(t: org.apache.spark.sql.Column) =
+        ((graft.functions.ColumnFns.md5_prefix64(t) % 1024L * 2654435761L) % 1024L - 512L)
+          .cast(DoubleType) / 1024.0
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_toks"),
+          aggregate(toks, lit(0.0), (acc, t) => acc + w(t)).as("z"))
+        .select(
+          col("doc_id"), col("n_toks"),
+          round(col("z") / col("n_toks"), 6).as("score"),
+          (col("z") > 0.0).cast(LongType).as("keep"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      w AS (SELECT doc_id,
+              CAST((CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1024
+                    * 2654435761) % 1024 - 512 AS DOUBLE) / 1024.0 AS w
+            FROM tok),
+      z AS (SELECT doc_id, SUM(w) AS z, count(*) AS n FROM w GROUP BY 1)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_toks, round(z / n, 6) AS score,
+             CAST(z > 0 AS BIGINT) AS keep
+      FROM z
+    """.trim))
+
   // -- t08: Unicode NFC normalization — native codegen expression with
   //    an ASCII fast path (one byte scan, no decode) vs DuckDB's
   //    nfc_normalize. The corpus is ASCII, so each row gets a
@@ -3563,7 +3612,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

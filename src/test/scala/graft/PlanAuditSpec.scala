@@ -160,6 +160,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"m12 should shuffle exactly once (the content key):\n$plan")
   }
 
+  test("t13's classifier inference is map-only: zero exchanges over the scan") {
+    // the filtering pass that runs over EVERY crawled document must not
+    // shuffle: a plan that grew an Exchange here would re-partition
+    // 100 TB to compute a per-row scalar. The hash->weight->fold lives
+    // in a projection directly over the batched parquet scan; the
+    // aggregate() lambda itself is interpreted (higher-order functions
+    // don't codegen) but the scan and final projection keep their
+    // whole-stage spans (the *(n) markers).
+    val plan = planOf("t13_classifier_score")
+    assert(!plan.contains("Exchange"), s"t13 grew a shuffle:\n$plan")
+    assert(plan.contains("*("), s"t13 lost its codegen spans entirely:\n$plan")
+    assert(plan.contains("FileScan parquet") && plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t13 should scan only (doc_id, text):\n$plan")
+  }
+
   test("t12 broadcasts the vocab-sized context totals but shuffle-joins the bigram relation") {
     // the unigram left-context table is vocab-sized => broadcast; the
     // bigram-count relation grows with vocab² => must NOT be forced
