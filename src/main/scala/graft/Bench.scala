@@ -176,8 +176,14 @@ object Bench {
     val all = Catalog.all
       .filter(q => if (probesOnly) false else only.isEmpty || only(q.name))
       .map(q => q.name -> q.run)
-    // warmup: run everything once on the tiny sf
-    for ((_, fn) <- all)
+    // warmup: run everything once on the tiny sf. probes-only mode
+    // still warms the FULL catalog: the streaming gates reuse the
+    // batch machinery (parquet readers, codegen caches, shuffle paths),
+    // and a probes-only JVM without this pass measured 2x low across
+    // every probe with the canary reference itself 48% slow — the
+    // numbers were JIT state, not the engine
+    val warmAll = if (probesOnly) Catalog.all.map(q => q.name -> q.run) else all
+    for ((_, fn) <- warmAll)
       try materialize(fn(spark, WarmDir)) catch { case _: Throwable => () }
 
     // a query that throws yields Left(error), never a numeric time: r8

@@ -313,7 +313,11 @@ object ScaleProbe {
     // de-materialization claim is just prose. Ids are synthesized
     // directly (m12's rasters are a pure function of doc_id), so the
     // probe isolates decode + shuffle + window from table generation.
-    if (enabled("m12_dup_heavy")) results("m12_dup_heavy") = Multipliers.map { m =>
+    // 30x tail (the ExtQueries treatment): at 30x the single content
+    // group holds ~270k rows on one window partition — the exact spot
+    // the old flatMapGroups buffer would have concentrated heap, so the
+    // tail point is the de-materialization claim's strongest evidence
+    if (enabled("m12_dup_heavy")) results("m12_dup_heavy") = MultipliersExt.map { m =>
       val n = BaseDocs * m
       val ids = (0 until n).map(i =>
         if (i % 10 != 0) 256L * i // 90%: residue 0 — ONE giant content group
