@@ -530,6 +530,11 @@ object Bench {
     // module map carries a throughput figure
     val sampleDocsPerSec = probeGated("sample") { sampleThroughput(spark, sfDir) }
     val keeperDocsPerSec = probeGated("keeper") { keeperThroughput(spark, sfDir) }
+    // query-side serving probe: every other probe moves the corpus;
+    // this one moves the QUERIES — queries/s through the batched
+    // ADC serving path against the frozen standing IVF-PQ index
+    // (build untimed: embedding releases are operator events)
+    val serveQueriesPerSec = probeGated("serve") { serveThroughput(spark, sfDir) }
     // streaming multimodal ingest: real files sniffed by magic bytes
     // and decoded by the JDK codec for their format (the m02 kernel) —
     // the r12 media×streaming cell's committed number. Metric = blobs/s
@@ -596,7 +601,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_serve_queries_per_sec":${f"$serveQueriesPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -939,6 +944,37 @@ object Bench {
       val t0 = System.nanoTime()
       graft.streaming.SemanticGate
         .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** Streaming retrieval serving queries/s: the s10-layout index
+    * frozen from the sf corpus once (untimed — embedding releases are
+    * operator events), then a query feed streamed through the batched
+    * ADC serving path. Warm-then-time like the other gate probes.
+    */
+  private def serveThroughput(spark: SparkSession, sfDir: String): Double = {
+    serveRun(spark, WarmDir, 200)
+    serveRun(spark, sfDir, 2000)
+  }
+
+  private def serveRun(spark: SparkSession, sfDir: String, nQueries: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_serve").toString
+    try {
+      val src = s"$base/src"
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.streaming.ServeGate.buildIndex(spark, emb, s"$base/idx")
+      val qs = emb.selectExpr("vec_id AS query_id", "embedding AS qv")
+        .orderBy("query_id").limit(nQueries)
+      val n = qs.count()
+      // 32 source files -> two micro-batches at maxFilesPerTrigger 16,
+      // so the number includes the per-batch machinery like a real feed
+      qs.repartition(32).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      graft.streaming.ServeGate
+        .start(spark, src, s"$base/idx", s"$base/out", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)

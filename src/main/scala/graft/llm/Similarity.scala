@@ -500,6 +500,81 @@ object Similarity {
       .groupBy("vec_id")
       .agg(sum(col("p")).as("score"))
 
+  /** batched ADC lookup table (query_id, s, code, p) against a query
+    * FRAME `queries(query_id, qv)` — |queries| x PqCodewords x PqM
+    * rows, still broadcast-sized for the micro-batch-scale query sets
+    * a serving path answers at once (a 1k-query batch is 1k x 16 x 8
+    * = 128k tiny rows)
+    */
+  private def adcTableBatched(books: DataFrame, queries: DataFrame): DataFrame = {
+    val sub = Dims / PqM
+    val partials = (0 until PqM).map(s =>
+      round(
+        aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at(col("cv"), lit(s * sub) + i + 1).cast(DoubleType) *
+              element_at(col("qv"), lit(s * sub) + i + 1).cast(DoubleType)),
+        6).cast(DecimalType(18, 6)))
+    books.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("code"), posexplode(array(partials: _*)).as(Seq("s", "p")))
+  }
+
+  /** batched ADC scoring: `members(query_id, vec_id, pq)` — each
+    * query's pruned posting-list members — scored against the
+    * broadcast batched ADC table. Same decimal-exact discipline as
+    * [[pqScoresWithCodes]]; the only non-broadcast relation is the
+    * member list itself.
+    */
+  def pqScoresWithCodesBatched(
+      members: DataFrame, books: DataFrame, queries: DataFrame): DataFrame =
+    members
+      .select(col("query_id"), col("vec_id"), posexplode(
+        expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
+        .as(Seq("s", "code")))
+      .join(broadcast(adcTableBatched(books, queries)), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("p")).as("score"))
+
+  /** batched IVF-PQ SERVING step against a standing index: answer a
+    * whole query frame `queries(query_id, qv)` in one plan — the shape
+    * a streaming retrieval endpoint runs per micro-batch
+    * ([[graft.streaming.ServeGate]]). Per query: rank the frozen
+    * centroids (queries broadcast into the 16-row cents table), keep
+    * nProbe lists, ADC-score ONLY those lists' 32-bit codes, top-k by
+    * decimal score. Pure index scan — no float corpus I/O; the only
+    * corpus-wide relation is the posting-list join, shuffled by cid
+    * once regardless of |queries|. Scores stay ADC-approximate by
+    * design (the serving budget); an exact re-rank over the returned
+    * ids is the caller's optional second stage, exactly as x08
+    * composes it.
+    */
+  def ivfPqServeBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      cents: DataFrame,
+      books: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid").asc)
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("sim"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cid")
+    val members = index
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "pq")
+    val wr = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
+    pqScoresWithCodesBatched(members, books, queries)
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("score").cast(DoubleType).as("score"), col("rank"))
+  }
+
   /** One batch of standing IVF-PQ index rows (vec_id, cid, pq) against
     * a FROZEN quantizer (cents) + codebook (books) — base build and
     * delta append are the same call over different batches, and because

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.llm.Similarity
+import graft.streaming.{LakeCompact, ServeGate}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming retrieval serving: streamed per-query answers must equal
+  * the batch ivfPqServeBatch over the same query set; restart from the
+  * checkpoint re-emits nothing; late query files are answered
+  * incrementally; the sink refuses under a maintenance lease.
+  */
+class ServeGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def dirs() = {
+    val b = Files.createTempDirectory("graft_serve").toString
+    (s"$b/src", s"$b/idx", s"$b/out", s"$b/ckpt")
+  }
+
+  /** the u >= 0.99 slice as the query feed — the s20 query-batch
+    * convention (operationally small, independent of corpus size)
+    */
+  private def queryFeed() = {
+    val emb = Tables.embeddings(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast("string")) /
+      lit(1152921504606846976.0)
+    emb.filter(u >= 0.99)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+  }
+
+  test("streamed answers equal the batch serving step, exactly") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    val queries = queryFeed().cache()
+    assert(queries.count() >= 2, "fixture needs at least two queries")
+    // two drops => the run spans multiple micro-batches
+    queries.filter(col("query_id") % 2 === 0).write.mode("append").parquet(src)
+    queries.filter(col("query_id") % 2 =!= 0).write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "vec_id", "score", "rank")
+    val batch = Similarity.ivfPqServeBatch(
+      queries,
+      spark.read.parquet(s"$idx/rows"),
+      spark.read.parquet(s"$idx/cents"),
+      spark.read.parquet(s"$idx/books"),
+      10, 4)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed top-k must equal the batch serving step")
+    // every query answered with a dense contiguous top-k
+    val perQuery = streamed.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQuery.length == queries.count())
+    for (r <- perQuery) {
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n") <= 10L)
+    }
+  }
+
+  test("checkpoint restart re-emits nothing; a late drop is served incrementally") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    val queries = queryFeed().cache()
+    queries.filter(col("query_id") % 2 === 0).write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    val afterFirst = spark.read.parquet(out).count()
+
+    // restart with nothing new: same checkpoint, no new generations
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == afterFirst,
+      "an idle restart must not re-emit answers")
+
+    // a late query file is answered without touching earlier results
+    queries.filter(col("query_id") % 2 =!= 0).write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() > afterFirst, "late queries must be answered")
+    assert(streamed.select("query_id").distinct().count() == queries.count())
+  }
+
+  test("the sink refuses while a maintenance lease is held") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    queryFeed().limit(1).write.mode("append").parquet(src)
+    val e = intercept[Exception] {
+      LakeCompact.withLeases(spark, Seq(out)) {
+        ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+      }
+    }
+    assert(e.getMessage != null)
+  }
+}
