@@ -329,6 +329,50 @@ object ScaleProbe {
       (m, t)
     }
 
+    // r13: query-side SERVING cost vs INDEX size — a fixed 200-query
+    // batch against a standing IVF-PQ index built from the m× corpus
+    // (build untimed: embedding releases are operator events). With
+    // nCentroids FIXED at 16, every posting list grows ∝ m, so the
+    // pruned scan is expected ~linear in m even though the query
+    // volume is constant — the failure mode a fixed-quantizer
+    // deployment hits as the corpus grows under it.
+    if (enabled("serve_index_scale")) results("serve_index_scale") = Multipliers.map { m =>
+      val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
+      val idx = s"$outBase/serve_idx_x$m"
+      graft.streaming.ServeGate.buildIndex(spark, emb, idx)
+      val queries = emb.limit(200)
+        .selectExpr("vec_id AS query_id", "embedding AS qv").cache()
+      queries.count()
+      val rows = spark.read.parquet(s"$idx/rows")
+      val cents = spark.read.parquet(s"$idx/cents")
+      val books = spark.read.parquet(s"$idx/books")
+      val t = bestOf(reps)(materialize(
+        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4)))
+      queries.unpersist()
+      println(f"""{"probe":"serve_index_scale","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+    // the production knob (the d14_scaled_centroids recipe on the
+    // serving axis): nCentroids ∝ corpus with nProbe fixed keeps the
+    // pruned FRACTION shrinking ∝ 1/m, so per-query work stays ~flat
+    // — the claim that makes fixed-budget serving survive corpus
+    // growth, measured rather than asserted
+    if (enabled("serve_scaled_centroids")) results("serve_scaled_centroids") = Multipliers.map { m =>
+      val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
+      val cents = Similarity.sampledCentroids(emb, 16 * m)
+      val books = Similarity.sampledCodebooks(emb)
+      val rows = Similarity.ivfPqIndexRows(emb, cents, books).cache()
+      rows.count() // build untimed, like buildIndex above
+      val queries = emb.limit(200)
+        .selectExpr("vec_id AS query_id", "embedding AS qv").cache()
+      queries.count()
+      val t = bestOf(reps)(materialize(
+        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4)))
+      rows.unpersist(); queries.unpersist()
+      println(f"""{"probe":"serve_scaled_centroids","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
     // bus height-retention fold vs log size: driver-side segment scan +
     // retained-tail copy, expected ~linear in the log bytes. 4
     // partitions like the bench probes; the floor cuts ~half the log.
