@@ -86,6 +86,37 @@ class ServeGateSpec extends AnyFunSuite {
     assert(streamed.select("query_id").distinct().count() == queries.count())
   }
 
+  test("a forgotten vector never appears in served answers") {
+    // the serving surface joins the deletion matrix: the standing
+    // index's row-filter forget fold (the s23 mechanism — same
+    // cents/books/rows layout) must be visible to every answer served
+    // after it, with no gate restart or index rebuild
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    val queries = queryFeed().cache()
+    queries.write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    val served = spark.read.parquet(out)
+    // forget a vector that actually appears in answers, or the test
+    // proves nothing
+    val gone = served.orderBy(col("rank").asc, col("query_id").asc)
+      .select("vec_id").head().getLong(0)
+    graft.llm.LlmQueries.forgetRows(spark, idx, Seq("rows"), col("vec_id") === gone)
+    // a second query wave served AFTER the fold must exclude it
+    val off = 1000000L
+    queries.selectExpr(s"query_id + $off AS query_id", "qv")
+      .write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    val after = spark.read.parquet(out).filter(col("query_id") >= off)
+    assert(after.count() > 0, "the post-fold wave must be answered")
+    assert(after.filter(col("vec_id") === gone).count() == 0,
+      "a forgotten vector must never be served after the fold")
+    // pre-fold generations are history, untouched by the fold
+    assert(spark.read.parquet(out).filter(col("query_id") < off)
+      .filter(col("vec_id") === gone).count() > 0)
+  }
+
   test("the sink refuses while a maintenance lease is held") {
     val (src, idx, out, ckpt) = dirs()
     val emb = Tables.embeddings(spark, sf)
