@@ -504,6 +504,77 @@ object Curation {
       FROM agg
     """.trim))
 
+  // -- c05: contamination span EXCISION — the surgical counterpart of
+  //    c03's drop verdict: published decontamination recipes REMOVE
+  //    the matched n-gram spans and keep the rest of the document
+  //    (dropping whole docs at crawl scale wastes the clean 99%). A
+  //    train token is excised when ANY test 5-gram window covers it.
+  //    Per-POSITION shingles (same start cap and md5 image as c01's
+  //    machinery — Dedup.shingles dedups strings, so it cannot carry
+  //    positions) semi-join the broadcast test-hash set; the hit
+  //    STARTS collect per doc (contamination-bounded, the c02
+  //    argument — a clean corpus collects nothing); the excision
+  //    itself is one map-side indexed filter over the token array,
+  //    exists(hit_starts, x -> x <= p <= x+4). Shuffled volume
+  //    follows the contamination rate, never the corpus; every train
+  //    doc emits exactly one row (untouched docs excise zero tokens,
+  //    clean_text = the rejoined original).
+  private val c05 = Q(
+    "c05_contamination_excise",
+    (s, d) => {
+      val n = ContamN
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("u", unitHash(col("doc_id")))
+      val testH = Dedup.shingles(
+          Tables.documents(s, d)
+            .withColumn("u", unitHash(col("doc_id"))).filter(col("u") >= 0.95), n)
+        .select("h64").distinct()
+      val posSh = docs.filter(col("u") < 0.9 && size(col("toks")) >= n)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, least(size(toks) - $n, ${Dedup.MaxShinglePositions - 1})), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as(Seq("start", "shingle")))
+        .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
+      val hits = posSh.join(broadcast(testH), "h64")
+        .groupBy("doc_id").agg(collect_set(col("start")).as("hit_starts"))
+      val kept = expr(
+        s"filter(toks, (t, p) -> NOT exists(hit_starts, x -> p >= x AND p <= x + ${n - 1}))")
+      docs.filter(col("u") < 0.9)
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("hit_starts", coalesce(col("hit_starts"), expr("CAST(array() AS array<int>)")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          (size(col("toks")) - size(kept)).cast(LongType).as("n_removed"),
+          array_join(kept, " ").as("clean_text"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, $duckUnitHash AS u
+                 FROM documents),
+      sh AS (SELECT doc_id, u, i.i AS s,
+                    CAST(concat('0x', substr(md5(
+                      ${(0 until ContamN).map(k => s"toks[i.i+${k + 1}]").mkString(" || ' ' || ")}
+                    ), 1, 15)) AS BIGINT) AS h64
+             FROM t, (SELECT unnest(range(${Dedup.MaxShinglePositions})) AS i) i
+             WHERE len(toks) >= $ContamN AND i.i <= len(toks) - $ContamN),
+      te AS (SELECT DISTINCT h64 FROM sh WHERE u >= 0.95),
+      hits AS (SELECT DISTINCT tr.doc_id, tr.s FROM sh tr JOIN te USING (h64)
+               WHERE tr.u < 0.9),
+      rm AS (SELECT DISTINCT h.doc_id, h.s + k.k AS p
+             FROM hits h, (SELECT unnest(range($ContamN)) AS k) k),
+      train AS (SELECT doc_id, toks FROM t WHERE u < 0.9),
+      tok AS (SELECT doc_id, unnest(range(len(toks))) AS p FROM train),
+      keep AS (SELECT tk.doc_id, tk.p FROM tok tk
+               ANTI JOIN rm ON rm.doc_id = tk.doc_id AND rm.p = tk.p),
+      clean AS (SELECT k.doc_id, count(*) AS n_kept,
+                       array_to_string(list(tr.toks[k.p + 1] ORDER BY k.p), ' ') AS clean_text
+                FROM keep k JOIN train tr USING (doc_id) GROUP BY 1)
+      SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_toks,
+             CAST(len(tr.toks) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(c.clean_text, '') AS clean_text
+      FROM train tr LEFT JOIN clean c USING (doc_id)
+    """.trim))
+
   // -- v01: corpus vocabulary — top-1000 terms by frequency (the
   //    tokenizer-training view). The window runs over the POST-agg
   //    vocabulary (distinct terms), not the corpus: a global top-k on
@@ -1872,5 +1943,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, d08, d13, c01, c02, c03, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, d08, d13, c01, c02, c03, c05, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
 }
