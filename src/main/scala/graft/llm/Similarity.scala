@@ -547,6 +547,15 @@ object Similarity {
     * design (the serving budget); an exact re-rank over the returned
     * ids is the caller's optional second stage, exactly as x08
     * composes it.
+    *
+    * `excludeSelf` implements the corpus-vector-AS-query convention
+    * (drop the index row whose vec_id equals the query_id — s10's
+    * shape, where answering "my own nearest neighbours" with myself
+    * is vacuous). It defaults OFF because a SERVING feed's query_id
+    * is the caller's namespace, not the corpus's: a feed id that
+    * happens to collide with a corpus vec_id must not silently drop
+    * that corpus vector from one caller's answers
+    * ([[graft.streaming.ServeGate]] serves with the default).
     */
   def ivfPqServeBatch(
       queries: DataFrame,
@@ -554,7 +563,8 @@ object Similarity {
       cents: DataFrame,
       books: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid").asc)
     val probes = cents.crossJoin(broadcast(queries))
@@ -563,10 +573,10 @@ object Similarity {
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nProbe)
       .select("query_id", "cid")
-    val members = index
-      .join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "pq")
+    val joined = index.join(broadcast(probes), "cid")
+    val members =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined)
+        .select("query_id", "vec_id", "pq")
     val wr = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
     pqScoresWithCodesBatched(members, books, queries)
       .withColumn("rank", row_number().over(wr).cast(LongType))

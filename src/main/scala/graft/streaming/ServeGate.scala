@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.llm.Similarity
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -27,50 +28,144 @@ import org.apache.spark.sql.types._
   * rows carry 32-bit PQ codes, so a query batch scans
   * nProbe/nCentroids of a code-width index, never the raster corpus;
   * queries, probes, and the per-batch ADC table are all broadcast-
-  * sized (a 1k-query batch's ADC table is 128k tiny rows). The
-  * frozen-index contract matches production: embedding releases are
-  * operator events ([[buildIndex]] again), never stream state, which
-  * is exactly what keeps the gate stateless — replay a micro-batch
-  * and the same generation lands byte-identical (the batch-scoped
-  * overwrite recipe every gate shares). Results are ADC-approximate
+  * sized, and [[step]] SPLITS an oversized query drop into
+  * sub-batches so that assumption is enforced, not assumed (one huge
+  * dropped file degrades to several broadcast-sized plans instead of
+  * blowing the driver's broadcast limit). Results are ADC-approximate
   * by design (the serving budget); exact re-rank over the returned
-  * ids is the caller's second stage, as x08 composes it.
+  * ids is the caller's second stage, as x08/x09 compose it.
+  *
+  * INDEX RELEASES ARE ATOMIC UNDER LIVE SERVING. The index root holds
+  * versioned GENERATIONS (`gen-<seq>-<token>/{cents,books,rows}`),
+  * each published by [[FoldCommit]]'s stage → marker → ONE-rename
+  * protocol, so a release is all-or-nothing: a rebuild that crashes at
+  * any point (between relation writes, before the marker, before the
+  * rename) leaves the previous generation serving, and the next
+  * [[buildIndex]] heals the residue forward or back. Every serving
+  * batch resolves [[currentDir]] ONCE and reads all three relations
+  * from that one generation — a flip between micro-batches switches
+  * releases cleanly; a flip DURING a batch is invisible because the
+  * displaced generation's files survive the grace window (the
+  * publisher retires everything OLDER than the previous current, so
+  * steady state is two generations on disk). The frozen-index
+  * contract matches production: embedding releases are operator
+  * events ([[buildIndex]] again), never stream state, which is what
+  * keeps the gate stateless — replay a micro-batch and the same
+  * generation lands byte-identical (the batch-scoped overwrite recipe
+  * every gate shares).
   *
   * ServeGateSpec asserts: streamed answers == the batch
   * [[Similarity.ivfPqServeBatch]] over the same query set, restart
   * from the checkpoint re-emits nothing, late query files are served
-  * incrementally, and writes refuse while a maintenance lease is held.
+  * incrementally, writes refuse while a maintenance lease is held,
+  * a mid-stream rebuild serves every batch entirely from one release,
+  * and a rebuild crashed at each injection point leaves the old
+  * release serving unchanged.
   */
 object ServeGate {
 
   /** schema of the query feed (parquet drop): a query id + the
-    * embedding to answer, same element type as the corpus
+    * embedding to answer, same element type as the corpus. Query ids
+    * are the CALLER's namespace — they are never compared against
+    * corpus vec_ids (see [[Similarity.ivfPqServeBatch]]'s
+    * `excludeSelf`, off here: a feed id that happens to collide with
+    * a corpus id must not silently drop that corpus vector).
     */
   val querySchema: StructType = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
     StructField("qv", ArrayType(FloatType), nullable = false)))
 
-  /** Freeze the serving index from an embeddings frame — s10's layout
-    * (cents/books/rows) built through the same public primitives, so
-    * an index built by the batch entries serves unchanged. Rebuild =
-    * call again (a release, not stream state).
+  private val GenPrefix = "gen-"
+
+  /** TEST-ONLY crash injection for the relation writes INSIDE a
+    * release's staging phase (the inter-write points FoldCommit's own
+    * failpoints can't see). Never set outside specs.
     */
-  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit = {
-    Similarity.sampledCentroids(embeddings, 16)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/cents")
-    Similarity.sampledCodebooks(embeddings)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/books")
-    Similarity.ivfPqIndexRows(
-        embeddings,
-        spark.read.parquet(s"$indexDir/cents"),
-        spark.read.parquet(s"$indexDir/books"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/rows")
+  @volatile private[graft] var failpoint: String = null
+  private def trip(p: String): Unit =
+    if (failpoint == p)
+      throw new IllegalStateException(s"injected crash at $p")
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** One serving step: answer `batchQueries` against the frozen index,
-    * land per-query top-k under a batch-scoped generation (idempotent
-    * on replay). Refuses under a maintenance lease — the quiesce
-    * contract every gate's sink honors.
+  /** published generation names under the index root, ascending (the
+    * zero-padded sequence number makes lexicographic == temporal)
+    */
+  private def publishedGens(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(GenPrefix))
+      .map(_.getPath.getName).sorted
+
+  /** Resolve the CURRENT index release — the newest published
+    * generation. Pure listing, no healing: readers never repair the
+    * root (a racing reader heal could roll back a build mid-stage);
+    * a crashed release stays invisible until the next [[buildIndex]]
+    * finishes it, and the previous release keeps serving meanwhile.
+    */
+  def currentDir(spark: SparkSession, indexDir: String): String = {
+    val (fs, root) = fsOf(spark, indexDir)
+    val gens = publishedGens(fs, root)
+    require(gens.nonEmpty,
+      s"no published index generation under $indexDir — run buildIndex first")
+    new Path(root, gens.last).toString
+  }
+
+  /** Freeze a serving index RELEASE from an embeddings frame — s10's
+    * layout (cents/books/rows) built through the same public
+    * primitives, staged as one generation and made visible by ONE
+    * rename ([[FoldCommit.publish]]), so a live serving stream never
+    * observes a mix of releases or a half-written one. Rebuild = call
+    * again (a release, not stream state); generations older than the
+    * PREVIOUS current are retired with the publish (keep-two grace
+    * window for a batch that resolved just before the flip).
+    */
+  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit = {
+    val (fs, root) = fsOf(spark, indexDir)
+    fs.mkdirs(root)
+    // finish any crashed release FIRST (publish would heal anyway, but
+    // the sequence number and retire list must see the healed state or
+    // a rolled-forward release could be assigned a duplicate sequence)
+    FoldCommit.heal(fs, root)
+    val pub = publishedGens(fs, root)
+    val seq = pub.lastOption
+      .map(_.stripPrefix(GenPrefix).takeWhile(_.isDigit).toLong + 1)
+      .getOrElse(1L)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val name = f"$GenPrefix$seq%09d-$token"
+    // retire everything older than the generation being displaced —
+    // after this publish the root holds (previous, new)
+    val retires = if (pub.isEmpty) Nil else pub.dropRight(1)
+    FoldCommit.publish(fs, root, name, retires) { staging =>
+      Similarity.sampledCentroids(embeddings, 16)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/cents")
+      trip("cents")
+      Similarity.sampledCodebooks(embeddings)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/books")
+      trip("books")
+      // the rows assignment reads the JUST-WRITTEN quantizer back so
+      // the release is internally consistent even if the sampling
+      // primitives were re-evaluated differently
+      Similarity.ivfPqIndexRows(
+          embeddings,
+          spark.read.parquet(s"$staging/cents"),
+          spark.read.parquet(s"$staging/books"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
+      trip("rows")
+    }
+  }
+
+  /** One serving step: answer `batchQueries` against the CURRENT index
+    * release (resolved once — all three relations come from the same
+    * generation), land per-query top-k under a batch-scoped generation
+    * (idempotent on replay). Refuses under a maintenance lease — the
+    * quiesce contract every gate's sink honors. A drop larger than
+    * `maxQueriesPerPart` is served as deterministic hash-split
+    * sub-batches so the per-plan ADC table stays broadcast-sized.
     */
   def step(
       spark: SparkSession,
@@ -79,15 +174,27 @@ object ServeGate {
       indexDir: String,
       resultsDir: String,
       k: Int = 10,
-      nProbe: Int = 4): Unit = {
+      nProbe: Int = 4,
+      maxQueriesPerPart: Int = 4096): Unit = {
     LakeCompact.assertNoLease(spark, resultsDir)
-    Similarity.ivfPqServeBatch(
-        batchQueries.select(col("query_id"), col("qv")),
-        spark.read.parquet(s"$indexDir/rows"),
-        spark.read.parquet(s"$indexDir/cents"),
-        spark.read.parquet(s"$indexDir/books"),
-        k, nProbe)
-      .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag")
+    val gen = currentDir(spark, indexDir)
+    val rows = spark.read.parquet(s"$gen/rows")
+    val cents = spark.read.parquet(s"$gen/cents")
+    val books = spark.read.parquet(s"$gen/books")
+    val q = batchQueries.select(col("query_id"), col("qv"))
+    val parts = math.max(1L,
+      (q.count() + maxQueriesPerPart - 1) / maxQueriesPerPart).toInt
+    if (parts == 1)
+      Similarity.ivfPqServeBatch(q, rows, cents, books, k, nProbe)
+        .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag")
+    else
+      // hash split (not row_number) so a replayed micro-batch lands the
+      // SAME rows in the SAME sub-generation regardless of scan order
+      for (i <- 0 until parts)
+        Similarity.ivfPqServeBatch(
+            q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
+            rows, cents, books, k, nProbe)
+          .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag-p$i")
   }
 
   /** Streaming entry point: parquet query drop in, per-query top-k

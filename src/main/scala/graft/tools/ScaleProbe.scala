@@ -340,14 +340,17 @@ object ScaleProbe {
       val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
       val idx = s"$outBase/serve_idx_x$m"
       graft.streaming.ServeGate.buildIndex(spark, emb, idx)
+      val gen = graft.streaming.ServeGate.currentDir(spark, idx)
       val queries = emb.limit(200)
         .selectExpr("vec_id AS query_id", "embedding AS qv").cache()
       queries.count()
-      val rows = spark.read.parquet(s"$idx/rows")
-      val cents = spark.read.parquet(s"$idx/cents")
-      val books = spark.read.parquet(s"$idx/books")
+      val rows = spark.read.parquet(s"$gen/rows")
+      val cents = spark.read.parquet(s"$gen/cents")
+      val books = spark.read.parquet(s"$gen/books")
+      // corpus-vector-as-query convention: self excluded (s10's shape)
       val t = bestOf(reps)(materialize(
-        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4)))
+        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4,
+          excludeSelf = true)))
       queries.unpersist()
       println(f"""{"probe":"serve_index_scale","mult":$m,"sec":$t%.3f}""")
       (m, t)
@@ -367,7 +370,8 @@ object ScaleProbe {
         .selectExpr("vec_id AS query_id", "embedding AS qv").cache()
       queries.count()
       val t = bestOf(reps)(materialize(
-        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4)))
+        graft.llm.Similarity.ivfPqServeBatch(queries, rows, cents, books, 10, 4,
+          excludeSelf = true)))
       rows.unpersist(); queries.unpersist()
       println(f"""{"probe":"serve_scaled_centroids","mult":$m,"sec":$t%.3f}""")
       (m, t)

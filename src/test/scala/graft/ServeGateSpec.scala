@@ -44,11 +44,12 @@ class ServeGateSpec extends AnyFunSuite {
 
     val streamed = spark.read.parquet(out)
       .select("query_id", "vec_id", "score", "rank")
+    val gen = ServeGate.currentDir(spark, idx)
     val batch = Similarity.ivfPqServeBatch(
       queries,
-      spark.read.parquet(s"$idx/rows"),
-      spark.read.parquet(s"$idx/cents"),
-      spark.read.parquet(s"$idx/books"),
+      spark.read.parquet(s"$gen/rows"),
+      spark.read.parquet(s"$gen/cents"),
+      spark.read.parquet(s"$gen/books"),
       10, 4)
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
@@ -102,7 +103,8 @@ class ServeGateSpec extends AnyFunSuite {
     // proves nothing
     val gone = served.orderBy(col("rank").asc, col("query_id").asc)
       .select("vec_id").head().getLong(0)
-    graft.llm.LlmQueries.forgetRows(spark, idx, Seq("rows"), col("vec_id") === gone)
+    graft.llm.LlmQueries.forgetRows(
+      spark, ServeGate.currentDir(spark, idx), Seq("rows"), col("vec_id") === gone)
     // a second query wave served AFTER the fold must exclude it
     val off = 1000000L
     queries.selectExpr(s"query_id + $off AS query_id", "qv")
@@ -115,6 +117,132 @@ class ServeGateSpec extends AnyFunSuite {
     // pre-fold generations are history, untouched by the fold
     assert(spark.read.parquet(out).filter(col("query_id") < off)
       .filter(col("vec_id") === gone).count() > 0)
+  }
+
+  /** batch-side answers computed entirely against one release dir */
+  private def batchAnswers(gen: String, qs: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqServeBatch(
+      qs,
+      spark.read.parquet(s"$gen/rows"),
+      spark.read.parquet(s"$gen/cents"),
+      spark.read.parquet(s"$gen/books"),
+      10, 4)
+
+  private def sameAnswers(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+
+  test("a mid-stream rebuild flips atomically between micro-batches") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast("string")) /
+      lit(1152921504606846976.0)
+    // release A indexes half the corpus, release B all of it — so the
+    // two releases demonstrably answer differently
+    ServeGate.buildIndex(spark, emb.filter(u < 0.5), idx)
+    val genA = ServeGate.currentDir(spark, idx)
+    val queries = queryFeed().cache()
+    queries.write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+
+    // release B goes out while the gate is live (between waves)
+    ServeGate.buildIndex(spark, emb, idx)
+    val genB = ServeGate.currentDir(spark, idx)
+    assert(genB != genA, "a rebuild must publish a NEW generation")
+    // the displaced release survives the keep-two grace window, so a
+    // batch that resolved just before the flip still reads whole files
+    assert(spark.read.parquet(s"$genA/rows").count() > 0)
+
+    val off = 1000000L
+    queries.selectExpr(s"query_id + $off AS query_id", "qv")
+      .write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+
+    val served = spark.read.parquet(out)
+      .select("query_id", "vec_id", "score", "rank")
+    val wave1 = served.filter(col("query_id") < off)
+    val wave2 = served.filter(col("query_id") >= off)
+    assert(sameAnswers(wave1, batchAnswers(genA, queries)),
+      "the pre-flip wave must be answered entirely by release A")
+    assert(sameAnswers(wave2,
+      batchAnswers(genB, queries.selectExpr(s"query_id + $off AS query_id", "qv"))),
+      "the post-flip wave must be answered entirely by release B")
+    // non-vacuity: the flip actually changed the answers
+    assert(wave2.selectExpr(s"query_id - $off AS query_id", "vec_id", "score", "rank")
+      .exceptAll(wave1).count() > 0,
+      "the two releases must answer differently or the test proves nothing")
+  }
+
+  test("a crashed rebuild leaves the previous release serving, all-or-nothing") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast("string")) /
+      lit(1152921504606846976.0)
+    ServeGate.buildIndex(spark, emb.filter(u < 0.5), idx)
+    val genA = ServeGate.currentDir(spark, idx)
+    val queries = queryFeed().cache()
+
+    // crash at every injection point of a release: between each
+    // relation write (gate failpoints) and at each FoldCommit phase
+    // before the publishing rename — after every one of them the OLD
+    // release must still be the current one
+    for (p <- Seq("cents", "books", "rows")) {
+      graft.streaming.ServeGate.failpoint = p
+      try intercept[IllegalStateException](ServeGate.buildIndex(spark, emb, idx))
+      finally graft.streaming.ServeGate.failpoint = null
+      assert(ServeGate.currentDir(spark, idx) == genA,
+        s"a rebuild crashed at '$p' must leave the old release current")
+    }
+    for (p <- Seq("staged", "committed")) {
+      graft.streaming.FoldCommit.failpoint = p
+      try intercept[IllegalStateException](ServeGate.buildIndex(spark, emb, idx))
+      finally graft.streaming.FoldCommit.failpoint = null
+      assert(ServeGate.currentDir(spark, idx) == genA,
+        s"a rebuild crashed at '$p' must leave the old release current")
+    }
+
+    // a wave served NOW — with crashed-release residue on disk,
+    // including a committed-but-unpublished staging — still answers
+    // entirely from release A
+    queries.write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    assert(sameAnswers(
+      spark.read.parquet(out).select("query_id", "vec_id", "score", "rank"),
+      batchAnswers(genA, queries)),
+      "serving over crash residue must still answer from the old release")
+
+    // the next clean release heals the residue and flips
+    ServeGate.buildIndex(spark, emb, idx)
+    val genC = ServeGate.currentDir(spark, idx)
+    assert(genC != genA)
+    val off = 1000000L
+    queries.selectExpr(s"query_id + $off AS query_id", "qv")
+      .write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    assert(sameAnswers(
+      spark.read.parquet(out).filter(col("query_id") >= off)
+        .select("query_id", "vec_id", "score", "rank"),
+      batchAnswers(genC, queries.selectExpr(s"query_id + $off AS query_id", "qv"))),
+      "after the healed flip every answer must come from the new release")
+  }
+
+  test("an oversized query drop is served as split sub-batches, same answers") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    val queries = queryFeed().cache()
+    val n = queries.count()
+    assert(n >= 2)
+    // force splitting: a per-part cap of 1 makes every query its own
+    // broadcast-sized sub-plan
+    ServeGate.step(spark, queries, "big", idx, out, maxQueriesPerPart = 1)
+    val served = spark.read.parquet(out)
+      .select("query_id", "vec_id", "score", "rank")
+    assert(sameAnswers(served,
+      batchAnswers(ServeGate.currentDir(spark, idx), queries)),
+      "split serving must produce exactly the unsplit answers")
+    // and it actually split: one generation per hash part
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("batch=big-p")) > 1)
   }
 
   test("the sink refuses while a maintenance lease is held") {
