@@ -395,12 +395,15 @@ object Multimodal {
     * the router, the ingest gate, or the guard — CodecSpec proves the
     * route end-to-end with a toy external decoder.
     *
-    * The registry is JVM-global: in `local[*]` a test registration is
-    * immediately visible to tasks; on a real cluster an external
-    * decoder must be registered on the EXECUTOR JVMs too (a static
-    * initializer in the decoder's own jar, or a Spark executor
-    * plugin), same as any JVM-level SPI (ImageIO's own
-    * `ServiceRegistry` has the identical deployment shape).
+    * The registry lives on the DRIVER only. Decoders are Serializable,
+    * and every distributed plan captures [[decoderSnapshot]] into its
+    * task closure at PLAN-CONSTRUCTION time ([[graft.streaming
+    * .MediaIngest.decide]]) — tasks never consult this JVM-global,
+    * because executor JVMs re-initialize the singleton with an empty
+    * vector and a run-time lookup would silently sniff every
+    * external-format blob as unrecognized on a real cluster
+    * (MediaIngestSpec proves the capture by clearing the registry
+    * between plan construction and execution).
     */
   trait MediaDecoder extends Serializable {
     /** routing token, e.g. "png" — unique across the registry */
@@ -447,20 +450,32 @@ object Multimodal {
     externalDecoders = externalDecoders.filterNot(_.fmt == fmt)
   }
 
-  /** registry-wide sniff: the built-in magic-byte ladder first (one
-    * fused pass), then external decoders in registration order; an
-    * external sniff that throws is treated as "not mine" (sniffing
-    * never throws — the ingest contract)
+  /** the current external-decoder list, to be captured into a task
+    * closure at plan-construction time (the decoders are
+    * Serializable); the ONLY way distributed code may see the registry
     */
-  def sniffMedia(bytes: Array[Byte]): Option[String] =
+  def decoderSnapshot: Seq[MediaDecoder] = externalDecoders
+
+  /** registry-wide sniff: the built-in magic-byte ladder first (one
+    * fused pass), then `externals` in registration order; an external
+    * sniff that throws is treated as "not mine" (sniffing never
+    * throws — the ingest contract)
+    */
+  def sniffMedia(bytes: Array[Byte], externals: Seq[MediaDecoder]): Option[String] =
     MediaCodecs.sniff(bytes).orElse(
-      externalDecoders.find(d =>
+      externals.find(d =>
         try d.sniff(bytes)
         catch { case scala.util.control.NonFatal(_) => false }).map(_.fmt))
 
-  private def decoderFor(fmt: String): Option[MediaDecoder] =
+  /** driver-side convenience over the live registry — do NOT call from
+    * inside a task lambda (capture [[decoderSnapshot]] instead)
+    */
+  def sniffMedia(bytes: Array[Byte]): Option[String] =
+    sniffMedia(bytes, externalDecoders)
+
+  private def decoderFor(fmt: String, externals: Seq[MediaDecoder]): Option[MediaDecoder] =
     (if (BuiltinFmts.contains(fmt)) Some(jdkDecoder(fmt)) else None)
-      .orElse(externalDecoders.find(_.fmt == fmt))
+      .orElse(externals.find(_.fmt == fmt))
 
   /** the per-blob decode KERNEL: a sniffed format token in
     * ([[sniffMedia]]'s vocabulary), decoded stats out, routed through
@@ -478,8 +493,16 @@ object Multimodal {
     */
   private[graft] def decodeStats(
       fmt: String, bytes: Array[Byte],
-      maxUnits: Long = MediaCodecs.MaxDeclaredUnits): DecodedStats = {
-    val dec = decoderFor(fmt).getOrElse(
+      maxUnits: Long = MediaCodecs.MaxDeclaredUnits): DecodedStats =
+    decodeStats(fmt, bytes, maxUnits, externalDecoders)
+
+  /** closure-capture form: `externals` is the caller's snapshot of the
+    * registry (see [[decoderSnapshot]]) — the variant task lambdas use
+    */
+  private[graft] def decodeStats(
+      fmt: String, bytes: Array[Byte], maxUnits: Long,
+      externals: Seq[MediaDecoder]): DecodedStats = {
+    val dec = decoderFor(fmt, externals).getOrElse(
       throw new IllegalArgumentException(s"no decoder arm for '$fmt'"))
     val declared = dec.declaredUnits(bytes)
     if (declared < 0)

@@ -90,17 +90,24 @@ object MediaIngest {
       spark: SparkSession, files: DataFrame,
       maxUnits: Long = MediaCodecs.MaxDeclaredUnits): Dataset[MediaDecision] = {
     import spark.implicits._
+    // snapshot the external-decoder registry HERE, on the driver, at
+    // plan-construction time: the lambda below runs on executor JVMs
+    // whose copy of the registry singleton is EMPTY, so a run-time
+    // global lookup would silently quarantine every external-format
+    // blob on a real cluster (the decoders are Serializable — the
+    // snapshot rides the task closure)
+    val externals = Multimodal.decoderSnapshot
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val id = mediaIdOf(path)
         try {
-          Multimodal.sniffMedia(bytes) match {
+          Multimodal.sniffMedia(bytes, externals) match {
             case None =>
               MediaDecision(id, path, "unknown", "unknown", "rejected:unrecognized", 0L, 0L, 0L, 0L)
             case Some(fmt) =>
               try {
-                val st = Multimodal.decodeStats(fmt, bytes, maxUnits)
+                val st = Multimodal.decodeStats(fmt, bytes, maxUnits, externals)
                 val verdict = if (st.n_units < MinUnits) "rejected:dust" else "kept"
                 MediaDecision(id, path, fmt, st.kind, verdict,
                   st.n_frames, st.n_units, st.sum_vals, st.peak)

@@ -142,4 +142,53 @@ class MediaIngestSpec extends AnyFunSuite {
         d.verdict == "kept" && d.n_units == 40L)
     } finally Multimodal.unregisterDecoder("mp3")
   }
+
+  test("the ingest plan captures the decoder registry — tasks never read the global") {
+    // on a real cluster the executor JVMs re-initialize the registry
+    // singleton EMPTY, so any task-side global lookup silently
+    // quarantines external formats; prove the plan works off a
+    // snapshot captured at construction by CLEARING the global between
+    // building the plan and running it — the local[*] equivalent of an
+    // executor that never saw registerDecoder
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val toy = new Multimodal.MediaDecoder {
+      val fmt = "mp3"
+      def sniff(bytes: Array[Byte]): Boolean =
+        bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'
+      def declaredUnits(bytes: Array[Byte]): Long =
+        if (bytes.length < 4) -1L else (bytes(3) & 0xff).toLong * 1000L
+      def decode(bytes: Array[Byte]): Multimodal.DecodedStats = {
+        val body = bytes.drop(4)
+        Multimodal.DecodedStats("audio", 1L, body.length.toLong,
+          body.map(b => math.abs(b.toLong)).sum, body.map(b => math.abs(b.toLong)).max)
+      }
+    }
+    val blob = "ID3".getBytes ++ Array[Byte](1) ++
+      Array.tabulate[Byte](40)(i => (i - 10).toByte)
+    val files = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("/drop/m302.mp3", blob))),
+      StructType(Seq(StructField("path", StringType), StructField("content", BinaryType))))
+
+    Multimodal.registerDecoder(toy)
+    val planned =
+      try MediaIngest.decide(spark, files) // snapshot taken here
+      finally Multimodal.unregisterDecoder("mp3") // global now empty
+    assert(Multimodal.decoderSnapshot.isEmpty,
+      "precondition: the registry must be empty when the tasks run")
+    val d = planned.collect().head
+    assert(d.fmt == "mp3" && d.verdict == "kept" && d.n_units == 40L,
+      "a cleared global must not affect a plan that captured the snapshot")
+
+    // and the inverse: a plan built with an EMPTY registry quarantines
+    // the blob even though the snapshot-less global lookup would have
+    // been too late to matter anyway — snapshot semantics, both ways
+    val emptyPlanned = MediaIngest.decide(spark, files)
+    Multimodal.registerDecoder(toy)
+    try {
+      val e = emptyPlanned.collect().head
+      assert(e.verdict == "rejected:unrecognized",
+        "a plan constructed before registration must not see the decoder")
+    } finally Multimodal.unregisterDecoder("mp3")
+  }
 }
