@@ -98,12 +98,27 @@ object Takedown {
     token
   }
 
-  /** the surface-name set recorded when `token` was requested */
+  /** the surface-name set recorded when `token` was requested. A
+    * ledger written BEFORE surface pinning existed has no `surfaces`
+    * file — treat such a request as legacy and fall back to the
+    * resuming registry's names (exactly the pre-pinning closure
+    * semantics that request was made under), rather than letting the
+    * open throw and wedge every later token's right-to-be-forgotten
+    * processing on one old directory.
+    */
   private def recordedSurfaces(
-      fs: org.apache.hadoop.fs.FileSystem, reqDir: Path): Set[String] = {
-    val in = fs.open(new Path(reqDir, SurfacesFile))
-    try new String(in.readAllBytes(), "UTF-8").linesIterator.filter(_.nonEmpty).toSet
-    finally in.close()
+      fs: org.apache.hadoop.fs.FileSystem, reqDir: Path,
+      legacyFallback: => Set[String]): Set[String] = {
+    val f = new Path(reqDir, SurfacesFile)
+    if (!fs.exists(f)) {
+      System.err.println(s"[takedown] ${reqDir.getName}: legacy request " +
+        "(predates surface pinning) — closing against the resuming registry")
+      legacyFallback
+    } else {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8").linesIterator.filter(_.nonEmpty).toSet
+      finally in.close()
+    }
   }
 
   /** request tokens still open (registered, not yet `_complete`) */
@@ -143,7 +158,7 @@ object Takedown {
     val closed = Seq.newBuilder[String]
     for (token <- pending(spark, ledgerDir)) {
       val reqDir = new Path(root, gen(token))
-      val recorded = recordedSurfaces(fs, reqDir)
+      val recorded = recordedSurfaces(fs, reqDir, surfaces.map(_.name).toSet)
       val idRows = spark.read.parquet(s"$reqDir/ids")
       val n = idRows.count()
       require(n <= maxIds,

@@ -170,6 +170,27 @@ class TakedownSpec extends AnyFunSuite {
     assert(LlmQueries.s13ProbeAt(spark, sf, bm).collect().map(_.toString).sorted.toSeq != beforeBm)
   }
 
+  test("a legacy request without a pinned surface set neither wedges nor blocks newer tokens") {
+    // a ledger written before surface pinning existed carries no
+    // `surfaces` file; resume must fall back to the resuming
+    // registry's names (the closure semantics that request was made
+    // under) instead of aborting the whole loop — which would
+    // permanently wedge every NEWER token behind one old directory
+    val ledger = s"${tmp("graft_takedown")}/ledger"
+    val (dirA, srfA) = mkSurface("lex", "doc_id", 20)
+    val legacy = Takedown.request(spark, ledger, Seq(1L).toDF("doc_id"), Seq("lex"))
+    val modern = Takedown.request(spark, ledger, Seq(2L).toDF("doc_id"), Seq("lex"))
+    // strip the pin from the first request — the pre-upgrade on-disk shape
+    val fs = new Path(ledger).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(ledger, s"takedown=$legacy/surfaces"), false)
+
+    val closed = Takedown.resume(spark, ledger, Seq(srfA))
+    assert(closed.toSet == Set(legacy, modern),
+      "both the legacy and the pinned request must fold and close")
+    assert(Takedown.pending(spark, ledger).isEmpty)
+    assert(keys(dirA) == (0L until 20L).filterNot(Set(1L, 2L)))
+  }
+
   test("surface names must be unique and path-safe") {
     intercept[IllegalArgumentException](Takedown.Surface("a/b", (_, _) => ()))
     intercept[IllegalArgumentException](Takedown.Surface("", (_, _) => ()))
