@@ -90,6 +90,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** COMMIT-shaped I/O canary arm: many tiny files through the same
+    * FileSystem create → write → rename → list → delete sequence a
+    * micro-batch commit pays (source listing, checkpoint offset/commit
+    * files, batch-dir renames). The bulk arm above moves ~8 MB through
+    * 4 files and reads ~1.0x on boxes where the commit-bound probes
+    * read 3-6x (measured, r13 adjudication): small-file metadata and
+    * fsync contention is a THIRD axis, invisible to both a CPU canary
+    * and a bulk-byte canary. 64 files ≈ one micro-batch's commit
+    * traffic. Same reference/tighten/min-of-2 discipline as the other
+    * arms; sampled at probe time, where commit-bound numbers are made.
+    */
+  private def commitCanaryOnce(spark: SparkSession, dir: String): Double = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/commit_canary")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payload = Array.fill[Byte](1024)('x')
+    val t0 = System.nanoTime()
+    fs.mkdirs(root)
+    var i = 0
+    while (i < 64) {
+      val tmp = new org.apache.hadoop.fs.Path(root, s".f$i.tmp")
+      val out = fs.create(tmp, true)
+      out.write(payload)
+      out.close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"f$i"))
+      i += 1
+    }
+    fs.listStatus(root)
+    fs.delete(root, true)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** name -> certified-quiet seconds, empty if the table isn't present
     * (fresh clone) — flat string->number JSON object, Jackson-parsed
     * (same bundled lib Cbor.scala uses)
@@ -245,6 +276,14 @@ object Bench {
       t
     }
     val ioCanarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    // the commit-shaped arm (see commitCanaryOnce): the small-file/
+    // rename/listing axis the bulk io arm is blind to
+    var commitCanary0 = (1 to 3).map(_ => commitCanaryOnce(spark, ioCanaryDir)).min
+    def commitCanarySample(): Double = {
+      val t = math.min(commitCanaryOnce(spark, ioCanaryDir), commitCanaryOnce(spark, ioCanaryDir))
+      if (t < commitCanary0) commitCanary0 = t
+      t
+    }
     // bounded wait for the box to go quiet again, canary-judged (the
     // guest load average can't see host contention; the canary can).
     // Returns the last observed factor; flips `quietHopeless` when the
@@ -459,14 +498,15 @@ object Bench {
     // each probe number is committed next to the box conditions it ran
     // under, and a loud box gets a bounded chance to recover first
     val probeConditions =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     val probeResults = scala.collection.mutable.LinkedHashMap[String, Double]()
     def probeGated(name: String)(body: => Double): Double =
       if (only.nonEmpty) 0.0
       else {
         val fac = waitForQuiet(120)
         val ioFac = ioCanarySample() / ioCanary0
-        probeConditions(name) = (fac, ioFac, osBean.getSystemLoadAverage)
+        val commitFac = commitCanarySample() / commitCanary0
+        probeConditions(name) = (fac, ioFac, commitFac, osBean.getSystemLoadAverage)
         val v =
           try body
           catch {
@@ -484,64 +524,54 @@ object Bench {
     // both probe sizes are committed: 2k blocks is micro-batch-overhead
     // bound (~500 blk/s), 8k amortizes it (~1700 blk/s) — recording the
     // pair makes the scaling claim reproducible instead of prose
-    val blocksPerSec = probeGated("blocks") { streamingThroughput(spark) }
-    // separate probe: an 8k failure (e.g. /tmp pressure from the larger
-    // fixture) must not discard the already-measured 2k number
-    val blocksPerSec8k = probeGated("blocks_8k") { ingestRun(spark, 8000) }
-    // bus-source companion to the file-drop pair: same ingest pipeline,
-    // wire delivered through the graftbus DataSourceV2 offsets instead
-    // of file listing — the delta between the two numbers is the
-    // source-machinery cost, everything downstream is shared
-    val busBlocksPerSec = probeGated("bus") { busThroughput(spark) }
-    // publish-side companion: bus -> bus relay through the graftbus
-    // SINK's two-phase epoch commit; the delta vs the read-side number
-    // is the publish machinery's cost (pending files + ledger)
-    val busPublishPerSec = probeGated("bus_publish") { busPublishThroughput(spark) }
-    val docsPerSec = probeGated("docs") { docThroughput(spark, sfDir) }
-    // CDC apply probe: change rows/s through MergeApply's collapse +
-    // three-arm merge + generation/manifest commit, across multiple
-    // micro-batches so each merge joins a GROWING standing snapshot
-    val mergeChangesPerSec = probeGated("merge") { mergeApplyThroughput(spark) }
-    // the near-dup gate pays a fixed micro-batch overhead plus a
-    // per-doc cost; committing BOTH batch sizes (the blocks/blocks_8k
-    // recipe) keeps the two separable in the artifact instead of
-    // blended into one unexplainable number
-    val nearDupDocsPerSec = probeGated("neardup") { nearDupThroughput(spark, sfDir, 2000) }
-    val nearDupDocsPerSec8k = probeGated("neardup_8k") { nearDupRun(spark, sfDir, 8000) }
-    val trendingDocsPerSec = probeGated("trending") { trendingThroughput(spark, sfDir) }
-    val semanticVecsPerSec = probeGated("semantic") { semanticThroughput(spark, sfDir, 2000) }
-    // 8k companion (the blocks/neardup recipe): separates the gate's
-    // fixed micro-batch + index-open overhead from its per-vector cost
-    val semanticVecsPerSec8k = probeGated("semantic_8k") { semanticRun(spark, sfDir, 8000) }
-    val contamDocsPerSec = probeGated("contam") { contamThroughput(spark, sfDir) }
-    // takedown-path probe: the gates' right-to-be-forgotten fold is
-    // spec-tested (crash injection, re-admission) but was never TIMED —
-    // every other streaming surface commits a throughput number, and a
-    // 100 TB takedown path is an operational surface like any other.
-    // Metric = admitted state rows folded per second (the fold is one
-    // filtered rewrite of lake + both signature roots, so its cost
-    // follows the INDEX size, not the forget-set size — the axis that
-    // matters at scale)
-    val gateForgetDocsPerSec = probeGated("gate_forget") { gateForgetThroughput(spark, sfDir) }
-    // the last two gates without a committed number: the weighted
-    // sampler's per-batch top-N election + generation append, and the
-    // transformWithState keeper election (RocksDB state) under real
-    // duplicate pressure — with these every streaming surface in the
-    // module map carries a throughput figure
-    val sampleDocsPerSec = probeGated("sample") { sampleThroughput(spark, sfDir) }
-    val keeperDocsPerSec = probeGated("keeper") { keeperThroughput(spark, sfDir) }
-    // query-side serving probe: every other probe moves the corpus;
-    // this one moves the QUERIES — queries/s through the batched
-    // ADC serving path against the frozen standing IVF-PQ index
-    // (build untimed: embedding releases are operator events)
-    val serveQueriesPerSec = probeGated("serve") { serveThroughput(spark, sfDir) }
-    // streaming multimodal ingest: real files sniffed by magic bytes
-    // and decoded by the JDK codec for their format (the m02 kernel) —
-    // the r12 media×streaming cell's committed number. Metric = blobs/s
-    // through sniff + decode + verdict + two-sink commit; the drop is
-    // one file per blob, so the probe also pays the binaryFile source's
-    // per-file listing cost, exactly like a real crawl drop.
-    val mediaBlobsPerSec = probeGated("media") { mediaThroughput(spark) }
+    // probe registry, name -> re-runnable thunk: the confirm pass below
+    // needs to RE-MEASURE a flagged probe (the query table's discipline),
+    // so every probe is a named thunk rather than a one-shot expression.
+    //  - blocks/blocks_8k: both sizes committed — 2k is micro-batch-
+    //    overhead bound, 8k amortizes it; an 8k failure (e.g. /tmp
+    //    pressure) must not discard the measured 2k number
+    //  - bus: same ingest pipeline, wire delivered through the graftbus
+    //    DataSourceV2 offsets instead of file listing — the delta vs
+    //    blocks is the source machinery's cost
+    //  - bus_publish: bus -> bus relay through the graftbus SINK's
+    //    two-phase epoch commit (pending files + ledger)
+    //  - merge: CDC change rows/s through MergeApply's collapse +
+    //    three-arm merge + generation/manifest commit, multiple
+    //    micro-batches so each merge joins a GROWING standing snapshot
+    //  - neardup/neardup_8k, semantic/semantic_8k: fixed micro-batch +
+    //    index-open overhead vs per-row cost, separable in the artifact
+    //  - gate_forget: admitted state rows folded per second — the
+    //    right-to-be-forgotten fold is an operational surface like any
+    //    other; its cost follows the INDEX size, not the forget set
+    //  - sample/keeper: weighted per-batch top-N election; the
+    //    transformWithState keeper election (RocksDB) under duplicate
+    //    pressure
+    //  - serve: the QUERY-side probe — queries/s through the batched
+    //    ADC serving path against the frozen standing IVF-PQ index
+    //    (build untimed: embedding releases are operator events)
+    //  - media: blobs/s through sniff + decode + verdict + two-sink
+    //    commit, one file per blob so the binaryFile per-file listing
+    //    cost is paid exactly like a real crawl drop
+    val probeBodies = scala.collection.immutable.ListMap[String, () => Double](
+      "blocks" -> (() => streamingThroughput(spark)),
+      "blocks_8k" -> (() => ingestRun(spark, 8000)),
+      "bus" -> (() => busThroughput(spark)),
+      "bus_publish" -> (() => busPublishThroughput(spark)),
+      "docs" -> (() => docThroughput(spark, sfDir)),
+      "merge" -> (() => mergeApplyThroughput(spark)),
+      "neardup" -> (() => nearDupThroughput(spark, sfDir, 2000)),
+      "neardup_8k" -> (() => nearDupRun(spark, sfDir, 8000)),
+      "trending" -> (() => trendingThroughput(spark, sfDir)),
+      "semantic" -> (() => semanticThroughput(spark, sfDir, 2000)),
+      "semantic_8k" -> (() => semanticRun(spark, sfDir, 8000)),
+      "contam" -> (() => contamThroughput(spark, sfDir)),
+      "gate_forget" -> (() => gateForgetThroughput(spark, sfDir)),
+      "sample" -> (() => sampleThroughput(spark, sfDir)),
+      "keeper" -> (() => keeperThroughput(spark, sfDir)),
+      "serve" -> (() => serveThroughput(spark, sfDir)),
+      "media" -> (() => mediaThroughput(spark)))
+    for ((name, body) <- probeBodies) probeGated(name)(body())
+    def pr(name: String): Double = probeResults.getOrElse(name, 0.0)
     // Output contract, tail-capture-proof (the driver keeps only the
     // LAST few KB of stdout): the big per-query map goes out first on
     // its own line AND into bench_full.json, then a short summary line
@@ -562,8 +592,9 @@ object Bench {
     val ioCanaryDriftMax =
       if (ioCanarySamples.isEmpty) 1.0 else ioCanarySamples.map(_._2).max / ioCanary0
     val probeCondJson = probeConditions
-      .map { case (n, (fac, ioFac, load)) =>
-        s""""$n":{"canary":${f"$fac%.2f"},"io_canary":${f"$ioFac%.2f"},"load":${f"$load%.2f"}}""" }
+      .map { case (n, (fac, ioFac, commitFac, load)) =>
+        s""""$n":{"canary":${f"$fac%.2f"},"io_canary":${f"$ioFac%.2f"},""" +
+          s""""commit_canary":${f"$commitFac%.2f"},"load":${f"$load%.2f"}}""" }
       .mkString("{", ",", "}")
     val canarySeriesJson = canarySamples
       .map { case (pos, t) => s"[$pos,${f"${t / canary0}%.2f"}]" }.mkString("[", ",", "]")
@@ -573,19 +604,70 @@ object Bench {
     // certified quiet-box baselines live in BASELINE_QUERIES.json under
     // "probe:<name>" (units: per-second throughput, so the slowness
     // ratio is baseline/measured), each ratio is committed RAW plus
-    // normalized by the worse of the two canary arms AT THE MOMENT that
-    // probe ran (≥1 by construction — normalization can attribute a
-    // drop to a provably slow box, never manufacture one; the raw
+    // normalized by the worst of the THREE canary arms AT THE MOMENT
+    // that probe ran (≥1 by construction — normalization can attribute
+    // a drop to a provably slow box, never manufacture one; the raw
     // column stays beside it). r12's across-the-board probe drop could
     // only be argued about because probes had numbers but no bar.
-    val probeRatios = probeResults.toSeq.flatMap { case (n, v) =>
+    def probeNorm(n: String, raw: Double, conds: (Double, Double, Double, Double)): Double = {
+      val (cpuF, ioF, commitF, _) = conds
+      raw / math.max(1.0, math.max(cpuF, math.max(ioF, commitF)))
+    }
+    val probeRatios0 = probeResults.toSeq.flatMap { case (n, v) =>
       baseline.get("probe:" + n).filter(_ > 0).flatMap { base =>
         if (v <= 0) None
         else {
           val raw = base / v
-          val (cpuF, ioF, _) = probeConditions.getOrElse(n, (1.0, 1.0, 0.0))
-          Some((n, raw, raw / math.max(1.0, math.max(cpuF, ioF))))
+          Some((n, raw, probeNorm(n, raw, probeConditions.getOrElse(n, (1.0, 1.0, 1.0, 0.0)))))
         }
+      }
+    }
+    // CONFIRM pass for flagged probes — the query table's wait-for-
+    // quiet re-measure discipline (r13's artifact minted 5 probe
+    // "regressions" that same-day quiet re-runs disproved; flagged
+    // queries got a confirm cycle, flagged probes got none). A probe
+    // over the 1.5x normalized bar gets: bounded wait for the box to
+    // recover, a fresh three-arm canary stamp, one full re-measure
+    // (each probe body carries its own warmup), best-of kept. Verdict:
+    // "recovered" if the re-measure clears the bar, "contended" if it
+    // survives but any canary arm says the box is loud, "regression"
+    // only when it survives on a provably-quiet box.
+    val probeFlagDetail = scala.collection.mutable.ArrayBuffer[String]()
+    var probeContendedFlags = 0
+    val probeRatios = probeRatios0.map { case t @ (n, raw0, norm0) =>
+      if (norm0 <= 1.5 || only.nonEmpty) t
+      else {
+        val base = baseline("probe:" + n)
+        System.err.println(f"[bench] probe $n at $raw0%.2fx under its certified " +
+          f"throughput ($norm0%.2fx normalized) — waiting for quiet, then re-measuring")
+        val confCpu = waitForQuiet(240) // canary-judged bounded wait
+        val confIo = ioCanarySample() / ioCanary0
+        val confCommit = commitCanarySample() / commitCanary0
+        val v2 =
+          try probeBodies(n)()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $n confirm re-measure failed: $e"); 0.0
+          }
+        val best = math.max(probeResults(n), v2)
+        probeResults(n) = best
+        val raw = base / best
+        val conds = (confCpu, confIo, confCommit, osBean.getSystemLoadAverage)
+        val norm = probeNorm(n, raw, conds)
+        val loud = math.max(confCpu, math.max(confIo, confCommit)) > 1.3
+        val verdict =
+          if (norm <= 1.5) "recovered"
+          else if (loud) "contended"
+          else "regression"
+        if (verdict == "contended") probeContendedFlags += 1
+        probeFlagDetail += (s"""{"name":"$n","first":${f"${base / raw0}%.0f"},""" +
+          s""""best":${f"$best%.0f"},"baseline":${f"$base%.0f"},"ratio":${f"$raw%.2f"},""" +
+          s""""norm":${f"$norm%.2f"},"confirm_canary":${f"$confCpu%.2f"},""" +
+          s""""confirm_io_canary":${f"$confIo%.2f"},"confirm_commit_canary":${f"$confCommit%.2f"},""" +
+          s""""verdict":"$verdict"}""")
+        System.err.println(f"[bench] probe $n confirm: $raw%.2fx raw / $norm%.2fx " +
+          s"normalized — $verdict")
+        (n, raw, norm)
       }
     }
     val probeVsBaselineJson = probeRatios
@@ -593,15 +675,17 @@ object Bench {
       .mkString("{", ",", "}")
     val probeVsBaselineMaxNorm =
       if (probeRatios.isEmpty) 0.0 else probeRatios.map(_._3).max
-    val nProbeRegressions = probeRatios.count(_._3 > 1.5)
+    // only confirm-survived-on-a-quiet-box counts as a regression; the
+    // contended count and per-probe evidence ride beside it
+    val nProbeRegressions =
+      probeRatios.count(_._3 > 1.5) - probeContendedFlags
     for ((n, r, nr) <- probeRatios if nr > 1.5)
       System.err.println(f"[bench] WARN probe $n at $r%.2fx under its certified " +
-        f"throughput ($nr%.2fx after canary normalization) — regression or I/O contention " +
-        "both canary arms missed")
+        f"throughput ($nr%.2fx after three-arm canary normalization)")
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"$blocksPerSec%.0f"},"streaming_blocks_per_sec_8k":${f"$blocksPerSec8k%.0f"},"streaming_bus_blocks_per_sec":${f"$busBlocksPerSec%.0f"},"streaming_bus_publish_blocks_per_sec":${f"$busPublishPerSec%.0f"},"streaming_docs_per_sec":${f"$docsPerSec%.0f"},"streaming_merge_changes_per_sec":${f"$mergeChangesPerSec%.0f"},"streaming_neardup_docs_per_sec":${f"$nearDupDocsPerSec%.0f"},"streaming_neardup_docs_per_sec_8k":${f"$nearDupDocsPerSec8k%.0f"},"streaming_trending_docs_per_sec":${f"$trendingDocsPerSec%.0f"},"streaming_semantic_vecs_per_sec":${f"$semanticVecsPerSec%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"$semanticVecsPerSec8k%.0f"},"streaming_contam_docs_per_sec":${f"$contamDocsPerSec%.0f"},"streaming_gate_forget_docs_per_sec":${f"$gateForgetDocsPerSec%.0f"},"streaming_sample_docs_per_sec":${f"$sampleDocsPerSec%.0f"},"streaming_keeper_docs_per_sec":${f"$keeperDocsPerSec%.0f"},"streaming_serve_queries_per_sec":${f"$serveQueriesPerSec%.0f"},"streaming_media_blobs_per_sec":${f"$mediaBlobsPerSec%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -615,6 +699,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     println(s"""{"queries":$qs}""")
     println(summary)
+    rmTree(ioCanaryDir) // both io-canary arms write under it; don't leak a temp dir per run
     cleanExit(spark)
   }
 
