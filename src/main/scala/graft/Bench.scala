@@ -565,6 +565,7 @@ object Bench {
       "semantic" -> (() => semanticThroughput(spark, sfDir, 2000)),
       "semantic_8k" -> (() => semanticRun(spark, sfDir, 8000)),
       "contam" -> (() => contamThroughput(spark, sfDir)),
+      "contam_excise" -> (() => contamExciseThroughput(spark, sfDir)),
       "gate_forget" -> (() => gateForgetThroughput(spark, sfDir)),
       "sample" -> (() => sampleThroughput(spark, sfDir)),
       "keeper" -> (() => keeperThroughput(spark, sfDir)),
@@ -685,7 +686,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_contam_excise_docs_per_sec":${f"${pr("contam_excise")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -1076,7 +1077,18 @@ object Bench {
     contamRun(spark, sfDir)
   }
 
-  private def contamRun(spark: SparkSession, sfDir: String): Double = {
+  /** excise-mode companion: same feed, same frozen index, but the gate
+    * removes the leaked spans and lands every doc cleaned (c05 at
+    * ingest) — the delta vs the verdict number is the per-position
+    * shingle + indexed-token-filter cost
+    */
+  private def contamExciseThroughput(spark: SparkSession, sfDir: String): Double = {
+    contamRun(spark, WarmDir, excise = true)
+    contamRun(spark, sfDir, excise = true)
+  }
+
+  private def contamRun(spark: SparkSession, sfDir: String,
+      excise: Boolean = false): Double = {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_bench_contam").toString
     try {
@@ -1091,7 +1103,8 @@ object Bench {
       train.write.mode("append").json(src)
       val t0 = System.nanoTime()
       graft.streaming.ContamGate
-        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt")
+        .start(spark, src, s"$base/lake", s"$base/idx", s"$base/dec", s"$base/ckpt",
+          cfg = graft.streaming.ContamGate.Config(excise = excise))
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)

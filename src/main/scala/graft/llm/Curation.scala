@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -504,6 +505,27 @@ object Curation {
       FROM agg
     """.trim))
 
+  /** c05's excision kernel, shared VERBATIM with the streaming gate's
+    * excise arm ([[graft.streaming.ContamGate]]) so batch ≡ stream is
+    * structural, not a re-implementation: per-POSITION shingles under
+    * the same start cap and md5 image as c01's machinery
+    * (Dedup.shingles dedups strings, so it cannot carry positions).
+    * Input needs (doc_id, toks); output (doc_id, start, h64).
+    */
+  private[graft] def positionShingles(docsWithToks: DataFrame): DataFrame =
+    docsWithToks.filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, least(size(toks) - $ContamN, ${Dedup.MaxShinglePositions - 1})), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $ContamN)))")).as(Seq("start", "shingle")))
+      .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
+
+  /** the other half of the shared kernel: the map-side indexed filter
+    * that drops every token covered by a hit 5-gram window — needs
+    * `toks` and `hit_starts` in scope
+    */
+  private[graft] def exciseKept: Column = expr(
+    s"filter(toks, (t, p) -> NOT exists(hit_starts, x -> p >= x AND p <= x + ${ContamN - 1}))")
+
   // -- c05: contamination span EXCISION — the surgical counterpart of
   //    c03's drop verdict: published decontamination recipes REMOVE
   //    the matched n-gram spans and keep the rest of the document
@@ -522,31 +544,24 @@ object Curation {
   private val c05 = Q(
     "c05_contamination_excise",
     (s, d) => {
-      val n = ContamN
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("u", unitHash(col("doc_id")))
       val testH = Dedup.shingles(
           Tables.documents(s, d)
-            .withColumn("u", unitHash(col("doc_id"))).filter(col("u") >= 0.95), n)
+            .withColumn("u", unitHash(col("doc_id"))).filter(col("u") >= 0.95), ContamN)
         .select("h64").distinct()
-      val posSh = docs.filter(col("u") < 0.9 && size(col("toks")) >= n)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, least(size(toks) - $n, ${Dedup.MaxShinglePositions - 1})), " +
-            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as(Seq("start", "shingle")))
-        .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
-      val hits = posSh.join(broadcast(testH), "h64")
+      val hits = positionShingles(docs.filter(col("u") < 0.9))
+        .join(broadcast(testH), "h64")
         .groupBy("doc_id").agg(collect_set(col("start")).as("hit_starts"))
-      val kept = expr(
-        s"filter(toks, (t, p) -> NOT exists(hit_starts, x -> p >= x AND p <= x + ${n - 1}))")
       docs.filter(col("u") < 0.9)
         .join(hits, Seq("doc_id"), "left")
         .withColumn("hit_starts", coalesce(col("hit_starts"), expr("CAST(array() AS array<int>)")))
         .select(
           col("doc_id"),
           size(col("toks")).cast(LongType).as("n_toks"),
-          (size(col("toks")) - size(kept)).cast(LongType).as("n_removed"),
-          array_join(kept, " ").as("clean_text"))
+          (size(col("toks")) - size(exciseKept)).cast(LongType).as("n_removed"),
+          array_join(exciseKept, " ").as("clean_text"))
     },
     Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, $duckUnitHash AS u

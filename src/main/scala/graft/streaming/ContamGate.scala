@@ -39,14 +39,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * hit_ratio, contaminated), so the union of a run's decision
   * generations equals the oracle-checked batch c03 output over the
   * same documents — ContamGateSpec asserts that equality.
+  *
+  * [[Config.excise]] switches the gate to c05-at-ingest: instead of a
+  * keep/drop verdict, the leaked spans are REMOVED and the document
+  * kept — per-position shingles bloom-prefiltered then exact-verified
+  * against the same frozen index, the hit starts collected per doc
+  * (contamination-bounded), the excision one map-side indexed token
+  * filter (the batch c05 kernel, shared verbatim via
+  * [[Curation.positionShingles]]/[[Curation.exciseKept]]). Every doc
+  * lands in the lake with `clean_text`; the decision log carries the
+  * span accounting (n_toks, n_removed, n_spans). ContamGateSpec
+  * asserts the gate's output equals the oracle-checked batch c05.
   */
 object ContamGate {
 
+  /** `excise = false` is c03-at-ingest (verdict: keep or drop whole
+    * docs); `excise = true` is c05-at-ingest (remove the leaked spans,
+    * keep the document — published decontamination pipelines run this
+    * continuously, because dropping whole docs at crawl scale wastes
+    * the clean 99%). The two modes write DIFFERENT decision schemas,
+    * so a deployment picks one per root pair.
+    */
   final case class Config(
       nItems: Long = 1L << 20,
       fpp: Double = 1e-3,
       ratioThreshold: Double = Curation.ContamRatio,
-      autoFoldGenerations: Int = 64)
+      autoFoldGenerations: Int = 64,
+      excise: Boolean = false)
 
   /** the p01/c01 unit hash, u in [0, 1) as a pure function of doc_id */
   private def unitHash(c: org.apache.spark.sql.Column) =
@@ -114,41 +133,75 @@ object ContamGate {
       Bridge.expression(col("h64"))))
     val docs = batchDocs.cache()
     try {
-      val sh = Dedup.shingles(docs, Curation.ContamN).cache()
-      try {
-        // every ARRIVING doc gets a decision row — docs shorter than
-        // ContamN tokens produce zero shingles (Dedup.shingles filters
-        // size >= n), so building `total` from the shingle relation
-        // alone would silently drop them from both the decision log and
-        // (via the semi-join below) the clean lake. They are trivially
-        // clean: a doc with no 5-gram cannot contain a test 5-gram.
-        val total = docs.select("doc_id").distinct()
-          .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles")),
-            Seq("doc_id"), "left")
-          .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
-        // bloom survivors only reach the exact join; false positives
-        // die there, so n_hit is exact (c02's two-stage argument)
-        val hits = sh.filter(mightContain)
+      if (cfg.excise) {
+        // c05 at ingest: the batch entry's kernel VERBATIM
+        // (Curation.positionShingles / exciseKept), with the bloom
+        // prefilter composed in front of the exact semi-join — false
+        // positives die in the join, so hit_starts (and the excision)
+        // stay exact while the shuffled volume follows the contamination
+        // rate, never the batch size
+        val toks = docs.withColumn("toks", split(col("text"), " "))
+        val hits = Curation.positionShingles(toks.select(col("doc_id"), col("toks")))
+          .filter(mightContain)
           .join(spark.read.parquet(s"$indexDir/test_hashes"), Seq("h64"), "leftsemi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        val ratio = when(col("n_shingles") > 0, col("n_hit") / col("n_shingles"))
-          .otherwise(lit(0.0))
-        val decisions = total
+          .groupBy("doc_id").agg(collect_set(col("start")).as("hit_starts"))
+        val cleaned = toks
           .join(hits, Seq("doc_id"), "left")
-          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-          .select(
-            col("doc_id").as("train_doc"), col("n_shingles"), col("n_hit"),
-            round(ratio, 6).as("hit_ratio"),
-            (ratio >= lit(cfg.ratioThreshold)).as("contaminated"))
-        decisions.write.mode(SaveMode.Overwrite)
-          .parquet(s"$decisionsDir/batch=$batchTag")
-        docs.join(
-          spark.read.parquet(s"$decisionsDir/batch=$batchTag")
-            .filter(!col("contaminated"))
-            .select(col("train_doc").as("doc_id")),
-          Seq("doc_id"), "leftsemi")
-          .write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/batch=$batchTag")
-      } finally sh.unpersist()
+          .withColumn("hit_starts", coalesce(col("hit_starts"), expr("CAST(array() AS array<int>)")))
+          .withColumn("kept_toks", Curation.exciseKept)
+          .cache()
+        try {
+          // decision log: the span accounting (every arriving doc, one row)
+          cleaned.select(
+              col("doc_id").as("train_doc"),
+              size(col("toks")).cast("long").as("n_toks"),
+              (size(col("toks")) - size(col("kept_toks"))).cast("long").as("n_removed"),
+              size(col("hit_starts")).cast("long").as("n_spans"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$decisionsDir/batch=$batchTag")
+          // lake: EVERY document lands, leaked spans removed — excision
+          // keeps the doc, that is the point of the mode
+          cleaned.select(
+              col("doc_id"), array_join(col("kept_toks"), " ").as("text"),
+              col("lang"), col("source"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/batch=$batchTag")
+        } finally cleaned.unpersist(): Unit
+      } else {
+        val sh = Dedup.shingles(docs, Curation.ContamN).cache()
+        try {
+          // every ARRIVING doc gets a decision row — docs shorter than
+          // ContamN tokens produce zero shingles (Dedup.shingles filters
+          // size >= n), so building `total` from the shingle relation
+          // alone would silently drop them from both the decision log and
+          // (via the semi-join below) the clean lake. They are trivially
+          // clean: a doc with no 5-gram cannot contain a test 5-gram.
+          val total = docs.select("doc_id").distinct()
+            .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles")),
+              Seq("doc_id"), "left")
+            .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+          // bloom survivors only reach the exact join; false positives
+          // die there, so n_hit is exact (c02's two-stage argument)
+          val hits = sh.filter(mightContain)
+            .join(spark.read.parquet(s"$indexDir/test_hashes"), Seq("h64"), "leftsemi")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          val ratio = when(col("n_shingles") > 0, col("n_hit") / col("n_shingles"))
+            .otherwise(lit(0.0))
+          val decisions = total
+            .join(hits, Seq("doc_id"), "left")
+            .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+            .select(
+              col("doc_id").as("train_doc"), col("n_shingles"), col("n_hit"),
+              round(ratio, 6).as("hit_ratio"),
+              (ratio >= lit(cfg.ratioThreshold)).as("contaminated"))
+          decisions.write.mode(SaveMode.Overwrite)
+            .parquet(s"$decisionsDir/batch=$batchTag")
+          docs.join(
+            spark.read.parquet(s"$decisionsDir/batch=$batchTag")
+              .filter(!col("contaminated"))
+              .select(col("train_doc").as("doc_id")),
+            Seq("doc_id"), "leftsemi")
+            .write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/batch=$batchTag")
+        } finally sh.unpersist()
+      }
     } finally docs.unpersist()
     if (cfg.autoFoldGenerations > 0) {
       val dp = new org.apache.hadoop.fs.Path(decisionsDir)

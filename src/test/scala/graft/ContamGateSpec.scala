@@ -104,6 +104,44 @@ class ContamGateSpec extends AnyFunSuite {
       "trivially-clean short docs must reach the clean lake")
   }
 
+  test("excise mode: streamed span excision equals batch c05 exactly; every doc lands cleaned") {
+    val (src, lake, idx, dec, ckpt) = dirs()
+    val docs = Tables.documents(spark, sf)
+    ContamGate.buildIndex(spark, docs, idx)
+    // stream exactly c05's population (the u < 0.9 train split), two
+    // drops so the run spans multiple micro-batches
+    val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast("string")) /
+      lit(1152921504606846976.0)
+    val train = docs.filter(u < 0.9).select("doc_id", "text", "lang", "source").cache()
+    train.filter(col("doc_id") % 2 === 0).write.mode("append").json(src)
+    train.filter(col("doc_id") % 2 =!= 0).write.mode("append").json(src)
+    ContamGate.start(spark, src, lake, idx, dec, ckpt,
+      cfg = ContamGate.Config(excise = true)).awaitTermination()
+
+    // gate output reassembled into c05's image: span accounting from
+    // the decision log, clean_text from the lake
+    val streamed = spark.read.parquet(dec)
+      .select(col("train_doc").as("doc_id"), col("n_toks"), col("n_removed"))
+      .join(spark.read.parquet(lake).select(col("doc_id"), col("text").as("clean_text")),
+        "doc_id")
+    val batch = Catalog.byName("c05_contamination_excise").run(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "gate excision must equal the oracle-checked batch c05 output")
+
+    // every arriving doc lands in the lake (excision KEEPS documents)
+    assert(spark.read.parquet(lake).count() == train.count())
+    // non-vacuity: something was excised, and most docs were untouched
+    val removed = spark.read.parquet(dec)
+      .filter(col("n_removed") > 0).count()
+    assert(removed > 0, "the fixture must contain contaminated spans")
+    assert(removed < train.count(), "excision must not touch clean docs")
+    // the decision log's span count is consistent with the token delta
+    val bad = spark.read.parquet(dec)
+      .filter(col("n_spans") === 0 && col("n_removed") > 0).count()
+    assert(bad == 0, "tokens can only be removed where spans hit")
+  }
+
   test("bloom prefilter never changes the verdict (exact-verify tail kills false positives)") {
     // a doc sharing NO shingles with the test split must report n_hit 0
     // even though the bloom can fire spuriously
