@@ -2596,10 +2596,14 @@ object LlmQueries {
     selected.toSeq.zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) }
   }
 
-  /** x08's generated pick chain: the s25 recipe with relevance = the
-    * 6-dp RRF score and the fused candidate set as the pool.
+  /** x08/x09's generated oracle: the lexical arm, RRF fusion and the
+    * s25-style MMR pick chain are shared; `denseBlock` supplies the
+    * CTEs ending in `xdense(corpus_doc, vec_rank)` — exact cosine
+    * top-10 for x08, the IVF-pruned ADC shortlist + exact re-rank for
+    * x09 (the oracle models the approximation explicitly instead of
+    * assuming its recall).
     */
-  private lazy val x08Oracle = {
+  private def servingOracle(denseBlock: String) = {
     val picks = (2 to MmrK).map { i =>
       s"""xcand$i AS (SELECT f.*, $MmrLambda * f.rrf - $MmrMu *
               (SELECT max(p.sim) FROM xpairs p WHERE p.v1 = f.corpus_doc
@@ -2641,17 +2645,7 @@ object LlmQueries {
         QUALIFY row_number() OVER (ORDER BY sdec DESC, corpus_doc ASC) <= 10),
       xq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       xdims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
-      xdx AS (SELECT e.vec_id,
-                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS dt,
-                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
-                SUM(CAST(xq.qv[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS nb
-              FROM embeddings e, xq, xdims d
-              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
-      xdense AS MATERIALIZED (
-        SELECT vec_id AS corpus_doc,
-               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
-        FROM (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xdx)
-        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10),
+      $denseBlock,
       fused AS MATERIALIZED (
         SELECT corpus_doc, l.lex_rank, v.vec_rank,
                round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
@@ -2678,6 +2672,54 @@ object LlmQueries {
       FROM xacc$MmrK
     """.trim
   }
+
+  private lazy val x08Oracle = servingOracle(s"""xdx AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(xq.qv[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e, xq, xdims d
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      xdense AS MATERIALIZED (
+        SELECT vec_id AS corpus_doc,
+               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+        FROM (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xdx)
+        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10)""")
+
+  /** x09's dense arm in DuckDB: s09/s10's IVF-PQ oracle machinery
+    * (ivfAssignCte / pqCte, probe 4/16, batched-ADC approx scores,
+    * 50-shortlist, exact-cosine re-rank) producing the same
+    * `xdense(corpus_doc, vec_rank)` interface x08's exact arm fills —
+    * so the one oracle template pins the standing composition INCLUDING
+    * the ADC shortlist's recall effect.
+    */
+  private lazy val x09Oracle = servingOracle(s"""$ivfAssignCte,
+      $pqCte,
+      xprobes AS (SELECT cid FROM asim WHERE vec_id = 0
+                  QUALIFY row_number() OVER (ORDER BY sim DESC, cid ASC) <= 4),
+      xmembers AS (SELECT a.vec_id FROM assign a
+                   JOIN xprobes p ON p.cid = a.cid WHERE a.vec_id <> 0),
+      xadc AS (SELECT c.code, s.s,
+                 CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                              * CAST(xq.qv[s.s*8+i.i+1] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p
+               FROM cw c, xq, sub s, d8 i GROUP BY c.code, s.s),
+      xapprox AS (SELECT b.vec_id, SUM(a.p) AS score
+                  FROM best b
+                  JOIN xadc a ON a.s = b.s AND a.code = b.code
+                  JOIN xmembers m ON m.vec_id = b.vec_id
+                  GROUP BY b.vec_id),
+      xshort AS (SELECT vec_id FROM xapprox
+                 ORDER BY score DESC, vec_id ASC LIMIT 50),
+      xdx AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(xq.qv[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e JOIN xshort sh ON sh.vec_id = e.vec_id, xq, xdims d
+              GROUP BY e.vec_id),
+      xdense AS MATERIALIZED (
+        SELECT vec_id AS corpus_doc,
+               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+        FROM (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xdx)
+        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10)""")
 
   // -- x08: the retrieval SERVING stack composed end-to-end — lexical
   //    BM25 (s12's scoring) + dense cosine (s01) fused by
@@ -2735,32 +2777,145 @@ object LlmQueries {
         .withColumn("vec_rank", row_number().over(wd).cast(LongType))
         .filter(col("vec_rank") <= 10)
         .select("corpus_doc", "vec_rank")
-      val rrfRaw = coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
-      val fused = lex.join(dense, Seq("corpus_doc"), "full_outer")
-        .withColumn("rrf", round(rrfRaw, 6))
-      val members = fused.select("corpus_doc")
-        .join(emb, col("corpus_doc") === col("vec_id"))
-        .select(col("corpus_doc"), col("embedding"))
-      val a = members.select(col("corpus_doc").as("v1"), col("embedding").as("e1"))
-      val b = members.select(col("corpus_doc").as("v2"), col("embedding").as("e2"))
-      val sim = scala.collection.mutable.Map[(Long, Long), Double]()
-      for (r <- a.join(broadcast(b), col("v1") < col("v2"))
-          .select(col("v1"), col("v2"),
-            round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
-          .collect()) {
-        val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-        sim((v1, v2)) = sv
-        sim((v2, v1)) = sv
-      }
-      val rel = fused.select("corpus_doc", "rrf").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-      import s.implicits._
-      val picks = mmrGreedy(rel, sim).toDF("corpus_doc", "rank")
-      fused.join(broadcast(picks), "corpus_doc")
-        .select(col("corpus_doc"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+      fuseAndDiversify(s, emb, lex, dense)
     },
     Some(x08Oracle))
+
+  /** x08/x09's shared serving tail: RRF-fuse the two per-arm rank
+    * lists (full-outer — a doc found by one arm still scores), then
+    * the s25 MMR greedy over the fused pool. Everything here is
+    * bounded by the two top-10s (≤ 20 fused members), so the pairwise
+    * sims and the greedy cost constant driver work at any corpus size.
+    */
+  private def fuseAndDiversify(
+      s: SparkSession, emb: DataFrame, lex: DataFrame, dense: DataFrame): DataFrame = {
+    val rrfRaw = coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+    val fused = lex.join(dense, Seq("corpus_doc"), "full_outer")
+      .withColumn("rrf", round(rrfRaw, 6))
+    val members = fused.select("corpus_doc")
+      .join(emb, col("corpus_doc") === col("vec_id"))
+      .select(col("corpus_doc"), col("embedding"))
+    val a = members.select(col("corpus_doc").as("v1"), col("embedding").as("e1"))
+    val b = members.select(col("corpus_doc").as("v2"), col("embedding").as("e2"))
+    val sim = scala.collection.mutable.Map[(Long, Long), Double]()
+    for (r <- a.join(broadcast(b), col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
+        .collect()) {
+      val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      sim((v1, v2)) = sv
+      sim((v2, v1)) = sv
+    }
+    val rel = fused.select("corpus_doc", "rrf").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    import s.implicits._
+    val picks = mmrGreedy(rel, sim).toDF("corpus_doc", "rank")
+    fused.join(broadcast(picks), "corpus_doc")
+      .select(col("corpus_doc"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+  }
+
+  // -- x09: x08's serving stack composed over the STANDING indexes —
+  //    the amortized production shape: the BM25 arm reads the s13
+  //    partial-aggregate layout back off disk (merge-at-read ≡ the
+  //    direct aggregation, so the lexical answer is exactly x08's),
+  //    the dense arm runs the s10 standing IVF-PQ probe (4/16 posting
+  //    lists, batched-ADC 50-shortlist, exact-cosine re-rank — an
+  //    APPROXIMATION x08's exact arm doesn't make, which the oracle
+  //    models explicitly via the s09/s10 IVF CTEs rather than assuming
+  //    recall), and the fusion + MMR tail is shared code
+  //    ([[fuseAndDiversify]]), untouched. One query costs two index
+  //    probes + constant driver work — nothing corpus-sized is built
+  //    inside the query, which is the whole point of standing indexes.
+  private def x09IdxDir =
+    new java.io.File("target/graft_idx/x09_serving").getAbsolutePath
+
+  /** x09 BUILD: both standing halves a serving deployment keeps warm —
+    * the s10 IVF-PQ layout under `ivf/` (full embedded corpus; the
+    * query vec is excluded at probe time) and the s13 partial-aggregate
+    * BM25 layout under `bm25/` over x08's lexical corpus (embedded
+    * docs, query doc excluded), base batch + appended delta both.
+    */
+  private[graft] def x09Build(s: SparkSession, d: String): Unit =
+    x09BuildAt(s, d, x09IdxDir)
+
+  private[graft] def x09BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
+    s10BuildAt(s, d, s"$idxDir/ivf")
+    val embIds = Tables.embeddings(s, d).select(col("vec_id"))
+    val corpus = Tables.documents(s, d)
+      .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
+      .filter(col("doc_id") =!= 0L)
+    def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
+      val batch = corpus.filter(pred)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        batch.write.mode(mode).parquet(s"$idxDir/bm25/postings")
+        batch.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode(mode).parquet(s"$idxDir/bm25/df")
+        val dlB = batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        dlB.write.mode(mode).parquet(s"$idxDir/bm25/dl")
+        dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+          .write.mode(mode).parquet(s"$idxDir/bm25/stats")
+      } finally batch.unpersist(): Unit
+    }
+    writeBatch(col("doc_id") % 10 =!= 7, "overwrite")
+    writeBatch(col("doc_id") % 10 === 7, "append")
+  }
+
+  /** x09 PROBE: one serving answer off the standing halves — BM25 off
+    * the partial relations, dense off the IVF-PQ index, fused and
+    * MMR-diversified by the shared tail.
+    */
+  private[graft] def x09Probe(s: SparkSession, d: String): DataFrame =
+    x09ProbeAt(s, d, x09IdxDir)
+
+  private[graft] def x09ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
+    // lexical arm: x08's scoring, inputs read back from the standing
+    // relations (partials merged at read — associative, so ≡ x08)
+    val postings = s.read.parquet(s"$idxDir/bm25/postings")
+    val dfr = s.read.parquet(s"$idxDir/bm25/df")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val dl = s.read.parquet(s"$idxDir/bm25/dl")
+    val st = s.read.parquet(s"$idxDir/bm25/stats")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
+    val nCorpus = st.getLong(0).toDouble
+    val sumDl = st.getLong(1).toDouble
+    val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    val qTerms = Tables.documents(s, d).filter(col("doc_id") === 0L)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("qr", row_number().over(wq)).filter(col("qr") <= 4)
+      .select("term")
+    val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val lenNorm = lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) * lit(nCorpus) / lit(sumDl)
+    val tfNorm = col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) + lit(1.2) * lenNorm)
+    val contrib = round(idf * tfNorm, 6).cast(DecimalType(18, 6))
+    val wl = Window.orderBy(col("sdec").desc, col("corpus_doc"))
+    val lex = broadcast(qTerms)
+      .join(postings.withColumnRenamed("doc_id", "corpus_doc"), "term")
+      .join(broadcast(dfr), "term")
+      .join(broadcast(dl.withColumnRenamed("doc_id", "corpus_doc")), "corpus_doc")
+      .groupBy("corpus_doc").agg(sum(contrib).as("sdec"))
+      .withColumn("lex_rank", row_number().over(wl).cast(LongType))
+      .filter(col("lex_rank") <= 10)
+      .select("corpus_doc", "lex_rank")
+    // dense arm: the s10 standing probe — IVF 4/16, ADC shortlist 50,
+    // exact re-rank top-10, ranked exactly as the re-rank orders
+    val wd = Window.orderBy(col("cos").desc, col("corpus_doc"))
+    val dense = s10ProbeAt(s, d, s"$idxDir/ivf")
+      .select(col("vec_id").as("corpus_doc"), col("cos"))
+      .withColumn("vec_rank", row_number().over(wd).cast(LongType))
+      .select("corpus_doc", "vec_rank")
+    fuseAndDiversify(s, Tables.embeddings(s, d), lex, dense)
+  }
+
+  private val x09 = Q(
+    "x09_serving_standing",
+    (s, d) => { x09Build(s, d); x09Probe(s, d) },
+    Some(x09Oracle))
 
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
@@ -3612,7 +3767,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
@@ -3672,5 +3827,6 @@ object LlmQueries {
     "d15_standing_neardup" -> ((d15Build _, d15Probe _)),
     "s10_ivfpq_standing" -> ((s10Build _, s10Probe _)),
     "s13_bm25_standing" -> ((s13Build _, s13Probe _)),
-    "s19_hamming_standing" -> ((s19Build _, s19Probe _)))
+    "s19_hamming_standing" -> ((s19Build _, s19Probe _)),
+    "x09_serving_standing" -> ((x09Build _, x09Probe _)))
 }
