@@ -257,6 +257,60 @@ object BusSource {
       }
     }
 
+  /** COUNT-based retention — the third JetStream Limits axis
+    * (`max_msgs` in `StreamConfig`, borealis-consumer/src/main.rs:574-582,
+    * beside [[retain]]'s max_bytes and [[retainAboveHeight]]'s MaxAge
+    * analog): keep at most `maxMessages` NEWEST complete records per
+    * partition, offsets preserved by the same base-offset segment
+    * naming. Faithful to `DiscardPolicy::Old`, count truncation
+    * discards unconsumed records too — deliberately no ack-floor
+    * input; a consumer whose committed offset falls below the new
+    * floor hits the same `failOnDataLoss` gate as the other folds.
+    * The un-terminated trailing bytes (an in-flight publish) are not
+    * a record yet: they never count and always survive.
+    */
+  def retainMaxMessages(dir: String, maxMessages: Long): Unit = {
+    require(maxMessages >= 0L, s"maxMessages must be >= 0: $maxMessages")
+    withRetentionLease(dir) {
+      for (p <- partitions(dir)) {
+        val (seg, base) = activeSegment(dir, p)
+        foldPartition(dir, p, seg, base, cutForMaxMessages(seg, base, maxMessages))
+      }
+    }
+  }
+
+  /** logical offset of the first record kept so that exactly the
+    * newest `maxMessages` complete records survive: two sequential
+    * passes (count, then walk to record index count - max) — no
+    * offset table, so memory is O(1) at any log size
+    */
+  private def cutForMaxMessages(
+      seg: java.io.File, base: Long, maxMessages: Long): Long = {
+    if (!seg.exists()) return base
+    // (complete records, byte offset just after `stop` newlines)
+    def scan(stop: Long): (Long, Long) = {
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(seg), 1 << 16)
+      try {
+        var newlines = 0L
+        var pos = 0L
+        var stopOff = if (stop == 0L) 0L else -1L
+        var b = in.read()
+        while (b >= 0) {
+          pos += 1
+          if (b == '\n') {
+            newlines += 1
+            if (newlines == stop) stopOff = pos
+          }
+          b = in.read()
+        }
+        (newlines, stopOff)
+      } finally in.close()
+    }
+    val (cnt, _) = scan(-1L)
+    if (cnt <= maxMessages) base
+    else base + scan(cnt - maxMessages)._2
+  }
+
   private lazy val heightMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** envelope height of one wire record: `seq_id` (the published

@@ -260,6 +260,50 @@ class BusSourceSpec extends AnyFunSuite {
     assert(vals.length == 25 && vals.head == "m075")
   }
 
+  test("count-based retention: max_msgs keeps the newest N records per partition, offsets preserved") {
+    val dir = newTopic(2)
+    val base = Files.createTempDirectory("graft_bus_maxmsgs").toString
+    BusSource.append(dir, 0, (0 until 30).map(i => f"a$i%03d")) // 5 bytes/record
+    BusSource.append(dir, 1, (0 until 30).map(i => f"b$i%03d"))
+    // a lagging consumer commits HERE — below the eventual count cut
+    assert(drainTo(dir, s"$base/lagging").length == 60)
+    BusSource.append(dir, 0, (30 until 60).map(i => f"a$i%03d"))
+    BusSource.append(dir, 1, (30 until 50).map(i => f"b$i%03d"))
+
+    // an oversized cap is a no-op (the log is under the limit)
+    val before = BusSource.earliestOffsets(dir)
+    BusSource.retainMaxMessages(dir, 1000)
+    assert(BusSource.earliestOffsets(dir) == before, "an under-limit fold must not move the floor")
+
+    // a torn in-flight publish is not a record: it never counts toward
+    // the limit and always survives the fold
+    BusSource.appendTorn(dir, 0, "par".getBytes("UTF-8"))
+
+    BusSource.retainMaxMessages(dir, 25)
+    // p0: newest 25 of 60 = a035.., floor 35*5; p1: newest 25 of 50 = b025..
+    assert(BusSource.earliestOffsets(dir) == Map(0 -> 175L, 1 -> 125L),
+      "floors must be the byte positions the first retained records always had")
+    val fresh = drainTo(dir, s"$base/fresh")
+    assert(fresh.sorted == ((35 until 60).map(i => f"a$i%03d") ++
+      (25 until 50).map(i => f"b$i%03d")).sorted,
+      s"fresh earliest consumer must see exactly the newest 25+25: $fresh")
+    // the torn bytes survived; completing the record delivers it
+    BusSource.appendTorn(dir, 0, "tial\n".getBytes("UTF-8"))
+    assert(drainTo(dir, s"$base/fresh") == Seq("partial"))
+
+    // DiscardPolicy::Old discards unconsumed records too: the lagging
+    // consumer's committed floor is below the cut — refuse by default,
+    // clamp when opted out
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(dir, s"$base/lagging")
+    }
+    assert(ex.getCause.toString.contains("retention floor"), s"got ${ex.getCause}")
+    val clamped = drainTo(dir, s"$base/lagging", Map("failondataloss" -> "false"))
+    assert(clamped.sorted == ((35 until 60).map(i => f"a$i%03d") ++
+      (30 until 50).map(i => f"b$i%03d") :+ "partial").sorted,
+      s"clamped resume must continue at the floor: $clamped")
+  }
+
   test("height-based retention: the MaxAge image over the envelope's height axis") {
     val dir = newTopic(2)
     val base = Files.createTempDirectory("graft_bus_height").toString
