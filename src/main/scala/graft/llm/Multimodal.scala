@@ -710,6 +710,48 @@ object Multimodal {
       .as[MediaDup]
   }
 
+  /** OPT-IN salted election for single-content-dominated corpora —
+    * the documented alternative to [[contentDedup]]'s window when one
+    * viral content group dominates the corpus outright: the window
+    * spills rather than OOMs, but it still serializes the hot group's
+    * min/count on ONE task (the measured 30x skew floor in the scale
+    * table). Here the election is a two-stage count/min: a partial
+    * aggregate per (content key, salt) — map-side combined, so the
+    * shuffle carries at most `salts` rows per group — then a bounded
+    * merge of those partials, then a join back to the signature rows
+    * for the per-row columns. The join keys on the content key, so
+    * the hot group is one skewed probe-side partition — exactly what
+    * AQE's skew-join split re-parallelizes (the build side is one row
+    * per group). Costs: one extra shuffle of the 9-small-column
+    * signature rows, and the signature lineage evaluates twice (agg +
+    * join sides) — so the signatures are persisted (memory-and-disk;
+    * this is the relation a crawl-scale run checkpoints anyway) and
+    * the caller may unpersist via the returned dataset's lineage.
+    * Same output as [[contentDedup]] bit-for-bit (CodecSpec pins it).
+    */
+  def contentDedupSalted(
+      spark: SparkSession, docs: DataFrame, salts: Int = 32): Dataset[MediaDup] = {
+    import spark.implicits._
+    val key = Seq("width", "height", "sum_r", "sum_g", "sum_b", "digest")
+    val sigs = contentSignatures(spark, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = sigs
+      .withColumn("salt", pmod(xxhash64(col("media_id")), lit(salts)))
+      .groupBy((key.map(col) :+ col("salt")): _*)
+      .agg(count(lit(1)).as("pc"), min(col("media_id")).as("pm"))
+    val groups = partials
+      .groupBy(key.map(col): _*)
+      .agg(sum(col("pc")).as("group_size"), min(col("pm")).as("keeper_id"))
+    sigs.join(groups, key)
+      .select(
+        col("media_id"), col("container"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("group_size"), col("keeper_id"),
+        when(col("media_id") === col("keeper_id") && col("container") === "png", 1L)
+          .otherwise(0L).as("is_keeper"))
+      .as[MediaDup]
+  }
+
   /** SMOOTH raster for the lossy-codec fixtures: linear channel planes
     * with no mod-256 wrap (max value 157 at the corner), because JPEG
     * error concentrates at high-frequency edges — a gradient keeps the

@@ -329,6 +329,29 @@ object ScaleProbe {
       (m, t)
     }
 
+    // r14: the SALTED election on the same 90%-dup corpus — the opt-in
+    // alternative to the window for single-content-dominated inputs
+    // (the window's one-group-one-task skew floor is the 30x marginal
+    // the row above measures; the salted two-stage count/min + AQE
+    // skew-split join should drop it toward linear)
+    if (enabled("m12_dup_heavy_salted")) results("m12_dup_heavy_salted") = MultipliersExt.map { m =>
+      val n = BaseDocs * m
+      val ids = (0 until n).map(i =>
+        if (i % 10 != 0) 256L * i
+        else 256L * i + 1 + (i % 255))
+      val docs = ids.toDF("doc_id").repartition(cores)
+      // clear + rebuild per rep: the salted path persists its signature
+      // relation internally, and a warm cache would flatter later reps
+      // against the window row's cold-decode reps
+      val t = bestOf(reps) {
+        spark.catalog.clearCache()
+        materialize(graft.llm.Multimodal.contentDedupSalted(spark, docs).toDF())
+      }
+      spark.catalog.clearCache()
+      println(f"""{"probe":"m12_dup_heavy_salted","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
     // r13: query-side SERVING cost vs INDEX size — a fixed 200-query
     // batch against a standing IVF-PQ index built from the m× corpus
     // (build untimed: embedding releases are operator events). With

@@ -555,6 +555,26 @@ class LlmSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("m12: the opt-in salted election equals the window election bit-for-bit") {
+    // the salted two-stage count/min (for single-content-dominated
+    // corpora, where the window serializes the hot group on one task)
+    // must be a pure plan swap: same rows, same keepers, same sizes —
+    // including on a duplicate-heavy input where the two shapes
+    // actually diverge in execution
+    val heavy = {
+      import spark.implicits._
+      (0 until 400).map(i =>
+        if (i % 10 != 0) 256L * i // 90%: one giant content group
+        else 256L * i + 1 + (i % 255)).toDF("doc_id")
+    }
+    val window = Multimodal.contentDedup(spark, heavy).toDF()
+    val salted = Multimodal.contentDedupSalted(spark, heavy, salts = 7).toDF()
+    assert(salted.exceptAll(window).count() == 0 &&
+      window.exceptAll(salted).count() == 0,
+      "salted and window elections must produce identical output")
+    spark.catalog.clearCache() // contentDedupSalted persists its signatures
+  }
+
   test("m04 router downsamples each kind along its natural axis, never upsampling") {
     val rs = Multimodal
       .resizeRouted(spark, Multimodal.realMediaTable(spark, docs)).collect()
