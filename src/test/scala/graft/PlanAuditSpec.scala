@@ -195,6 +195,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("x09 serves off BOTH standing indexes — nothing corpus-sized built in-query") {
+    // the lexical arm must scan the persisted BM25 partials and the
+    // dense arm the persisted IVF-PQ code index; the small relations
+    // (query terms, df, dl, probes, ADC) broadcast, never the corpus
+    val plan = planOf("x09_serving_standing")
+    assert(plan.contains("x09_serving/bm25"), "x09 lost the standing BM25 scan")
+    assert(plan.contains("x09_serving/ivf"), "x09 lost the standing IVF-PQ scan")
+    assert(plan.contains("BroadcastHashJoin"), "x09's small relations must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
     val plan = planOf("q50_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread over buckets;
