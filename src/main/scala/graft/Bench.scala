@@ -500,8 +500,11 @@ object Bench {
     val probeConditions =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     val probeResults = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // restricted-query runs skip probes; `probes <names…>` re-certifies
+    // only the NAMED probes (still behind the full catalog warmup — a
+    // cold-JIT probe reads 2x low)
     def probeGated(name: String)(body: => Double): Double =
-      if (only.nonEmpty) 0.0
+      if (only.nonEmpty && !(probesOnly && only(name))) 0.0
       else {
         val fac = waitForQuiet(120)
         val ioFac = ioCanarySample() / ioCanary0
@@ -636,7 +639,7 @@ object Bench {
     val probeFlagDetail = scala.collection.mutable.ArrayBuffer[String]()
     var probeContendedFlags = 0
     val probeRatios = probeRatios0.map { case t @ (n, raw0, norm0) =>
-      if (norm0 <= 1.5 || only.nonEmpty) t
+      if (norm0 <= 1.5 || (only.nonEmpty && !probesOnly)) t
       else {
         val base = baseline("probe:" + n)
         System.err.println(f"[bench] probe $n at $raw0%.2fx under its certified " +

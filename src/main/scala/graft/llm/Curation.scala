@@ -255,28 +255,34 @@ object Curation {
   //    to the stream — the bigram relation grows with vocab², so it
   //    deliberately stays a shuffle join (t05's broadcast note applies
   //    only to the vocab-sized unigram side).
-  private val t12 = Q(
-    "t12_bigram_surprisal",
-    (s, d) => {
-      val bi = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks) - 2), i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-      val cc = bc.groupBy("w1").agg(sum(col("bc")).as("cc"))
-      bi.join(bc, Seq("w1", "w2"))
-        .join(broadcast(cc), "w1")
-        .withColumn("surprisal", expr("length(bin(cc DIV bc)) - 1"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          round(avg(col("surprisal")), 6).as("mean_surprisal"),
-          max(col("surprisal")).cast(LongType).as("max_surprisal"))
-    },
-    Some("""
+  /** t12's per-doc bigram-LM score, shared with t14's bucketing head:
+    * (doc_id, n_bigrams, mean_surprisal, max_surprisal) over every doc
+    * with at least one bigram
+    */
+  private def bigramDocScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cc = bc.groupBy("w1").agg(sum(col("bc")).as("cc"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(broadcast(cc), "w1")
+      .withColumn("surprisal", expr("length(bin(cc DIV bc)) - 1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("surprisal")), 6).as("mean_surprisal"),
+        max(col("surprisal")).cast(LongType).as("max_surprisal"))
+  }
+
+  /** the shared DuckDB CTE chain ending in the per-doc score relation
+    * `ds(doc_id, n_bigrams, mean_surprisal, max_surprisal)` (t12/t14)
+    */
+  private val bigramScoreCtes = """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       bi AS (SELECT doc_id, toks[i.i+1] AS w1, toks[i.i+2] AS w2
              FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) i
@@ -284,11 +290,54 @@ object Curation {
       bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
       cc AS (SELECT w1, SUM(bc) AS cc FROM bc GROUP BY 1),
       sc AS (SELECT bi.doc_id, length(bin(cc.cc // bc.bc)) - 1 AS surprisal
-             FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1))
-      SELECT doc_id, count(*) AS n_bigrams,
-             round(avg(surprisal), 6) AS mean_surprisal,
-             CAST(max(surprisal) AS BIGINT) AS max_surprisal
-      FROM sc GROUP BY doc_id
+             FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1)),
+      ds AS (SELECT doc_id, count(*) AS n_bigrams,
+                    round(avg(surprisal), 6) AS mean_surprisal,
+                    CAST(max(surprisal) AS BIGINT) AS max_surprisal
+             FROM sc GROUP BY doc_id)"""
+
+  private val t12 = Q(
+    "t12_bigram_surprisal",
+    (s, d) => bigramDocScores(s, d),
+    Some(s"""
+      $bigramScoreCtes
+      SELECT doc_id, n_bigrams, mean_surprisal, max_surprisal FROM ds
+    """.trim))
+
+  // -- t14: perplexity BUCKETING — the data-selection head over t12's
+  //    bigram-LM score (the CCNet recipe, Wenzek et al. 2020
+  //    arXiv:1911.00359: rank Common Crawl docs by LM perplexity PER
+  //    LANGUAGE, split into head/middle/tail terciles, train on
+  //    head+middle — absolute perplexity thresholds don't transfer
+  //    across languages, ranks do). Buckets are ntile(3) over the
+  //    deterministic (mean_surprisal, doc_id) order, so tie groups
+  //    split identically on both engines; keep = bucket <= 2. Scale
+  //    shape: t12's two aggregation passes + one lang-partitioned
+  //    window over DOC-level rows (corpus-sized but narrow — three
+  //    longs and a double per doc; the per-language rank is the
+  //    operator's defining semantics, and ntile needs the partition's
+  //    total count, so this window is irreducible. At 100 TB the
+  //    honest cheaper variant is approx percentile boundaries — q36b's
+  //    sketch — traded against CCNet's exact-tercile contract).
+  private val t14 = Q(
+    "t14_perplexity_buckets",
+    (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("mean_surprisal"), col("doc_id"))
+      bigramDocScores(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast(LongType))
+        .select(
+          col("doc_id"), col("lang"), col("mean_surprisal"),
+          col("bucket"), (col("bucket") <= 2).as("keep"))
+    },
+    Some(s"""
+      $bigramScoreCtes,
+      bk AS (SELECT ds.doc_id, doc.lang, ds.mean_surprisal,
+                    CAST(ntile(3) OVER (PARTITION BY doc.lang
+                      ORDER BY ds.mean_surprisal, ds.doc_id) AS BIGINT) AS bucket
+             FROM ds JOIN documents doc USING (doc_id))
+      SELECT doc_id, lang, mean_surprisal, bucket, bucket <= 2 AS keep FROM bk
     """.trim))
 
   /** words per dedup passage (d08) */
@@ -1958,5 +2007,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, d08, d13, c01, c02, c03, c05, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, t14, d08, d13, c01, c02, c03, c05, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
 }

@@ -181,20 +181,25 @@ object ServeGate {
     val rows = spark.read.parquet(s"$gen/rows")
     val cents = spark.read.parquet(s"$gen/cents")
     val books = spark.read.parquet(s"$gen/books")
-    val q = batchQueries.select(col("query_id"), col("qv"))
-    val parts = math.max(1L,
-      (q.count() + maxQueriesPerPart - 1) / maxQueriesPerPart).toInt
-    if (parts == 1)
-      Similarity.ivfPqServeBatch(q, rows, cents, books, k, nProbe)
-        .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag")
-    else
-      // hash split (not row_number) so a replayed micro-batch lands the
-      // SAME rows in the SAME sub-generation regardless of scan order
-      for (i <- 0 until parts)
-        Similarity.ivfPqServeBatch(
-            q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
-            rows, cents, books, k, nProbe)
-          .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag-p$i")
+    // cache the (broadcast-sized) query batch: the size probe below and
+    // every serve plan read it — without the cache each is a fresh
+    // source scan
+    val q = batchQueries.select(col("query_id"), col("qv")).cache()
+    try {
+      val parts = math.max(1L,
+        (q.count() + maxQueriesPerPart - 1) / maxQueriesPerPart).toInt
+      if (parts == 1)
+        Similarity.ivfPqServeBatch(q, rows, cents, books, k, nProbe)
+          .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag")
+      else
+        // hash split (not row_number) so a replayed micro-batch lands the
+        // SAME rows in the SAME sub-generation regardless of scan order
+        for (i <- 0 until parts)
+          Similarity.ivfPqServeBatch(
+              q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
+              rows, cents, books, k, nProbe)
+            .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag-p$i")
+    } finally q.unpersist(): Unit
   }
 
   /** Streaming entry point: parquet query drop in, per-query top-k
