@@ -142,6 +142,29 @@ class ContamGateSpec extends AnyFunSuite {
     assert(bad == 0, "tokens can only be removed where spans hit")
   }
 
+  test("excise mode: replayed batches re-land identical partitions") {
+    import spark.implicits._
+    val (_, lake, idx, dec, _) = dirs()
+    ContamGate.buildIndex(spark, Tables.documents(spark, sf), idx)
+    val batch = Seq(
+      (4000001L, "alpha beta gamma delta epsilon zeta eta theta", "en", "t"),
+      (4000002L, "one two three four five six seven eight nine", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cfg = ContamGate.Config(excise = true)
+    ContamGate.step(spark, batch, "rep-0", lake, idx, dec, cfg)
+    val first = spark.read.parquet(dec).collect().sortBy(_.getAs[Long]("train_doc"))
+    val firstLake = spark.read.parquet(lake).collect().sortBy(_.getAs[Long]("doc_id"))
+    ContamGate.step(spark, batch, "rep-0", lake, idx, dec, cfg) // replay
+    val second = spark.read.parquet(dec).collect().sortBy(_.getAs[Long]("train_doc"))
+    val secondLake = spark.read.parquet(lake).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(first.length == second.length &&
+      first.zip(second).forall { case (a, b) => a == b },
+      "replaying an excise batch tag must not change or duplicate decisions")
+    assert(firstLake.length == secondLake.length &&
+      firstLake.zip(secondLake).forall { case (a, b) => a == b },
+      "replaying an excise batch tag must not change or duplicate lake rows")
+  }
+
   test("bloom prefilter never changes the verdict (exact-verify tail kills false positives)") {
     // a doc sharing NO shingles with the test split must report n_hit 0
     // even though the bloom can fire spuriously

@@ -171,6 +171,20 @@ class ServeGateSpec extends AnyFunSuite {
     assert(wave2.selectExpr(s"query_id - $off AS query_id", "vec_id", "score", "rank")
       .exceptAll(wave1).count() > 0,
       "the two releases must answer differently or the test proves nothing")
+
+    // a THIRD release retires everything older than the displaced one:
+    // the root holds exactly (previous, new) — disk cannot grow one
+    // generation per rebuild forever
+    ServeGate.buildIndex(spark, emb, idx)
+    val genC = ServeGate.currentDir(spark, idx)
+    val left = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted
+    assert(left.length == 2, s"keep-two grace window violated: ${left.toSeq}")
+    assert(new java.io.File(genC).getName == left.last)
+    assert(new java.io.File(genB).getName == left.head,
+      "the displaced release must survive one more flip")
+    assert(!new java.io.File(genA).exists(),
+      "a twice-displaced release must be retired")
   }
 
   test("a crashed rebuild leaves the previous release serving, all-or-nothing") {
