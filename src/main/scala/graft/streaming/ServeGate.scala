@@ -161,11 +161,21 @@ object ServeGate {
 
   /** One serving step: answer `batchQueries` against the CURRENT index
     * release (resolved once — all three relations come from the same
-    * generation), land per-query top-k under a batch-scoped generation
-    * (idempotent on replay). Refuses under a maintenance lease — the
-    * quiesce contract every gate's sink honors. A drop larger than
-    * `maxQueriesPerPart` is served as deterministic hash-split
-    * sub-batches so the per-plan ADC table stays broadcast-sized.
+    * generation), land per-query top-k under a batch-scoped generation.
+    * Refuses under a maintenance lease — the quiesce contract every
+    * gate's sink honors. A drop larger than `maxQueriesPerPart` is
+    * served as deterministic hash-split sub-batches so the per-plan
+    * ADC table stays broadcast-sized.
+    *
+    * Replay semantics: a replayed micro-batch overwrites its own
+    * generation (never duplicates). If NO release flipped in between,
+    * the rewrite is byte-identical; if one did, the replay RE-SERVES
+    * the batch from the current release — the honest semantics for a
+    * serving surface, where an answer reflects the index at serve
+    * time, never a pinned historical index. Each result generation
+    * carries a `_served_gen` sidecar (underscore-prefixed, invisible
+    * to readers) naming the release that answered it, so provenance
+    * is auditable either way.
     */
   def step(
       spark: SparkSession,
@@ -186,19 +196,23 @@ object ServeGate {
     // source scan
     val q = batchQueries.select(col("query_id"), col("qv")).cache()
     try {
+      def serveTo(queries: DataFrame, genDir: String): Unit = {
+        Similarity.ivfPqServeBatch(queries, rows, cents, books, k, nProbe)
+          .write.mode(SaveMode.Overwrite).parquet(genDir)
+        val (fs, _) = fsOf(spark, genDir)
+        val out = fs.create(new Path(genDir, "_served_gen"), true)
+        try out.write((new Path(gen).getName + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
       val parts = math.max(1L,
         (q.count() + maxQueriesPerPart - 1) / maxQueriesPerPart).toInt
-      if (parts == 1)
-        Similarity.ivfPqServeBatch(q, rows, cents, books, k, nProbe)
-          .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag")
+      if (parts == 1) serveTo(q, s"$resultsDir/batch=$batchTag")
       else
         // hash split (not row_number) so a replayed micro-batch lands the
         // SAME rows in the SAME sub-generation regardless of scan order
         for (i <- 0 until parts)
-          Similarity.ivfPqServeBatch(
-              q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
-              rows, cents, books, k, nProbe)
-            .write.mode(SaveMode.Overwrite).parquet(s"$resultsDir/batch=$batchTag-p$i")
+          serveTo(q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
+            s"$resultsDir/batch=$batchTag-p$i")
     } finally q.unpersist(): Unit
   }
 

@@ -144,6 +144,14 @@ class ServeGateSpec extends AnyFunSuite {
     val queries = queryFeed().cache()
     queries.write.mode("append").parquet(src)
     ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    // provenance: every generation records the release that answered it
+    def servedGens(): Map[String, String] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("batch="))
+        .map(d => d.getName -> new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "_served_gen").toPath), "UTF-8").trim).toMap
+    val wave1Gens = servedGens()
+    assert(wave1Gens.values.toSet == Set(new java.io.File(genA).getName),
+      s"pre-flip generations must credit release A: $wave1Gens")
 
     // release B goes out while the gate is live (between waves)
     ServeGate.buildIndex(spark, emb, idx)
@@ -157,6 +165,12 @@ class ServeGateSpec extends AnyFunSuite {
     queries.selectExpr(s"query_id + $off AS query_id", "qv")
       .write.mode("append").parquet(src)
     ServeGate.start(spark, src, idx, out, ckpt).awaitTermination()
+    // post-flip generations credit release B; pre-flip ones unchanged
+    val wave2Gens = servedGens() -- wave1Gens.keys
+    assert(wave2Gens.nonEmpty &&
+      wave2Gens.values.toSet == Set(new java.io.File(genB).getName),
+      s"post-flip generations must credit release B: $wave2Gens")
+    assert((servedGens() -- wave2Gens.keys) == wave1Gens)
 
     val served = spark.read.parquet(out)
       .select("query_id", "vec_id", "score", "rank")
