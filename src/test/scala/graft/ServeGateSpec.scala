@@ -201,6 +201,41 @@ class ServeGateSpec extends AnyFunSuite {
       "a twice-displaced release must be retired")
   }
 
+  test("a release flips under a LIVE stream — one running query serves both releases cleanly") {
+    // stronger than the restart-based flip test: the SAME running
+    // query instance spans the release, so any torn read (mixed
+    // generations, half-written relations) would surface here
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast("string")) /
+      lit(1152921504606846976.0)
+    ServeGate.buildIndex(spark, emb.filter(u < 0.5), idx)
+    val genA = ServeGate.currentDir(spark, idx)
+    val queries = queryFeed().cache()
+    // the live stream starts BEFORE the first drop — the source dir
+    // must exist for schema resolution
+    new java.io.File(src).mkdirs()
+    val q = ServeGate.start(spark, src, idx, out, ckpt, availableNow = false)
+    try {
+      queries.write.mode("append").parquet(src)
+      q.processAllAvailable()
+      ServeGate.buildIndex(spark, emb, idx) // the flip, mid-flight
+      val genB = ServeGate.currentDir(spark, idx)
+      val off = 1000000L
+      queries.selectExpr(s"query_id + $off AS query_id", "qv")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select("query_id", "vec_id", "score", "rank")
+      assert(sameAnswers(served.filter(col("query_id") < off),
+        batchAnswers(genA, queries)),
+        "the pre-flip wave must be answered entirely by release A")
+      assert(sameAnswers(served.filter(col("query_id") >= off),
+        batchAnswers(genB, queries.selectExpr(s"query_id + $off AS query_id", "qv"))),
+        "the post-flip wave must be answered entirely by release B")
+    } finally q.stop()
+  }
+
   test("a crashed rebuild leaves the previous release serving, all-or-nothing") {
     val (src, idx, out, ckpt) = dirs()
     val emb = Tables.embeddings(spark, sf)
