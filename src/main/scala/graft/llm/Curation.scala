@@ -1267,6 +1267,52 @@ object Curation {
       FROM raw JOIN bpe USING (doc_id)""".trim
     })
 
+  // -- v08: tokenizer FERTILITY report — the per-language equity
+  //    metric every multilingual tokenizer paper tables (tokens per
+  //    word, chars per token): a tokenizer that fragments one
+  //    language 2x harder than another silently halves that
+  //    language's effective context window and doubles its training
+  //    cost per document. Reuses the v05/v06 merge stream verbatim
+  //    (same [[mergeRounds]] — the report cannot drift from the
+  //    tokenizer it reports on), then one lang-keyed aggregate over
+  //    doc-count-sized rows; ratios are divisions of exact longs,
+  //    6-dp-rounded on both engines.
+  private val v08 = Q(
+    "v08_tokenizer_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val (_, stream, _) = mergeRounds(toks, BpeRounds)
+      val perDoc = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
+      docs
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_raw"), col("n_chars"))
+        .join(perDoc, "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_raw").as("words"),
+          sum("n_bpe").as("tokens"),
+          sum("n_chars").as("chars"))
+        .select(
+          col("lang"), col("n_docs"), col("words"), col("tokens"),
+          round(col("tokens").cast(DoubleType) / col("words"), 6).as("fertility"),
+          round(col("chars").cast(DoubleType) / col("tokens"), 6).as("chars_per_token"))
+    },
+    Some {
+      s"""WITH $bpeRoundsCte,
+      raw AS (SELECT doc_id, count(*) AS n_raw FROM t0 GROUP BY 1),
+      bpe AS (SELECT doc_id, count(*) AS n_bpe FROM t$BpeRounds GROUP BY 1)
+      SELECT d.lang, count(*) AS n_docs,
+             CAST(SUM(r.n_raw) AS BIGINT) AS words,
+             CAST(SUM(b.n_bpe) AS BIGINT) AS tokens,
+             round(SUM(b.n_bpe) / CAST(SUM(r.n_raw) AS DOUBLE), 6) AS fertility,
+             round(SUM(d.n_chars) / CAST(SUM(b.n_bpe) AS DOUBLE), 6) AS chars_per_token
+      FROM documents d JOIN raw r USING (doc_id) JOIN bpe b ON b.doc_id = d.doc_id
+      GROUP BY 1""".trim
+    })
+
   // -- x07: the TOKENIZER pipeline composed — train the BPE merges
   //    (v05's loop), apply them corpus-wide (v06's stream), then pack
   //    sequences into training bins by the REAL tokenizer's counts
@@ -2007,5 +2053,5 @@ object Curation {
       FROM k
     """.trim))
 
-  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, t14, d08, d13, c01, c02, c03, c05, v01, v02, v03, v04, v05, v06, v07, x01, x02, x04, x05, x06, x07)
+  def queries: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, t05, t06, t07, t12, t14, d08, d13, c01, c02, c03, c05, v01, v02, v03, v04, v05, v06, v07, v08, x01, x02, x04, x05, x06, x07)
 }

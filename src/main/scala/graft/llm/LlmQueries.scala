@@ -1019,6 +1019,51 @@ object LlmQueries {
       FROM best GROUP BY vec_id
     """.trim))
 
+  // -- e04: RESIDUAL (two-level) product quantization — the RQ rung
+  //    between e02's single-level PQ and a trained additive quantizer:
+  //    level 2 re-encodes the level-1 residual against residual
+  //    codebooks (the level-1 residuals of vectors 16..31 — the
+  //    sampled-quantizer recipe one level down), doubling the bits and
+  //    shrinking reconstruction error. Both errors are OUTPUT columns
+  //    (sums of 6-dp-rounded per-subspace distances as exact decimals,
+  //    so both engines agree bit-for-bit), which makes the refinement
+  //    measurable: SimilaritySpec asserts err2 <= err1 corpus-wide and
+  //    strict improvement on average. No corpus shuffle: two broadcast
+  //    cross-joins with map-side-combined per-vector aggregates.
+  private val e04 = Q(
+    "e04_residual_pq",
+    (s, d) => Similarity.residualPqEncode(Tables.embeddings(s, d)),
+    Some(s"""
+      WITH $pqCte,
+      bd AS (SELECT b.vec_id, b.s, b.code, d.dd
+             FROM best b JOIN dist d
+               ON d.vec_id = b.vec_id AND d.s = b.s AND d.code = b.code),
+      res AS (SELECT e.vec_id, b.s, i.i,
+                CAST(e.embedding[b.s*8+i.i+1] AS DOUBLE)
+                  - CAST(c.cv[b.s*8+i.i+1] AS DOUBLE) AS rv
+              FROM embeddings e
+              JOIN best b ON b.vec_id = e.vec_id
+              JOIN cw c ON c.code = b.code, d8 i),
+      cw2 AS (SELECT vec_id - ${Similarity.PqCodewords} AS code2, s, i, rv
+              FROM res
+              WHERE vec_id >= ${Similarity.PqCodewords}
+                AND vec_id < ${2 * Similarity.PqCodewords}),
+      dist2 AS (SELECT r.vec_id, r.s, w.code2,
+                  round(SUM(pow(r.rv - w.rv, 2)), 6) AS dd
+                FROM res r JOIN cw2 w ON w.s = r.s AND w.i = r.i
+                GROUP BY r.vec_id, r.s, w.code2),
+      best2 AS (SELECT vec_id, s, code2, dd FROM dist2
+                QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dd ASC, code2 ASC) = 1)
+      SELECT b.vec_id,
+             CAST(SUM(b.code * (CAST(1 AS BIGINT) << (4 * b.s))) AS BIGINT) AS pq,
+             CAST(SUM(b2.code2 * (CAST(1 AS BIGINT) << (4 * b2.s))) AS BIGINT) AS pq2,
+             CAST(SUM(CAST(b.dd AS DECIMAL(18,6))) AS DOUBLE) AS err1,
+             CAST(SUM(CAST(b2.dd AS DECIMAL(18,6))) AS DOUBLE) AS err2
+      FROM bd b JOIN best2 b2 ON b2.vec_id = b.vec_id AND b2.s = b.s
+      GROUP BY b.vec_id
+    """.trim))
+
   // -- s08: PQ-ADC approximate top-k with exact re-rank — the IVF-PQ
   //    search recipe (asymmetric distance computation): the raw query
   //    builds a (subspace, code) -> partial-dot lookup table (128 rows,
@@ -3656,6 +3701,44 @@ object LlmQueries {
       CROSS JOIN (SELECT unnest(['png', 'ppm']) AS container) c
     """.trim))
 
+  // -- m13: PERCEPTUAL media near-dup — the axis m12 cannot see. m12
+  //    groups blobs whose decoded rasters are bit-identical; real
+  //    crawl dedup also has to catch re-encodes that decode
+  //    DIFFERENTLY but look the same: a brightness-shifted copy
+  //    (every decoded byte differs) and a 2x upscale (the dimensions
+  //    differ). The classic answer is the DCT perceptual hash, built
+  //    here exactness-friendly (integer luma whose weights sum to
+  //    256, floor-boundary 8x8 average pooling, DC dropped before the
+  //    median threshold — see Multimodal.perceptualHash for why each
+  //    choice makes the three variants hash IDENTICAL rather than
+  //    merely close). The banded hamming join runs in distinct-hash
+  //    space (a dup-heavy corpus collapses before the quadratic
+  //    step), 8x8-bit bands make recall EXACT for hamming <= 7 by
+  //    pigeonhole, and components ride the shared bounded union-find.
+  //    Ground truth is residue arithmetic: rasters are pure functions
+  //    of id mod 240, so the oracle replays group sizes and keepers
+  //    the engine must EARN through write -> sniff -> decode -> pool
+  //    -> DCT -> band-join -> verify -> contract. PhashSpec pins the
+  //    fixture-free invariants (variant hash equality for all 240
+  //    residues, cross-residue hamming > 7).
+  private val m13 = Q(
+    "m13_phash_neardup",
+    (s, d) =>
+      Multimodal.phashNearDup(s, Tables.documents(s, d)),
+    Some("""
+      WITH g AS (SELECT doc_id % 240 AS r, count(*) AS n_ids,
+                        min(doc_id) AS keeper
+                 FROM documents GROUP BY 1)
+      SELECT d.doc_id AS media_id, v.variant,
+             CAST(3 * g.n_ids AS BIGINT) AS group_size,
+             CAST(g.keeper AS BIGINT) AS keeper_id,
+             CAST(CASE WHEN d.doc_id = g.keeper AND v.variant = 'base'
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM documents d
+      JOIN g ON g.r = d.doc_id % 240
+      CROSS JOIN (SELECT unnest(['base', 'bright', 'scaled']) AS variant) v
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -3767,7 +3850,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

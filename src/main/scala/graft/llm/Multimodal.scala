@@ -824,4 +824,221 @@ object Multimodal {
         ok(sr, exR), ok(sg, exG), ok(sb, exB))
     })
   }
+
+  // ----------------------------------- perceptual near-dup (m13)
+
+  /** 32x32 RGB raster for the perceptual-hash fixtures. Channel
+    * values are NONLINEAR integer formulas of (x, y, id % 240) under
+    * mod 240: the quadratic/product terms make the mod wraps put real
+    * high-frequency texture in every image (a linear plane would DCT
+    * to an id-independent AC spectrum and every hash would collapse),
+    * and the 240 ceiling leaves exact headroom for the +8 brightness
+    * variant (max 239 + 8 = 247 — no clamp, no wrap). Only 240
+    * distinct rasters exist: ids 240 apart are TRUE perceptual
+    * duplicates — the m12 residue-arithmetic oracle recipe moved to
+    * the perceptual axis.
+    */
+  private[graft] def phashPixels(id: Long): Array[Byte] = {
+    val rid = (id % 240).toInt
+    val rgb = new Array[Byte](32 * 32 * 3)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val i = (y * 32 + x) * 3
+        rgb(i) = (((x + 31 * y + 17 * rid) * (x * y + rid + 1)) % 240).toByte
+        rgb(i + 1) = (((y + 29 * x + 13 * rid) * (x + y * y + 2 * rid + 1)) % 240).toByte
+        rgb(i + 2) = (((x * x + y + 7 * rid) * (y * x + 3 * rid + 2)) % 240).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** three perceptually-equivalent variants per id, all of which m12's
+    * exact decoded-content dedup keeps APART (different rasters or
+    * dimensions after decode) and a perceptual hash must bring
+    * TOGETHER: the base PNG; a +8-brightness PPM (every decoded byte
+    * differs — but pHash drops the DC coefficient, so a uniform
+    * brightness shift is invisible); and a 2x nearest-neighbor
+    * upscale re-encoded as PNG (different dimensions — but each 8x8
+    * pooling block of the 64x64 image averages exactly the pixels of
+    * the base's 4x4 block, so the pooled plane is bit-identical).
+    */
+  private[graft] def phashVariants(id: Long): Seq[(String, Array[Byte])] = {
+    val base = phashPixels(id)
+    val bright = base.map(b => ((b & 0xff) + 8).toByte)
+    val scaled = MediaCodecs.ppmResize(MediaCodecs.Ppm(32, 32, base), 64, 64)
+    Seq(
+      ("base", MediaCodecs.pngWrite(32, 32, base)),
+      ("bright", MediaCodecs.ppmWrite(32, 32, bright)),
+      ("scaled", MediaCodecs.pngWrite(64, 64, scaled.rgb)))
+  }
+
+  /** cos((2n+1) k pi / 16) DCT-II basis, StrictMath so the table is
+    * bit-identical on every JVM the executors run
+    */
+  private val PhashCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var k = 0
+    while (k < 8) {
+      var n = 0
+      while (n < 8) {
+        t(k * 8 + n) = StrictMath.cos((2 * n + 1) * k * math.Pi / 16.0)
+        n += 1
+      }
+      k += 1
+    }
+    t
+  }
+
+  /** 63-bit DCT perceptual hash of a decoded raster — the classic
+    * pHash shape made exactness-friendly:
+    *
+    *  1. integer luma (77 r + 151 g + 28 b) >> 8 — the weights sum to
+    *     256, so a uniform +c brightness shift moves every luma value
+    *     by EXACTLY +c (8 * 256 >> 8 = 8, no rounding residue);
+    *  2. average-pool into an 8x8 grid on floor(i*dim/8) boundaries —
+    *     a 2x nearest-neighbor upscale quadruples both each block's
+    *     sum and its count, and IEEE division of 4a/4b rounds to the
+    *     same double as a/b, so the pooled plane survives the resize
+    *     bit-for-bit;
+    *  3. 2D DCT-II of the pooled grid;
+    *  4. threshold the 63 AC coefficients against their median (DC is
+    *     DROPPED — that is what buys brightness invariance: a uniform
+    *     shift lands only in DC, the AC spectrum moves by ~1e-13 of a
+    *     coefficient while median gaps are O(1)).
+    *
+    * Bits pack into the low 63 bits of a Long (hash is never an
+    * output column — the m12 digest recipe: the oracle pins what the
+    * hash must PROVE, not its value).
+    */
+  private[graft] def perceptualHash(img: MediaCodecs.Ppm): Long = {
+    val pooled = new Array[Double](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * img.h / 8; val y1 = (by + 1) * img.h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * img.w / 8; val x1 = (bx + 1) * img.w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * img.w + x) * 3
+            s += (77 * (img.rgb(i) & 0xff) + 151 * (img.rgb(i + 1) & 0xff) +
+              28 * (img.rgb(i + 2) & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        pooled(by * 8 + bx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        bx += 1
+      }
+      by += 1
+    }
+    val f = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            acc += pooled(y * 8 + x) * PhashCos(u * 8 + x) * PhashCos(v * 8 + y)
+            x += 1
+          }
+          y += 1
+        }
+        f(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // 63 ACs -> the 32nd order statistic
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > med) hash |= 1L << (i - 1)
+      i += 1
+    }
+    hash
+  }
+
+  case class PhashRow(media_id: Long, variant: String, phash: Long)
+
+  /** one perceptual hash per (id, variant) blob: write the three real
+    * containers, SNIFF each one back (magic bytes, not the variant
+    * tag), decode through the real codec, hash the decoded raster —
+    * per-row mapPartitions, rasters never leave their partition, the
+    * shuffle downstream carries (id, token, long) only
+    */
+  def phashSignatures(spark: SparkSession, docs: DataFrame): Dataset[PhashRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      phashVariants(id).map { case (variant, bytes) =>
+        val img = MediaCodecs.sniff(bytes) match {
+          case Some("png") => MediaCodecs.pngParse(bytes)
+          case Some("ppm") => MediaCodecs.ppmParse(bytes)
+          case other => throw new IllegalStateException(
+            s"phash fixture sniffed as $other — fixtures write png/ppm only")
+        }
+        PhashRow(id, variant, perceptualHash(img))
+      }
+    })
+  }
+
+  case class PhashDup(
+      media_id: Long, variant: String,
+      group_size: Long, keeper_id: Long, is_keeper: Long)
+
+  /** perceptual near-dup over the variant corpus: the LSH-banded
+    * hamming join runs in DISTINCT-HASH space, never row space — a
+    * dup-heavy crawl collapses to few distinct perceptual hashes, so
+    * the quadratic band-bucket self-join prices on the collapsed set
+    * while the row-space work stays aggregation-shaped (one distinct,
+    * one join-back, one spillable window election, the m12 recipe).
+    *
+    * 8 bands of 8 bits over the 63-bit hash: pigeonhole guarantees
+    * every pair within hamming <= 7 collides on at least one exact
+    * band, so `maxHamming` = 7 keeps the banding RECALL-EXACT (no
+    * probabilistic miss — unlike minhash banding, which trades recall
+    * for candidate count); band collisions beyond 7 are dropped by
+    * the exact bit_count verify. Components via the shared bounded
+    * union-find (distributed star-contraction fallback above the edge
+    * bound), keeper = lexicographic min (media_id, variant).
+    */
+  def phashNearDup(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = phashSignatures(spark, docs).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sigs.select(col("phash").as("doc_id")).distinct()
+    val bands = nodes.select(col("doc_id").as("h"))
+      .select(col("h"), posexplode(expr(
+        "transform(sequence(0, 7), b -> shiftright(h, b * 8) & 255)"))
+        .as(Seq("band", "key")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("d1"), col("b.h").as("d2")).distinct()
+      .filter(expr(s"bit_count(d1 ^ d2) <= $maxHamming"))
+    val cc = Clusters.connectedComponents(nodes, pairs)
+      .withColumnRenamed("doc_id", "phash")
+    val byCluster = Window.partitionBy("cluster")
+    sigs.join(cc, Seq("phash"))
+      .withColumn("group_size", count(lit(1)).over(byCluster))
+      .withColumn("k", min(struct(col("media_id"), col("variant"))).over(byCluster))
+      .select(
+        col("media_id"), col("variant"), col("group_size"),
+        col("k.media_id").as("keeper_id"),
+        when(col("media_id") === col("k.media_id") &&
+          col("variant") === col("k.variant"), 1L).otherwise(0L).as("is_keeper"))
+  }
 }

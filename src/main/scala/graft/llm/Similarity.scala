@@ -407,6 +407,90 @@ object Similarity {
         (0 until PqM).map(s => col(s"b$s.code") * lit(1L << (4 * s))).reduce(_ + _).as("pq"))
   }
 
+  /** level-1 PQ assignment that KEEPS the residuals: per subspace the
+    * argmin struct carries (rounded dist, code, residual subvector),
+    * so one broadcast cross-join + one per-vector aggregate yields the
+    * code, the quantization error, and the exact input of the second
+    * quantization level. Residual subtraction is exact (float inputs
+    * widen to double losslessly); the dist is 6-dp-rounded per the
+    * family's tie-free argmin discipline.
+    */
+  private def level1Residuals(embeddings: DataFrame, books: DataFrame): DataFrame = {
+    val sub = Dims / PqM
+    def resExpr(s: Int): Column = expr(
+      s"transform(sequence(0, ${sub - 1}), i -> " +
+        s"cast(element_at(embedding, ${s * sub} + i + 1) as double) - " +
+        s"cast(element_at(cv, ${s * sub} + i + 1) as double))")
+    val aggs = (0 until PqM).map(s =>
+      min(struct(
+        subDist(col("embedding"), col("cv"), s, sub).as("d"),
+        col("code").as("code"),
+        resExpr(s).as("r"))).as(s"b$s"))
+    embeddings
+      .crossJoin(broadcast(books))
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        (col("vec_id") +:
+          (0 until PqM).map(s => col(s"b$s.code") * lit(1L << (4 * s)))
+            .reduce(_ + _).as("pq") +:
+          (0 until PqM).map(s => col(s"b$s.d").cast(DecimalType(18, 6)))
+            .reduce(_ + _).as("err1") +:
+          (0 until PqM).map(s => col(s"b$s.r").as(s"r$s"))): _*)
+  }
+
+  /** Residual (two-level) product quantization — the RQ rung of the
+    * ladder (Chen et al., "Approximate Nearest Neighbor Search by
+    * Residual Vector Quantization", 2010; the refinement stage of
+    * IVFADC+R in Jégou et al.): level 1 encodes against the frozen PQ
+    * codebooks, level 2 encodes the level-1 RESIDUAL against residual
+    * codebooks, doubling the bits (64) and shrinking reconstruction
+    * error — err2 <= err1 holds wherever a residual codeword beats
+    * the zero estimate, and the two errors are emitted so the
+    * improvement is measurable, not asserted.
+    *
+    * Codebook discipline: level-2 codewords are the level-1 residuals
+    * of vectors [PqCodewords, 2*PqCodewords) — the sampled-quantizer
+    * recipe one level down, oracle-reproducible like
+    * [[sampledCodebooks]]; trained codebooks would slot in unchanged.
+    *
+    * 100 TB shape: both codebooks broadcast (16 rows each), the
+    * corpus is scanned twice with per-vector aggregates in between —
+    * no corpus shuffle at all beyond the map-side-combined groupBys,
+    * same family as [[pqEncodeWith]].
+    */
+  def residualPqEncode(embeddings: DataFrame): DataFrame = {
+    val sub = Dims / PqM
+    val books1 = sampledCodebooks(embeddings)
+    val books2 = level1Residuals(
+      embeddings.filter(
+        col("vec_id") >= PqCodewords && col("vec_id") < 2 * PqCodewords),
+      books1)
+      .select(
+        ((col("vec_id") - PqCodewords).as("code2") +:
+          (0 until PqM).map(s => col(s"r$s").as(s"w$s"))): _*)
+    def dist2(s: Int): Column =
+      round(
+        aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+          (acc, i) => acc +
+            pow(element_at(col(s"r$s"), i + 1) - element_at(col(s"w$s"), i + 1), 2.0)),
+        6)
+    val aggs2 = (0 until PqM).map(s =>
+      min(struct(dist2(s).as("d"), col("code2").as("code2"))).as(s"c$s"))
+    level1Residuals(embeddings, books1)
+      .crossJoin(broadcast(books2))
+      .groupBy("vec_id", "pq", "err1")
+      .agg(aggs2.head, aggs2.tail: _*)
+      .select(
+        col("vec_id"),
+        col("pq"),
+        (0 until PqM).map(s => col(s"c$s.code2") * lit(1L << (4 * s)))
+          .reduce(_ + _).as("pq2"),
+        col("err1").cast(DoubleType).as("err1"),
+        (0 until PqM).map(s => col(s"c$s.d").cast(DecimalType(18, 6)))
+          .reduce(_ + _).cast(DoubleType).as("err2"))
+  }
+
   /** PQ-ADC approximate top-k with exact re-rank (the IVF-PQ search
     * recipe at billion scale, asymmetric distance computation of
     * Jégou et al., PAMI 2011): the query is NOT quantized — a

@@ -430,6 +430,30 @@ class LlmSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("e04: residual PQ agrees with e02 at level 1 and never worsens the error") {
+    val rq = Catalog.byName("e04_residual_pq").run(spark, sf).cache()
+    val n = embs.count()
+    assert(rq.count() == n)
+    // level-1 codes are EXACTLY e02's codes (same codebooks, same argmin)
+    val e02codes = Catalog.byName("e02_pq_encode").run(spark, sf)
+    assert(rq.select("vec_id", "pq").exceptAll(e02codes).count() == 0)
+    // both code words fit the 8 x 4-bit layout
+    assert(rq.filter(col("pq2") < 0L || col("pq2") >= (1L << 32)).count() == 0)
+    // level-1 codebook vectors encode to themselves: err1 = 0
+    assert(rq.filter(col("vec_id") < graft.llm.Similarity.PqCodewords)
+      .filter(col("err1") =!= 0.0).count() == 0)
+    // level-2 codebook donors (vectors 16..31): their residual IS a
+    // level-2 codeword, so the refinement must zero them out
+    assert(rq.filter(col("vec_id") >= graft.llm.Similarity.PqCodewords &&
+        col("vec_id") < 2 * graft.llm.Similarity.PqCodewords)
+      .filter(col("err2") =!= 0.0).count() == 0)
+    // refinement: err2 strictly improves on average (the point of RQ)
+    val Array(m1, m2) = rq.agg(avg("err1"), avg("err2")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(m2 < m1, s"mean err2 $m2 not below mean err1 $m1")
+    rq.unpersist()
+  }
+
   test("s08: PQ-ADC shortlist re-rank recalls most of the brute-force top-10") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet

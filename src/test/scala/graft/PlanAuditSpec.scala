@@ -160,6 +160,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"m12 should shuffle exactly once (the content key):\n$plan")
   }
 
+  test("m13's rasters never shuffle and the election rides the m12 window") {
+    // the perceptual-hash graph prices in distinct-hash space: the only
+    // corpus-sized exchanges may carry (id, token, long) signature rows
+    // keyed on phash/cluster — a plan that shuffles the decoded blobs
+    // or keys an exchange on the binary column has lost the design
+    val plan = planOf("m13_phash_neardup")
+    assert(plan.contains("Window"), s"m13 lost its window election:\n$plan")
+    assert(!plan.contains("hashpartitioning(bytes") &&
+      !plan.contains("hashpartitioning(rgb"),
+      s"m13 shuffles raster bytes:\n$plan")
+    assert(!plan.contains("FlatMapGroups") && !plan.contains("AppendColumns#"),
+      s"m13 re-grew an object group buffer:\n$plan")
+  }
+
+  test("e04's two quantization levels broadcast their codebooks") {
+    // both levels are broadcast cross-joins (16 rows each) with
+    // map-side-combined per-vector aggregates — the corpus must never
+    // shuffle toward a codebook
+    val plan = planOf("e04_residual_pq")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"e04 does not broadcast its codebooks:\n$plan")
+  }
+
   test("t13's classifier inference is map-only: zero exchanges over the scan") {
     // the filtering pass that runs over EVERY crawled document must not
     // shuffle: a plan that grew an Exchange here would re-partition
