@@ -1,0 +1,324 @@
+package graft.streaming
+
+import graft.functions.MediaCodecs
+import graft.llm.{Clusters, Multimodal}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming PERCEPTUAL media dedup — m13 run continuously at ingest,
+  * the media sibling of [[NearDupGate]]: each micro-batch of image
+  * blobs is sniffed, decode-guarded, decoded for real, perceptually
+  * hashed (the m13 DCT hash), and gated against everything admitted so
+  * far. A brightness-shifted or rescaled re-upload of an admitted
+  * image drops at the door with its partner named, instead of reaching
+  * the lake for a batch dedup to find later.
+  *
+  *   batch -> sniff/guard/decode/phash        (per row, stateless)
+  *         -> collapse to DISTINCT hashes     (dup pressure dies here)
+  *         -> band-probe the admitted index   (corpus perceptual dups)
+  *         -> band self-join within the batch (intra-batch dups)
+  *         -> exact hamming verify <= maxHamming, components, keeper
+  *         -> admit keepers; append their band rows to the index
+  *
+  * The hash-space discipline is m13's: 8 bands of 8 bits over the
+  * 63-bit hash make banding recall EXACT for hamming <= 7 (pigeonhole
+  * — not a probabilistic LSH trade), and every quadratic step runs
+  * over DISTINCT hashes, so a viral re-upload storm (10^6 copies of
+  * one image in a batch) collapses to ONE node before any join; rows
+  * rejoin by hash at the end for per-row verdicts, so the row-space
+  * work is one join against distinct-hash-sized labels.
+  *
+  * State is one bucket-partitioned parquet relation, `indexDir/bands`
+  * (band, key, phash, media_id of the admitted keeper): the per-batch
+  * probe partition-prunes to the buckets the batch's bands touch —
+  * probe cost follows the delta, not the corpus ([[NearDupGate]]'s
+  * layout, enforced by the same [[GateLayout]] marker). All outputs
+  * land as batch-scoped `batch=<tag>` overwrite generations (replay
+  * rewrites, never duplicates), the probe excludes the batch's own
+  * tag (a crash-replay must not match its own half-written
+  * signatures), and compaction/forget ride [[LakeCompact]] /
+  * [[GateForget]] under the shared lease contract.
+  *
+  * Untrusted-feed armor (the [[MediaIngest]] rules): the sniff runs
+  * inside the quarantine try, the decode is header-guarded
+  * ([[MediaCodecs.declaredUnits]] BEFORE any codec — a crafted header
+  * is `rejected:oversize`, never an executor OOM), and any codec
+  * failure verdicts `rejected:corrupt` instead of killing the batch.
+  */
+object PhashGate {
+
+  final case class Config(
+      maxHamming: Int = 7,
+      indexBuckets: Int = 64,
+      maxUnits: Long = MediaCodecs.MaxDeclaredUnits,
+      // fold all three roots past this many index generations (see
+      // NearDupGate.Config — same unattended-stream reasoning)
+      autoFoldGenerations: Int = 64)
+
+  /** one hashed blob: `ok` rows carry a real decode; rejected rows
+    * carry the reason in `verdict` and zeroed stats
+    */
+  case class MediaHash(
+      media_id: Long, fmt: String, width: Long, height: Long,
+      phash: Long, ok: Boolean, verdict: String)
+
+  /** sniff -> header guard -> real decode -> m13 perceptual hash, per
+    * partition; every hostile-bytes failure mode is a verdict
+    */
+  def hashBatch(spark: SparkSession, files: DataFrame, maxUnits: Long): Dataset[MediaHash] = {
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val id = MediaIngest.mediaIdOf(path)
+        def rejected(fmt: String, why: String) =
+          MediaHash(id, fmt, 0L, 0L, 0L, ok = false, why)
+        try {
+          MediaCodecs.sniff(bytes) match {
+            case Some(fmt @ ("png" | "ppm" | "jpeg")) =>
+              if (MediaCodecs.declaredUnits(fmt, bytes) > maxUnits)
+                rejected(fmt, "rejected:oversize")
+              else {
+                // ImageIO sniffs the container for png/jpeg; ppm is ours
+                val img =
+                  if (fmt == "ppm") MediaCodecs.ppmParse(bytes)
+                  else MediaCodecs.pngParse(bytes)
+                MediaHash(id, fmt, img.w.toLong, img.h.toLong,
+                  Multimodal.perceptualHash(img), ok = true, "kept")
+              }
+            case Some(fmt) => rejected(fmt, "rejected:unsupported")
+            case None => rejected("unknown", "rejected:unrecognized")
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => rejected("unknown", "rejected:corrupt")
+        }
+      })
+  }
+
+  /** the 8 (band, key) rows of a 63-bit hash column — m13's banding */
+  private def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("phash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> shiftright(phash, b * 8) & 255)"))
+        .as(Seq("band", "key")))
+
+  private def bandBucket(nb: Int, band: Column, key: Column): Column =
+    pmod(hash(band, key), lit(nb))
+
+  /** One incremental step: gate `files` (binaryFile-shaped: path,
+    * content) against the index at `indexDir`, land admitted rows /
+    * band signatures / per-row decisions under `batch=batchTag`.
+    */
+  def step(
+      spark: SparkSession,
+      files: DataFrame,
+      batchTag: String,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String,
+      cfg: Config = Config()): Unit = {
+    Seq(lakeDir, s"$indexDir/bands", decisionsDir)
+      .foreach(LakeCompact.assertNoLease(spark, _))
+    GateLayout.assertBuckets(spark, indexDir, cfg.indexBuckets)
+    var cached = List[DataFrame]()
+    def track(df: DataFrame): DataFrame = { cached ::= df; df }
+    try {
+      val rows = track(hashBatch(spark, files, cfg.maxUnits).toDF().cache())
+      val okRows = rows.filter(col("ok"))
+      // dup pressure collapses HERE: hash-space nodes, with the
+      // would-be keeper (min media_id over the hash's rows) riding
+      // along for the election and for partner attribution
+      val nodes = track(okRows.groupBy("phash")
+        .agg(min(col("media_id")).as("cand_id")).cache())
+      val bands = track(bandRows(nodes.select("phash")).cache())
+
+      val hasIndex = {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      // hash-level corpus drops: banded probe of the admitted index,
+      // exact hamming verify, partner = the (lowest-hamming, lowest-id)
+      // admitted keeper — deterministic across replays
+      val corpusDropped: DataFrame =
+        if (!hasIndex)
+          nodes.select(col("phash")).limit(0)
+            .withColumn("partner", lit(null).cast("long"))
+            .withColumn("hamming", lit(null).cast("long"))
+        else {
+          // which buckets does the batch touch? <= indexBuckets ints —
+          // the one driver-side materialization of the probe
+          val touched = bands
+            .select(bandBucket(cfg.indexBuckets, col("band"), col("key")).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+          val probe = spark.read.parquet(s"$indexDir/bands")
+            .filter(col("batch") =!= batchTag && col("bucket").isin(touched: _*))
+            .select(col("band"), col("key"),
+              col("phash").as("a_hash"), col("media_id").as("a_id"))
+          probe
+            .join(broadcast(bands), Seq("band", "key"))
+            .select(col("phash"), col("a_hash"), col("a_id")).distinct()
+            .withColumn("hamming", expr("bit_count(phash ^ a_hash)").cast("long"))
+            .filter(col("hamming") <= cfg.maxHamming)
+            .groupBy("phash")
+            .agg(min(struct(col("hamming"), col("a_id"))).as("m"))
+            .select(col("phash"), col("m.a_id").as("partner"),
+              col("m.hamming").as("hamming"))
+        }
+      val cd = track(corpusDropped.cache())
+
+      // intra-batch near-dup components among surviving hashes: the
+      // cluster keeper is the hash carrying the min candidate media_id
+      // (ties to the lower hash) — m13's lexicographic election in
+      // hash space
+      val rem = track(nodes.join(cd.select("phash"), Seq("phash"), "left_anti").cache())
+      val remBands = bands.join(broadcast(rem.select("phash")), Seq("phash"), "leftsemi")
+      val pairs = remBands.as("a").join(remBands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("d1"), col("b.phash").as("d2")).distinct()
+        .filter(expr(s"bit_count(d1 ^ d2) <= ${cfg.maxHamming}"))
+      val comps = Clusters
+        .connectedComponents(rem.select(col("phash").as("doc_id")), pairs)
+        .withColumnRenamed("doc_id", "phash")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      val elected = track(rem.join(comps, Seq("phash"))
+        .withColumn("k", min(struct(col("cand_id"), col("phash"))).over(w))
+        .select(col("phash"), col("cand_id"),
+          col("k.cand_id").as("keeper_id"), col("k.phash").as("keeper_hash"))
+        .cache())
+
+      // hash-space labels -> per-row verdicts. Three hash states:
+      // corpus-dropped, cluster loser, cluster keeper; within a KEEPER
+      // hash only the min-media_id row admits — its same-hash
+      // duplicates drop against it at hamming 0.
+      val labels =
+        cd.select(col("phash"), lit("corpus").as("hstate"),
+            col("partner"), col("hamming"),
+            lit(null).cast("long").as("keeper_id"))
+          .unionByName(elected.select(col("phash"),
+            when(col("phash") === col("keeper_hash"), "keeper")
+              .otherwise("loser").as("hstate"),
+            when(col("phash") === col("keeper_hash"), lit(null).cast("long"))
+              .otherwise(col("keeper_id")).as("partner"),
+            when(col("phash") === col("keeper_hash"), lit(null).cast("long"))
+              .otherwise(expr("bit_count(phash ^ keeper_hash)").cast("long"))
+              .as("hamming"),
+            col("keeper_id")))
+      val verdicted = track(okRows.join(labels, Seq("phash"))
+        .select(col("media_id"), col("fmt"), col("width"), col("height"),
+          col("phash"),
+          when(col("hstate") === "corpus", "drop_corpus")
+            .when(col("hstate") === "loser", "drop_batch")
+            .when(col("media_id") === col("keeper_id"), "admit")
+            .otherwise("drop_batch").as("decision"),
+          when(col("hstate") === "corpus", col("partner"))
+            .when(col("hstate") === "loser", col("partner"))
+            .when(col("media_id") === col("keeper_id"), lit(null).cast("long"))
+            .otherwise(col("keeper_id")).as("partner"),
+          when(col("hstate") === "corpus", col("hamming"))
+            .when(col("hstate") === "loser", col("hamming"))
+            .when(col("media_id") === col("keeper_id"), lit(null).cast("long"))
+            .otherwise(lit(0L)).as("hamming"))
+        .cache())
+
+      def write(df: DataFrame, dir: String): Unit =
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
+
+      write(verdicted.filter(col("decision") === "admit")
+        .select("media_id", "fmt", "width", "height", "phash"), lakeDir)
+      // index: 8 band rows per admitted hash, keeper id attached;
+      // repartition by bucket first so each micro-batch lands one file
+      // per non-empty bucket, not (tasks x buckets) splinters
+      val admitted = elected.filter(col("phash") === col("keeper_hash"))
+        .select(col("phash"), col("keeper_id").as("media_id"))
+      bandRows(admitted.select("phash"))
+        .join(broadcast(admitted), Seq("phash"))
+        .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("key")))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$indexDir/bands/batch=$batchTag")
+      // decisions: every ok row's verdict + every rejected row's reason
+      write(verdicted.select("media_id", "fmt", "decision", "partner", "hamming")
+        .unionByName(rows.filter(!col("ok"))
+          .select(col("media_id"), col("fmt"), col("verdict").as("decision"),
+            lit(null).cast("long").as("partner"),
+            lit(null).cast("long").as("hamming"))), decisionsDir)
+    } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    // auto-fold AFTER the batch fully commits (NearDupGate's rule: the
+    // newest generation is never folded, so a crash-replay stays a
+    // same-tag overwrite)
+    if (cfg.autoFoldGenerations > 0) {
+      val bp = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens =
+        if (bfs.exists(bp))
+          bfs.listStatus(bp).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch="))
+        else 0
+      if (gens > cfg.autoFoldGenerations) compact(spark, lakeDir, indexDir, decisionsDir)
+    }
+  }
+
+  /** fold the gate's three batch-scoped roots under ONE lease window
+    * (see [[NearDupGate.compact]] — same gap-free reasoning); the index
+    * fold keeps `bucket` as the partition layout so the pruned probe is
+    * unchanged over a compacted corpus
+    */
+  def compact(
+      spark: SparkSession,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String): Unit = {
+    val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands")
+    LakeCompact.withLeases(spark, roots) {
+      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
+      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
+      LakeCompact.foldGenerations(spark, s"$indexDir/bands",
+        partitionCols = Seq("bucket"), assumeLeased = true)
+    }
+  }
+
+  /** right-to-be-forgotten on the gate's admitted state: remove the
+    * predicate's media_ids from the lake and the band index (decision
+    * log untouched — the audit rule, see [[NearDupGate.forget]]). After
+    * a forget, a perceptually-identical future arrival finds no
+    * colliding signature and admits afresh.
+    */
+  def forget(
+      spark: SparkSession,
+      lakeDir: String,
+      indexDir: String,
+      pred: Column): Unit =
+    GateForget.fold(spark, pred, Seq(
+      (lakeDir, None),
+      (s"$indexDir/bands", Some("bucket"))))
+
+  /** Streaming entry point: binary drop dir in, perceptually-deduped
+    * media lake out, checkpointed resume. Same source contract as
+    * [[MediaIngest.start]].
+    */
+  def start(
+      spark: SparkSession,
+      dropDir: String,
+      lakeDir: String,
+      indexDir: String,
+      decisionsDir: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .format("binaryFile")
+      .schema(MediaIngest.binSchema)
+      .option("maxFilesPerTrigger", 256)
+      .load(dropDir)
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(spark, batch, s"$token-$batchId", lakeDir, indexDir, decisionsDir, cfg)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}

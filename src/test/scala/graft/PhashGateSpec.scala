@@ -1,0 +1,148 @@
+package graft
+
+import graft.llm.Multimodal
+import graft.streaming.PhashGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming perceptual media dedup: the m13 hash run continuously.
+  * Fixtures are m13's own variant blobs (pure functions of id % 240),
+  * so expected groupings are residue arithmetic — a perceptual
+  * re-encode must drop against its admitted original across
+  * containers, batches, and restarts, and a forget must re-open the
+  * door for exactly the forgotten content.
+  */
+class PhashGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_phash_gate").toString
+
+  private def drop(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+  }
+
+  // variant blobs by (residue, variant): base=png, bright=ppm, scaled=png
+  private def blob(rid: Long, variant: String): Array[Byte] =
+    Multimodal.phashVariants(rid).toMap.apply(variant)
+
+  test("perceptual dups drop at the door across containers, batches, restarts; forget re-opens") {
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val index = s"$base/index"; val dec = s"$base/decisions"
+    val ckpt = s"$base/ckpt"
+
+    // batch 1: residue 0 four ways (base/bright/scaled + base-of-240,
+    // which is the SAME image — ids 240 apart are true dups), residue 2
+    // once, plus hostile bytes: junk, a torn png, an unsupported wav
+    drop(dropDir, "m1.png", blob(0, "base"))
+    drop(dropDir, "m2.ppm", blob(0, "bright"))
+    drop(dropDir, "m3.png", blob(0, "scaled"))
+    drop(dropDir, "m5.png", blob(240, "base"))
+    drop(dropDir, "m4.png", blob(2, "base"))
+    drop(dropDir, "m8.bin", "JUNKJUNKJUNKJUNK".getBytes)
+    drop(dropDir, "m9.png", blob(0, "base").take(24))
+    drop(dropDir, "m10.wav", graft.functions.MediaCodecs.wavWrite(
+      Array.tabulate[Short](60)(i => (i * 3).toShort), 8000))
+
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+
+    val d1 = spark.read.parquet(dec)
+      .select("media_id", "decision", "partner", "hamming").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(d1.size == 8)
+    // the residue-0 clique elects min media_id; all variants hash
+    // IDENTICALLY (PhashSpec), so the drops record hamming 0
+    assert(d1(1L) == (("admit", -1L, -1L)))
+    assert(d1(2L) == (("drop_batch", 1L, 0L)))
+    assert(d1(3L) == (("drop_batch", 1L, 0L)))
+    assert(d1(5L) == (("drop_batch", 1L, 0L)))
+    assert(d1(4L) == (("admit", -1L, -1L)))
+    assert(d1(8L)._1 == "rejected:unrecognized")
+    assert(d1(9L)._1 == "rejected:corrupt")
+    assert(d1(10L)._1 == "rejected:unsupported")
+    assert(spark.read.parquet(lake).select("media_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+
+    // batch 2 (same checkpoint — only the new files process): a BRIGHT
+    // re-encode of admitted residue 2 must drop vs the CORPUS with its
+    // partner named; a fresh residue admits
+    drop(dropDir, "m6.ppm", blob(2, "bright"))
+    drop(dropDir, "m7.png", blob(3, "base"))
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+
+    val d2 = spark.read.parquet(dec)
+      .select("media_id", "decision", "partner").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(d2.size == 10)
+    assert(d2(6L) == (("drop_corpus", 4L)))
+    assert(d2(7L) == (("admit", -1L)))
+    assert(spark.read.parquet(lake).count() == 3)
+
+    // restart with nothing new: re-ingests nothing, duplicates nothing
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    assert(spark.read.parquet(dec).count() == 10)
+    assert(spark.read.parquet(lake).count() == 3)
+    val bandsPerAdmit = spark.read.parquet(s"$index/bands")
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandsPerAdmit == Map(1L -> 8L, 4L -> 8L, 7L -> 8L))
+
+    // forget residue 2's keeper: its re-upload admits afresh, while a
+    // dup of the SURVIVING residue 0 keeps dropping
+    PhashGate.forget(spark, lake, index, col("media_id") === 4L)
+    assert(spark.read.parquet(lake).count() == 2)
+    drop(dropDir, "m11.ppm", blob(2, "bright"))
+    drop(dropDir, "m12.png", blob(240, "scaled"))
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    val d3 = spark.read.parquet(dec)
+      .select("media_id", "decision", "partner").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(d3(11L) == (("admit", -1L)))
+    assert(d3(12L) == (("drop_corpus", 1L)))
+    assert(spark.read.parquet(lake).select("media_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L, 11L))
+  }
+
+  test("step replay with the same tag rewrites its generation byte-stably") {
+    val base = tmp()
+    val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"
+    import spark.implicits._
+    def files = Seq(
+      ("f/m21.png", blob(7, "base")),
+      ("f/m22.ppm", blob(7, "bright")),
+      ("f/m23.png", blob(9, "base"))).toDF("path", "content")
+    PhashGate.step(spark, files, "t-1", lake, index, dec)
+    val lake1 = spark.read.parquet(lake).collect().map(_.toString).sorted.toSeq
+    val dec1 = spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq
+    // replay the SAME batch tag (crash-recovery shape): the probe must
+    // not match the batch's own half-written band rows, and outputs
+    // land identically instead of duplicating
+    PhashGate.step(spark, files, "t-1", lake, index, dec)
+    assert(spark.read.parquet(lake).collect().map(_.toString).sorted.toSeq == lake1)
+    assert(spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq == dec1)
+    assert(spark.read.parquet(s"$index/bands").count() == 16) // 2 admits x 8 bands
+  }
+
+  test("a viral same-image batch collapses to one node before any join") {
+    val base = tmp()
+    val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"
+    import spark.implicits._
+    // 300 copies of one image + 1 distinct: the quadratic stages run
+    // over TWO distinct hashes; all copies verdict against one keeper
+    val files = ((1 to 300).map(i => (s"f/m$i.png", blob(11, "base"))) :+
+      (("f/m400.png", blob(12, "base")))).toDF("path", "content")
+    PhashGate.step(spark, files, "t-1", lake, index, dec)
+    val d = spark.read.parquet(dec)
+    assert(d.filter(col("decision") === "admit").select("media_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 400L))
+    assert(d.filter(col("decision") === "drop_batch" && col("partner") === 1L &&
+      col("hamming") === 0L).count() == 299)
+    assert(spark.read.parquet(s"$index/bands").count() == 16)
+  }
+}
