@@ -1030,12 +1030,12 @@ object LlmQueries {
   //    measurable: SimilaritySpec asserts err2 <= err1 corpus-wide and
   //    strict improvement on average. No corpus shuffle: two broadcast
   //    cross-joins with map-side-combined per-vector aggregates.
-  private val e04 = Q(
-    "e04_residual_pq",
-    (s, d) => Similarity.residualPqEncode(Tables.embeddings(s, d)),
-    Some(s"""
-      WITH $pqCte,
-      bd AS (SELECT b.vec_id, b.s, b.code, d.dd
+  /** the e04 residual-quantization CTE chain (assumes $pqCte is in
+    * scope): level-1 best codes with distances (bd), per-dim residuals
+    * (res), the level-2 codebooks (cw2 — residuals of vectors 16..31),
+    * and the level-2 argmin (best2). Shared by e04 and s26.
+    */
+  private val rqCte = s"""bd AS (SELECT b.vec_id, b.s, b.code, d.dd
              FROM best b JOIN dist d
                ON d.vec_id = b.vec_id AND d.s = b.s AND d.code = b.code),
       res AS (SELECT e.vec_id, b.s, i.i,
@@ -1054,7 +1054,14 @@ object LlmQueries {
                 GROUP BY r.vec_id, r.s, w.code2),
       best2 AS (SELECT vec_id, s, code2, dd FROM dist2
                 QUALIFY row_number() OVER (PARTITION BY vec_id, s
-                  ORDER BY dd ASC, code2 ASC) = 1)
+                  ORDER BY dd ASC, code2 ASC) = 1)"""
+
+  private val e04 = Q(
+    "e04_residual_pq",
+    (s, d) => Similarity.residualPqEncode(Tables.embeddings(s, d)),
+    Some(s"""
+      WITH $pqCte,
+      $rqCte
       SELECT b.vec_id,
              CAST(SUM(b.code * (CAST(1 AS BIGINT) << (4 * b.s))) AS BIGINT) AS pq,
              CAST(SUM(b2.code2 * (CAST(1 AS BIGINT) << (4 * b2.s))) AS BIGINT) AS pq2,
@@ -1062,6 +1069,53 @@ object LlmQueries {
              CAST(SUM(CAST(b2.dd AS DECIMAL(18,6))) AS DOUBLE) AS err2
       FROM bd b JOIN best2 b2 ON b2.vec_id = b.vec_id AND b2.s = b.s
       GROUP BY b.vec_id
+    """.trim))
+
+  // -- s26: RQ-REFINED search, the "+R" of IVFADC+R — what e04's
+  //    second level is FOR: rank the corpus by level-1 ADC (s08's
+  //    float-free pass), keep a WIDE shortlist, refine those
+  //    candidates with the level-2 residual ADC partials
+  //    (score = q·cw1 + q·cw2 — still no float vectors), cut to a
+  //    NARROW shortlist, then pay exact cosines only there. The
+  //    refinement buys narrow-shortlist recall at the cost of one
+  //    broadcast lookup over `wide` rows (LlmSpec measures the recall
+  //    gain against the unrefined cut). Decimal-summed partials keep
+  //    every shortlist boundary tie-free against the oracle.
+  private val s26 = Q(
+    "s26_rq_refine",
+    (s, d) => Similarity.rqRefineTopK(Tables.embeddings(s, d), 0L, 10, 50, 20),
+    Some(s"""
+      WITH $pqCte,
+      $rqCte,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      adc1 AS (SELECT c.code, s.s,
+                 CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                              * CAST(q.qv[s.s*8+i.i+1] AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS p
+               FROM cw c, q, sub s, d8 i GROUP BY c.code, s.s),
+      w1 AS (SELECT b.vec_id, SUM(a.p) AS score1
+             FROM best b JOIN adc1 a ON a.s = b.s AND a.code = b.code
+             WHERE b.vec_id <> 0 GROUP BY b.vec_id
+             ORDER BY score1 DESC, vec_id ASC LIMIT 50),
+      adc2 AS (SELECT w.code2, w.s,
+                 CAST(round(SUM(w.rv * CAST(q.qv[w.s*8+w.i+1] AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS p2
+               FROM cw2 w, q GROUP BY w.code2, w.s),
+      nar AS (SELECT b2.vec_id
+              FROM best2 b2
+              JOIN adc2 a2 ON a2.s = b2.s AND a2.code2 = b2.code2
+              JOIN w1 ON w1.vec_id = b2.vec_id
+              GROUP BY b2.vec_id, w1.score1
+              ORDER BY (w1.score1 + SUM(a2.p2)) DESC, b2.vec_id ASC LIMIT 20),
+      dims AS (SELECT unnest(range(${Similarity.Dims})) AS d),
+      x AS (SELECT e.vec_id, e.label,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS dt,
+              SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+              SUM(CAST(q.qv[d.d+1] AS DOUBLE) * CAST(q.qv[d.d+1] AS DOUBLE)) AS nb
+            FROM embeddings e JOIN nar sh ON sh.vec_id = e.vec_id, q, dims d
+            GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
     """.trim))
 
   // -- s08: PQ-ADC approximate top-k with exact re-rank — the IVF-PQ
@@ -3850,7 +3904,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

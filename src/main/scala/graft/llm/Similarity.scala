@@ -491,6 +491,65 @@ object Similarity {
           .reduce(_ + _).cast(DoubleType).as("err2"))
   }
 
+  /** the level-2 codebooks in ROW form (code2, s, rv[8]) — the shape
+    * the refinement ADC table builds from
+    */
+  private def residualCodebookRows(embeddings: DataFrame): DataFrame = {
+    val books1 = sampledCodebooks(embeddings)
+    level1Residuals(
+      embeddings.filter(
+        col("vec_id") >= PqCodewords && col("vec_id") < 2 * PqCodewords),
+      books1)
+      .select((col("vec_id") - PqCodewords).as("code2"),
+        posexplode(array((0 until PqM).map(s => col(s"r$s")): _*))
+          .as(Seq("s", "rv")))
+  }
+
+  /** RQ-refined search — the "+R" of IVFADC+R (Jégou et al.): rank by
+    * level-1 ADC, take a WIDE shortlist, REFINE those candidates with
+    * the level-2 residual ADC partials (score = q·cw1 + q·cw2, still
+    * float-free over the corpus), cut to a NARROW shortlist, and only
+    * then pay exact cosines. The refinement buys narrow-shortlist
+    * recall without touching float vectors: both ADC tables are
+    * broadcast-sized lookups, the level-2 pass prices on `wide` rows,
+    * and the decimal-sum discipline keeps every shortlist boundary
+    * tie-free against the oracle.
+    */
+  def rqRefineTopK(
+      embeddings: DataFrame, queryId: Long, k: Int,
+      wide: Int, narrow: Int): DataFrame = {
+    val books1 = sampledCodebooks(embeddings)
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val rq = residualPqEncode(embeddings).filter(col("vec_id") =!= queryId)
+    val codes1 = rq.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
+        .as(Seq("s", "code")))
+    val wideSet = codes1
+      .join(broadcast(adcTable(books1, q)), Seq("s", "code"))
+      .groupBy("vec_id").agg(sum(col("p")).as("score1"))
+      .orderBy(col("score1").desc, col("vec_id").asc)
+      .limit(wide)
+    val sub = Dims / PqM
+    val adc2 = residualCodebookRows(embeddings)
+      .crossJoin(broadcast(q))
+      .select(col("code2"), col("s"),
+        round(expr(s"aggregate(sequence(0, ${sub - 1}), cast(0.0 as double), " +
+          s"(acc, i) -> acc + element_at(rv, i + 1) * " +
+          s"cast(element_at(qv, s * $sub + i + 1) as double))"), 6)
+          .cast(DecimalType(18, 6)).as("p2"))
+    val codes2 = rq.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq2 >> (s * 4)) & 15)"))
+        .as(Seq("s", "code2")))
+      .join(broadcast(wideSet.select("vec_id")), Seq("vec_id"), "leftsemi")
+    val narrowSet = codes2.join(broadcast(adc2), Seq("s", "code2"))
+      .groupBy("vec_id").agg(sum(col("p2")).as("score2"))
+      .join(broadcast(wideSet), Seq("vec_id"))
+      .select(col("vec_id"), (col("score1") + col("score2")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(narrow)
+    exactRerank(embeddings, queryId, k, narrowSet.select("vec_id"))
+  }
+
   /** PQ-ADC approximate top-k with exact re-rank (the IVF-PQ search
     * recipe at billion scale, asymmetric distance computation of
     * Jégou et al., PAMI 2011): the query is NOT quantized — a

@@ -352,6 +352,31 @@ object ScaleProbe {
       (m, t)
     }
 
+    // r14: m13 perceptual near-dup under the same duplicate pressure —
+    // 90% of ids share ONE residue (one giant perceptual clique, the
+    // viral-image case on the perceptual axis). The distinct-hash
+    // collapse must hold the banded self-join at <= 240 nodes
+    // regardless of m (the quadratic step CANNOT grow), and the final
+    // election window rides the m12 spill path on the giant cluster —
+    // the 30x tail is where a row-space pair join would have exploded
+    // quadratically and the hash-space design must stay ~linear
+    // (decode-dominated).
+    if (enabled("m13_dup_heavy")) results("m13_dup_heavy") = MultipliersExt.map { m =>
+      val n = BaseDocs * m
+      val ids = (0 until n).map(i =>
+        if (i % 10 != 0) 240L * i + 11 // 90%: residue 11 — one clique
+        else 240L * i + 1 + (i % 238)) // 10%: spread across other residues
+      val docs = ids.toDF("doc_id").repartition(cores)
+      // clear per rep: phashNearDup persists its signature relation
+      val t = bestOf(reps) {
+        spark.catalog.clearCache()
+        materialize(graft.llm.Multimodal.phashNearDup(spark, docs))
+      }
+      spark.catalog.clearCache()
+      println(f"""{"probe":"m13_dup_heavy","mult":$m,"sec":$t%.3f}""")
+      (m, t)
+    }
+
     // r13: query-side SERVING cost vs INDEX size — a fixed 200-query
     // batch against a standing IVF-PQ index built from the m× corpus
     // (build untimed: embedding releases are operator events). With

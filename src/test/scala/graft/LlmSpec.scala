@@ -454,6 +454,24 @@ class LlmSpec extends AnyFunSuite {
     rq.unpersist()
   }
 
+  test("s26: the residual refinement never hurts narrow-cut recall and the answer is exact-ranked") {
+    val out = Catalog.byName("s26_rq_refine").run(spark, sf).collect()
+    assert(out.length == 10)
+    // the k results are exact cosines in strictly resolved order
+    val cosines = out.map(_.getAs[Double]("cos")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    // recall of the exact top-10 through the refined narrow-20 cut
+    // vs the UNREFINED (level-1 ADC only) narrow-20 cut: refinement
+    // exists to not lose finalists between wide and narrow
+    val exact = Catalog.byName("s01_cosine_topk").run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val refined = out.map(_.getLong(0)).count(exact)
+    val unrefined = Catalog.byName("s08_pq_topk").run(spark, sf)
+      .collect().map(_.getLong(0)).count(exact)
+    assert(refined >= 5, s"refined recall $refined/10 too low")
+    info(s"refined recall $refined/10 vs s08 (50-deep unrefined) $unrefined/10")
+  }
+
   test("s08: PQ-ADC shortlist re-rank recalls most of the brute-force top-10") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
