@@ -1081,10 +1081,11 @@ object LlmQueries {
   //    broadcast lookup over `wide` rows (LlmSpec measures the recall
   //    gain against the unrefined cut). Decimal-summed partials keep
   //    every shortlist boundary tie-free against the oracle.
-  private val s26 = Q(
-    "s26_rq_refine",
-    (s, d) => Similarity.rqRefineTopK(Tables.embeddings(s, d), 0L, 10, 50, 20),
-    Some(s"""
+  /** the s26/s27 oracle: both search the same frozen sampled
+    * codebooks over the whole corpus, so the standing index changes
+    * the PLAN (no re-encode, parquet scan), never the answer
+    */
+  private lazy val rqRefineOracle = s"""
       WITH $pqCte,
       $rqCte,
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1116,7 +1117,56 @@ object LlmQueries {
             GROUP BY e.vec_id, e.label)
       SELECT vec_id, label, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM x ORDER BY cos DESC, vec_id ASC LIMIT 10
-    """.trim))
+    """.trim
+
+  private val s26 = Q(
+    "s26_rq_refine",
+    (s, d) => Similarity.rqRefineTopK(Tables.embeddings(s, d), 0L, 10, 50, 20),
+    Some(rqRefineOracle))
+
+  // -- s27: the RQ-refined search against a STANDING index — s26's
+  //    production form (the s09->s10 move on the residual family):
+  //    frozen level-1 + level-2 codebooks and the (vec_id, pq, pq2)
+  //    code table persisted once, a delta batch APPENDED against the
+  //    same frozen books (append ≡ rebuild because both assignments
+  //    are per-row — LlmSpec pins it), then the search reads the index
+  //    back: two broadcast ADC lookups over the code parquet, float
+  //    vectors touched only at the exact re-rank. Index covers the
+  //    whole corpus => same oracle as s26.
+  private def s27IdxDir =
+    new java.io.File("target/graft_idx/s27_rq").getAbsolutePath
+
+  private[graft] def s27Build(s: SparkSession, d: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s27IdxDir)
+    graft.streaming.FoldCommit.clearResidue(
+      root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+    val emb = Tables.embeddings(s, d)
+    Similarity.sampledCodebooks(emb)
+      .write.mode("overwrite").parquet(s"$s27IdxDir/books")
+    Similarity.residualCodebooksWide(emb, Similarity.sampledCodebooks(emb))
+      .write.mode("overwrite").parquet(s"$s27IdxDir/books2")
+    val books = s.read.parquet(s"$s27IdxDir/books")
+    val books2 = s.read.parquet(s"$s27IdxDir/books2")
+    Similarity.residualPqEncodeWith(emb.filter(col("vec_id") % 10 =!= 7), books, books2)
+      .select("vec_id", "pq", "pq2")
+      .write.mode("overwrite").parquet(s"$s27IdxDir/rows")
+    Similarity.residualPqEncodeWith(emb.filter(col("vec_id") % 10 === 7), books, books2)
+      .select("vec_id", "pq", "pq2")
+      .write.mode("append").parquet(s"$s27IdxDir/rows")
+  }
+
+  private[graft] def s27Probe(s: SparkSession, d: String): DataFrame =
+    Similarity.rqRefineTopKWith(
+      Tables.embeddings(s, d),
+      s.read.parquet(s"$s27IdxDir/rows"),
+      s.read.parquet(s"$s27IdxDir/books"),
+      s.read.parquet(s"$s27IdxDir/books2"),
+      0L, 10, 50, 20)
+
+  private val s27 = Q(
+    "s27_rq_standing",
+    (s, d) => { s27Build(s, d); s27Probe(s, d) },
+    Some(rqRefineOracle))
 
   // -- s08: PQ-ADC approximate top-k with exact re-rank — the IVF-PQ
   //    search recipe (asymmetric distance computation): the raw query
@@ -3904,7 +3954,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
@@ -3963,6 +4013,7 @@ object LlmQueries {
       ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = Map(
     "d15_standing_neardup" -> ((d15Build _, d15Probe _)),
     "s10_ivfpq_standing" -> ((s10Build _, s10Probe _)),
+    "s27_rq_standing" -> ((s27Build _, s27Probe _)),
     "s13_bm25_standing" -> ((s13Build _, s13Probe _)),
     "s19_hamming_standing" -> ((s19Build _, s19Probe _)),
     "x09_serving_standing" -> ((x09Build _, x09Probe _)))

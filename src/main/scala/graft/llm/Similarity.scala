@@ -460,15 +460,31 @@ object Similarity {
     * same family as [[pqEncodeWith]].
     */
   def residualPqEncode(embeddings: DataFrame): DataFrame = {
-    val sub = Dims / PqM
     val books1 = sampledCodebooks(embeddings)
-    val books2 = level1Residuals(
+    residualPqEncodeWith(embeddings, books1, residualCodebooksWide(embeddings, books1))
+  }
+
+  /** the level-2 codebooks in WIDE form (code2, w0..w7) — the shape
+    * the encode aggregates against, and the relation a standing index
+    * freezes to parquet (s27)
+    */
+  def residualCodebooksWide(embeddings: DataFrame, books1: DataFrame): DataFrame =
+    level1Residuals(
       embeddings.filter(
         col("vec_id") >= PqCodewords && col("vec_id") < 2 * PqCodewords),
       books1)
       .select(
         ((col("vec_id") - PqCodewords).as("code2") +:
           (0 until PqM).map(s => col(s"r$s").as(s"w$s"))): _*)
+
+  /** residual-PQ encode against EXPLICIT frozen codebooks — the
+    * standing-index form (the [[pqEncodeWith]] rule one level down):
+    * both assignments are per-row against frozen broadcast tables, so
+    * an appended delta batch is bit-identical to a full rebuild
+    */
+  def residualPqEncodeWith(
+      embeddings: DataFrame, books1: DataFrame, books2: DataFrame): DataFrame = {
+    val sub = Dims / PqM
     def dist2(s: Int): Column =
       round(
         aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
@@ -491,19 +507,13 @@ object Similarity {
           .reduce(_ + _).cast(DoubleType).as("err2"))
   }
 
-  /** the level-2 codebooks in ROW form (code2, s, rv[8]) — the shape
-    * the refinement ADC table builds from
+  /** WIDE codebooks -> ROW form (code2, s, rv[8]), the shape the
+    * refinement ADC table builds from
     */
-  private def residualCodebookRows(embeddings: DataFrame): DataFrame = {
-    val books1 = sampledCodebooks(embeddings)
-    level1Residuals(
-      embeddings.filter(
-        col("vec_id") >= PqCodewords && col("vec_id") < 2 * PqCodewords),
-      books1)
-      .select((col("vec_id") - PqCodewords).as("code2"),
-        posexplode(array((0 until PqM).map(s => col(s"r$s")): _*))
-          .as(Seq("s", "rv")))
-  }
+  private def booksWideToRows(books2: DataFrame): DataFrame =
+    books2.select(col("code2"),
+      posexplode(array((0 until PqM).map(s => col(s"w$s")): _*))
+        .as(Seq("s", "rv")))
 
   /** RQ-refined search — the "+R" of IVFADC+R (Jégou et al.): rank by
     * level-1 ADC, take a WIDE shortlist, REFINE those candidates with
@@ -519,8 +529,24 @@ object Similarity {
       embeddings: DataFrame, queryId: Long, k: Int,
       wide: Int, narrow: Int): DataFrame = {
     val books1 = sampledCodebooks(embeddings)
+    val books2 = residualCodebooksWide(embeddings, books1)
+    rqRefineTopKWith(embeddings,
+      residualPqEncodeWith(embeddings, books1, books2).select("vec_id", "pq", "pq2"),
+      books1, books2, queryId, k, wide, narrow)
+  }
+
+  /** the [[rqRefineTopK]] search against EXPLICIT code/codebook
+    * relations — the standing-index form (s27): `codes` is the frozen
+    * (vec_id, pq, pq2) table read back from parquet, `books1`/`books2`
+    * the frozen codebooks; the search never re-encodes and never
+    * touches float vectors until the exact re-rank of the narrow cut.
+    */
+  def rqRefineTopKWith(
+      embeddings: DataFrame, codes: DataFrame,
+      books1: DataFrame, books2: DataFrame,
+      queryId: Long, k: Int, wide: Int, narrow: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
-    val rq = residualPqEncode(embeddings).filter(col("vec_id") =!= queryId)
+    val rq = codes.filter(col("vec_id") =!= queryId)
     val codes1 = rq.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
         .as(Seq("s", "code")))
@@ -530,7 +556,7 @@ object Similarity {
       .orderBy(col("score1").desc, col("vec_id").asc)
       .limit(wide)
     val sub = Dims / PqM
-    val adc2 = residualCodebookRows(embeddings)
+    val adc2 = booksWideToRows(books2)
       .crossJoin(broadcast(q))
       .select(col("code2"), col("s"),
         round(expr(s"aggregate(sequence(0, ${sub - 1}), cast(0.0 as double), " +

@@ -472,6 +472,25 @@ class LlmSpec extends AnyFunSuite {
     info(s"refined recall $refined/10 vs s08 (50-deep unrefined) $unrefined/10")
   }
 
+  test("s27: appended standing RQ index equals a full rebuild, search equals s26") {
+    import graft.llm.Similarity
+    // build the catalog entry's index (base %10!=7 overwritten, delta
+    // %10==7 appended against the same frozen books)
+    val standing = Catalog.byName("s27_rq_standing").run(spark, sf).collect()
+    val idxDir = new java.io.File("target/graft_idx/s27_rq").getAbsolutePath
+    val rows = spark.read.parquet(s"$idxDir/rows")
+    // append ≡ rebuild: one-shot encode of the whole corpus against
+    // the same frozen books is bit-identical to the two-batch index
+    val books = spark.read.parquet(s"$idxDir/books")
+    val books2 = spark.read.parquet(s"$idxDir/books2")
+    val rebuilt = Similarity.residualPqEncodeWith(embs, books, books2)
+      .select("vec_id", "pq", "pq2")
+    assert(rows.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(rows).count() == 0)
+    // the standing search answers exactly like the in-query s26
+    val inQuery = Catalog.byName("s26_rq_refine").run(spark, sf).collect()
+    assert(standing.map(_.toString).toSeq == inQuery.map(_.toString).toSeq)
+  }
+
   test("s08: PQ-ADC shortlist re-rank recalls most of the brute-force top-10") {
     val brute = Catalog.byName("s01_cosine_topk").run(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
