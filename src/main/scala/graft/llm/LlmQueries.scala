@@ -3843,6 +3843,37 @@ object LlmQueries {
       CROSS JOIN (SELECT unnest(['base', 'bright', 'scaled']) AS variant) v
     """.trim))
 
+  // -- m14: ACOUSTIC fingerprint near-dup — m13's recipe on the audio
+  //    modality (the chromaprint-family delta-sign idea made exact):
+  //    decoded PCM windows to exact Long energies, bits from
+  //    half-window balance + consecutive-window deltas, so a 2x-GAIN
+  //    re-encode (every decoded sample differs) and an extra-LIST-chunk
+  //    container (every byte differs, samples identical) fingerprint
+  //    IDENTICALLY to the original — volume is invisible by integer
+  //    arithmetic (energies scale by the same square; strict
+  //    comparisons preserve), not by approximation. Same
+  //    distinct-signature banding + election kernel as m13
+  //    (Multimodal.hashNearDupGroups); same residue-arithmetic oracle;
+  //    PhashSpec enumerates all 240 signals for variant equality and a
+  //    cross-residue hamming floor of 13.
+  private val m14 = Q(
+    "m14_audio_fingerprint",
+    (s, d) =>
+      Multimodal.afpNearDup(s, Tables.documents(s, d)),
+    Some("""
+      WITH g AS (SELECT doc_id % 240 AS r, count(*) AS n_ids,
+                        min(doc_id) AS keeper
+                 FROM documents GROUP BY 1)
+      SELECT d.doc_id AS media_id, v.variant,
+             CAST(3 * g.n_ids AS BIGINT) AS group_size,
+             CAST(g.keeper AS BIGINT) AS keeper_id,
+             CAST(CASE WHEN d.doc_id = g.keeper AND v.variant = 'loud'
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM documents d
+      JOIN g ON g.r = d.doc_id % 240
+      CROSS JOIN (SELECT unnest(['pcm', 'loud', 'pad']) AS variant) v
+    """.trim))
+
   private val m04 = Q(
     "m04_media_resize",
     (s, d) =>
@@ -3954,7 +3985,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

@@ -1015,11 +1015,24 @@ object Multimodal {
     * bound), keeper = lexicographic min (media_id, variant).
     */
   def phashNearDup(
-      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
+    hashNearDupGroups(spark,
+      phashSignatures(spark, docs).toDF().withColumnRenamed("phash", "sig"),
+      maxHamming)
+
+  /** banded hamming near-dup GROUPING over any 63-bit signature frame
+    * (media_id, variant, sig) — the kernel m13 (DCT perceptual hash)
+    * and m14 (acoustic fingerprint) share: distinct-signature
+    * collapse, 8x8-bit bands (recall-exact for hamming <= 7 by
+    * pigeonhole), exact bit_count verify, bounded union-find
+    * components, spillable window election with the lexicographic
+    * (media_id, variant) keeper.
+    */
+  private[graft] def hashNearDupGroups(
+      spark: SparkSession, sigs0: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = phashSignatures(spark, docs).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = sigs.select(col("phash").as("doc_id")).distinct()
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sigs.select(col("sig").as("doc_id")).distinct()
     val bands = nodes.select(col("doc_id").as("h"))
       .select(col("h"), posexplode(expr(
         "transform(sequence(0, 7), b -> shiftright(h, b * 8) & 255)"))
@@ -1030,9 +1043,9 @@ object Multimodal {
       .select(col("a.h").as("d1"), col("b.h").as("d2")).distinct()
       .filter(expr(s"bit_count(d1 ^ d2) <= $maxHamming"))
     val cc = Clusters.connectedComponents(nodes, pairs)
-      .withColumnRenamed("doc_id", "phash")
+      .withColumnRenamed("doc_id", "sig")
     val byCluster = Window.partitionBy("cluster")
-    sigs.join(cc, Seq("phash"))
+    sigs.join(cc, Seq("sig"))
       .withColumn("group_size", count(lit(1)).over(byCluster))
       .withColumn("k", min(struct(col("media_id"), col("variant"))).over(byCluster))
       .select(
@@ -1041,4 +1054,121 @@ object Multimodal {
         when(col("media_id") === col("k.media_id") &&
           col("variant") === col("k.variant"), 1L).otherwise(0L).as("is_keeper"))
   }
+
+  // ----------------------------------- acoustic fingerprint (m14)
+
+  /** 2048 PCM16 samples for the acoustic-fingerprint fixtures —
+    * nonlinear in (t, id % 240) with amplitude bounded to ±8000, so
+    * the 2x-gain variant (±16000) never clips and its energies are
+    * EXACTLY 4x the base's (integer squares). Only 240 distinct
+    * signals exist: the m12/m13 residue-oracle recipe on audio.
+    */
+  private[graft] def afpSamples(id: Long): Array[Short] = {
+    val rid = (id % 240).toInt
+    Array.tabulate(2048) { t =>
+      ((((t + 13 * rid) * (t % 29 + rid % 31 + 2) + rid * rid * t) % 16001) - 8000).toShort
+    }
+  }
+
+  /** 63-bit ACOUSTIC fingerprint of decoded PCM (the
+    * chromaprint-family delta-sign recipe made exact): 32
+    * floor-boundary windows; bits 0..31 compare each window's
+    * second-half energy to its first half, bits 32..62 the sign of
+    * consecutive window-energy deltas. Energies are exact Long sums
+    * of squares, so a uniform GAIN multiplies every energy by the
+    * same square and flips NOTHING — volume is invisible by
+    * arithmetic, not approximation (strict >, ties to 0, preserved
+    * exactly under scaling).
+    */
+  private[graft] def audioFingerprint(samples: Array[Short]): Long = {
+    val nw = 32
+    val n = samples.length
+    val ea = new Array[Long](nw); val eb = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      val w0 = w * n / nw; val w1 = (w + 1) * n / nw; val m = (w0 + w1) / 2
+      var i = w0
+      while (i < m) { val x = samples(i).toLong; ea(w) += x * x; i += 1 }
+      while (i < w1) { val x = samples(i).toLong; eb(w) += x * x; i += 1 }
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < nw) {
+      if (eb(w) > ea(w)) hash |= 1L << w
+      w += 1
+    }
+    w = 0
+    while (w < nw - 1) {
+      if (ea(w + 1) + eb(w + 1) > ea(w) + eb(w)) hash |= 1L << (32 + w)
+      w += 1
+    }
+    hash
+  }
+
+  /** splice an ignorable LIST/INFO chunk between fmt and data: a
+    * byte-DIFFERENT container that decodes to the SAME samples (RIFF
+    * readers must skip unknown chunks — wavParse does)
+    */
+  private def wavWithListChunk(samples: Array[Short]): Array[Byte] = {
+    val plain = MediaCodecs.wavWrite(samples, 8000)
+    val info = "INFOICMT   fixture ".getBytes("ISO-8859-1")
+    val out = java.nio.ByteBuffer
+      .allocate(plain.length + 8 + info.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(plain, 0, 36) // RIFF header + fmt chunk
+    out.put("LIST".getBytes("US-ASCII"))
+    out.putInt(info.length)
+    out.put(info)
+    out.put(plain, 36, plain.length - 36) // data chunk onward
+    val bytes = out.array()
+    // patch the RIFF size for the inserted chunk
+    val riffLen = (plain.length - 8) + 8 + info.length
+    bytes(4) = (riffLen & 0xff).toByte
+    bytes(5) = ((riffLen >> 8) & 0xff).toByte
+    bytes(6) = ((riffLen >> 16) & 0xff).toByte
+    bytes(7) = ((riffLen >> 24) & 0xff).toByte
+    bytes
+  }
+
+  /** three acoustically-equivalent variants per id that decoded-PCM
+    * equality would NOT all group: the base WAV; a 2x-GAIN copy
+    * (every decoded sample differs — the fingerprint's delta signs
+    * don't); and a container with an extra LIST chunk (byte-different
+    * file, identical samples — RIFF chunk walking, not byte hashing,
+    * is what recovers it)
+    */
+  private[graft] def afpVariants(id: Long): Seq[(String, Array[Byte])] = {
+    val base = afpSamples(id)
+    val loud = base.map(s => (s * 2).toShort)
+    Seq(
+      ("pcm", MediaCodecs.wavWrite(base, 8000)),
+      ("loud", MediaCodecs.wavWrite(loud, 8000)),
+      ("pad", wavWithListChunk(base)))
+  }
+
+  case class AfpRow(media_id: Long, variant: String, sig: Long)
+
+  /** one acoustic fingerprint per (id, variant) blob: write the real
+    * containers, sniff each back (magic bytes), decode through the
+    * real RIFF/PCM parser, fingerprint the decoded samples
+    */
+  def afpSignatures(spark: SparkSession, docs: DataFrame): Dataset[AfpRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      afpVariants(id).map { case (variant, bytes) =>
+        require(MediaCodecs.sniff(bytes).contains("wav-pcm"),
+          s"afp fixture did not sniff as wav-pcm")
+        AfpRow(id, variant, audioFingerprint(MediaCodecs.wavParse(bytes).samples))
+      }
+    })
+  }
+
+  /** acoustic near-dup over the variant corpus — [[hashNearDupGroups]]
+    * on the audio fingerprint (m14): same distinct-signature banding,
+    * same election, different modality
+    */
+  def afpNearDup(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
+    hashNearDupGroups(spark, afpSignatures(spark, docs).toDF(), maxHamming)
 }

@@ -77,6 +77,60 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------- m14: the acoustic fingerprint's turn
+
+  private lazy val afpHashes: Map[Long, Long] =
+    (0L until 240L).map { rid =>
+      val hs = Multimodal.afpVariants(rid).map { case (_, bytes) =>
+        assert(MediaCodecs.sniff(bytes).contains("wav-pcm"))
+        Multimodal.audioFingerprint(MediaCodecs.wavParse(bytes).samples)
+      }
+      assert(hs.distinct.size == 1,
+        s"residue $rid: audio variants fingerprint apart")
+      rid -> hs.head
+    }.toMap
+
+  test("m14: all three audio variants of every residue fingerprint identically (240/240)") {
+    assert(afpHashes.size == 240)
+  }
+
+  test("m14: gain doubles every decoded sample, the LIST chunk changes every byte — not the fingerprint") {
+    val vs = Multimodal.afpVariants(5L).toMap
+    val pcm = MediaCodecs.wavParse(vs("pcm")).samples
+    val loud = MediaCodecs.wavParse(vs("loud")).samples
+    val pad = MediaCodecs.wavParse(vs("pad")).samples
+    assert(loud.toSeq != pcm.toSeq && loud(7) == (pcm(7) * 2).toShort)
+    assert(pad.toSeq == pcm.toSeq && !java.util.Arrays.equals(vs("pad"), vs("pcm")))
+  }
+
+  test("m14: distinct residues stay beyond the hamming threshold (all pairs)") {
+    val hs = afpHashes.toSeq.sortBy(_._1)
+    var minD = 64
+    for (i <- hs.indices; j <- (i + 1) until hs.size) {
+      val d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if (d < minD) minD = d
+      assert(d > MaxHamming,
+        s"residues ${hs(i)._1} and ${hs(j)._1} collide at hamming $d")
+    }
+    info(s"minimum cross-residue hamming distance: $minD")
+    afpHashes.values.foreach(h => assert((h & (1L << 63)) == 0L))
+  }
+
+  test("afpNearDup groups the variant corpus by residue with loud keepers") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 240L)
+    val out = Multimodal.afpNearDup(spark, ids.toDF("doc_id"), MaxHamming)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 9)
+    for (id <- ids; v <- Seq("pcm", "loud", "pad")) {
+      val (size, keeper, isKeeper) = out((id, v))
+      assert(size == (if (id % 240 == 0) 6L else 3L))
+      assert(keeper == id % 240)
+      assert(isKeeper == (if (id == id % 240 && v == "loud") 1L else 0L))
+    }
+  }
+
   test("phashNearDup groups the variant corpus by residue with base keepers") {
     import spark.implicits._
     // two full residue collisions (0/240, 1/241) + two singleton ids
