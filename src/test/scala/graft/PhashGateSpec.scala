@@ -129,6 +129,32 @@ class PhashGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$index/bands").count() == 16) // 2 admits x 8 bands
   }
 
+  test("the gate refuses a mismatched bucket layout and a leased root") {
+    val base = tmp()
+    val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"
+    import spark.implicits._
+    val files = Seq(("f/m31.png", blob(13, "base"))).toDF("path", "content")
+    PhashGate.step(spark, files, "t-1", lake, index, dec,
+      PhashGate.Config(indexBuckets = 64))
+    // a different bucket count would silently miss candidates: refuse
+    val eLayout = intercept[IllegalArgumentException] {
+      PhashGate.step(spark, files, "t-2", lake, index, dec,
+        PhashGate.Config(indexBuckets = 32))
+    }
+    assert(eLayout.getMessage.contains("indexBuckets"))
+    // a compaction lease on any root: refuse loudly, not lose rows
+    graft.streaming.LakeCompact.withLease(spark, s"$index/bands") {
+      val eLease = intercept[IllegalStateException] {
+        PhashGate.step(spark, files, "t-3", lake, index, dec)
+      }
+      assert(eLease.getMessage.toLowerCase.contains("lease") ||
+        eLease.getMessage.contains("maintenance"))
+    }
+    // and after the lease lifts, the gate works again
+    PhashGate.step(spark, files, "t-4", lake, index, dec)
+    assert(spark.read.parquet(dec).count() == 2) // t-1 + t-4
+  }
+
   test("a viral same-image batch collapses to one node before any join") {
     val base = tmp()
     val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"
