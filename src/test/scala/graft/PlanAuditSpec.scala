@@ -160,6 +160,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"m12 should shuffle exactly once (the content key):\n$plan")
   }
 
+  test("s27 searches the standing RQ code parquet, not a re-encoded corpus") {
+    val plan = planOf("s27_rq_standing")
+    assert(plan.contains("graft_idx"), "standing RQ index parquet not scanned")
+    // the standing search must touch the float corpus strictly less
+    // than s26's self-contained encode-and-search
+    def embScans(p: String) = "embeddings".r.findAllMatchIn(p).length
+    assert(embScans(plan) < embScans(planOf("s26_rq_refine")),
+      "standing RQ search re-scans the float corpus as much as the rebuild path")
+  }
+
+  test("m14 rides m13's kernel: no sample shuffle, window election") {
+    val plan = planOf("m14_audio_fingerprint")
+    assert(plan.contains("Window"), s"m14 lost its window election:\n$plan")
+    assert(!plan.contains("hashpartitioning(bytes") &&
+      !plan.contains("hashpartitioning(samples"),
+      s"m14 shuffles decoded audio:\n$plan")
+  }
+
   test("m13's rasters never shuffle and the election rides the m12 window") {
     // the perceptual-hash graph prices in distinct-hash space: the only
     // corpus-sized exchanges may carry (id, token, long) signature rows
