@@ -170,6 +170,43 @@ class TakedownSpec extends AnyFunSuite {
     assert(LlmQueries.s13ProbeAt(spark, sf, bm).collect().map(_.toString).sorted.toSeq != beforeBm)
   }
 
+  test("the ledger drives a takedown across the perceptual media gate") {
+    import graft.streaming.PhashGate
+    val base = tmp("graft_takedown")
+    val lake = s"$base/lake"; val index = s"$base/index"
+    val dec = s"$base/dec"; val ledger = s"$base/ledger"
+    def blob(rid: Long, v: String) =
+      graft.llm.Multimodal.phashVariants(rid).toMap.apply(v)
+    // admit two perceptual groups (residues 21 and 22)
+    PhashGate.step(spark,
+      Seq(("f/m41.png", blob(21, "base")), ("f/m42.png", blob(22, "base")))
+        .toDF("path", "content"),
+      "t-1", lake, index, dec)
+    assert(spark.read.parquet(lake).count() == 2)
+
+    val token = Takedown.request(spark, ledger,
+      Seq(41L).toDF("media_id"), Seq("phash"))
+    val closed = Takedown.resume(spark, ledger, Seq(
+      Takedown.Surface("phash", (s, ids) =>
+        PhashGate.forget(s, lake, index, col("media_id").isInCollection(ids)))))
+    assert(closed == Seq(token) && Takedown.pending(spark, ledger).isEmpty)
+
+    // the keeper and its signatures are gone; the decision log stays
+    assert(spark.read.parquet(lake).select("media_id").as[Long].collect().toSeq == Seq(42L))
+    assert(spark.read.parquet(s"$index/bands")
+      .filter(col("media_id") === 41L).count() == 0)
+    assert(spark.read.parquet(dec).count() == 2)
+    // a perceptual re-upload of the FORGOTTEN content admits afresh;
+    // a dup of the SURVIVOR still drops at the door
+    PhashGate.step(spark,
+      Seq(("f/m43.ppm", blob(21, "bright")), ("f/m44.png", blob(22, "scaled")))
+        .toDF("path", "content"),
+      "t-2", lake, index, dec)
+    val d = spark.read.parquet(dec)
+      .select("media_id", "decision").as[(Long, String)].collect().toMap
+    assert(d(43L) == "admit" && d(44L) == "drop_corpus")
+  }
+
   test("a legacy request without a pinned surface set neither wedges nor blocks newer tokens") {
     // a ledger written before surface pinning existed carries no
     // `surfaces` file; resume must fall back to the resuming
