@@ -269,6 +269,10 @@ object Bench {
     // the I/O arm (see ioCanaryOnce): same reference/tighten/min-of-2
     // discipline as the CPU arm, sampled at the same cadence
     val ioCanaryDir = java.nio.file.Files.createTempDirectory("graft_bench_iocanary").toString
+    // everything below runs inside the try so an aborted run still
+    // reclaims the canary dir (cleanExit halts, so no shutdown hook
+    // would sweep it); kept unindented to preserve the diff history
+    try {
     var ioCanary0 = (1 to 3).map(_ => ioCanaryOnce(spark, ioCanaryDir)).min
     def ioCanarySample(): Double = {
       val t = math.min(ioCanaryOnce(spark, ioCanaryDir), ioCanaryOnce(spark, ioCanaryDir))
@@ -704,7 +708,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     println(s"""{"queries":$qs}""")
     println(summary)
-    rmTree(ioCanaryDir) // both io-canary arms write under it; don't leak a temp dir per run
+    // both io-canary arms write under it; don't leak a temp dir per
+    // run — and reclaim it even when the run throws mid-way
+    } finally rmTree(ioCanaryDir)
     cleanExit(spark)
   }
 

@@ -1027,8 +1027,12 @@ object LlmQueries {
   //    shrinking reconstruction error. Both errors are OUTPUT columns
   //    (sums of 6-dp-rounded per-subspace distances as exact decimals,
   //    so both engines agree bit-for-bit), which makes the refinement
-  //    measurable: SimilaritySpec asserts err2 <= err1 corpus-wide and
-  //    strict improvement on average. No corpus shuffle: two broadcast
+  //    measurable: LlmSpec's e04 case asserts strict improvement of
+  //    the MEAN error plus exact zeroing on the codebook-donor
+  //    vectors. Per-vector err2 <= err1 is NOT guaranteed (the level-2
+  //    codebook has no zero codeword, so a residual codeword can
+  //    overshoot where the zero estimate was already close — see
+  //    Similarity.scala's rq doc). No corpus shuffle: two broadcast
   //    cross-joins with map-side-combined per-vector aggregates.
   /** the e04 residual-quantization CTE chain (assumes $pqCte is in
     * scope): level-1 best codes with distances (bd), per-dim residuals

@@ -918,10 +918,16 @@ object Multimodal {
     val pooled = new Array[Double](64)
     var by = 0
     while (by < 8) {
-      val y0 = by * img.h / 8; val y1 = (by + 1) * img.h / 8
+      // sub-8px rasters make floor boundaries collapse (y1 == y0) and
+      // the pool divisor zero — clamp every block to at least one
+      // pixel (a nearest-neighbor upsample of the tiny raster) so the
+      // hash is deterministic, never 0/0 = NaN. Gates additionally
+      // refuse sub-8x8 images as rejected:dust (PhashGate.hashBatch);
+      // the clamp is the defense-in-depth for any other caller.
+      val y0 = by * img.h / 8; val y1 = math.max((by + 1) * img.h / 8, y0 + 1)
       var bx = 0
       while (bx < 8) {
-        val x0 = bx * img.w / 8; val x1 = (bx + 1) * img.w / 8
+        val x0 = bx * img.w / 8; val x1 = math.max((bx + 1) * img.w / 8, x0 + 1)
         var s = 0L
         var y = y0
         while (y < y1) {
@@ -1045,7 +1051,7 @@ object Multimodal {
     val cc = Clusters.connectedComponents(nodes, pairs)
       .withColumnRenamed("doc_id", "sig")
     val byCluster = Window.partitionBy("cluster")
-    sigs.join(cc, Seq("sig"))
+    val grouped = sigs.join(cc, Seq("sig"))
       .withColumn("group_size", count(lit(1)).over(byCluster))
       .withColumn("k", min(struct(col("media_id"), col("variant"))).over(byCluster))
       .select(
@@ -1053,6 +1059,14 @@ object Multimodal {
         col("k.media_id").as("keeper_id"),
         when(col("media_id") === col("k.media_id") &&
           col("variant") === col("k.variant"), 1L).otherwise(0L).as("is_keeper"))
+      // eager-materialize the grouped output (ids + group longs — the
+      // rasters and signatures are already gone), then RELEASE the
+      // signature relation: without this, every m13/m14 run leaked one
+      // persisted relation for the session lifetime. localCheckpoint
+      // blocks are reclaimed by the ContextCleaner once unreferenced.
+      .localCheckpoint()
+    sigs.unpersist()
+    grouped
   }
 
   // ----------------------------------- acoustic fingerprint (m14)

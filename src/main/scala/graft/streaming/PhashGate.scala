@@ -84,7 +84,13 @@ object PhashGate {
                 val img =
                   if (fmt == "ppm") MediaCodecs.ppmParse(bytes)
                   else MediaCodecs.pngParse(bytes)
-                MediaHash(id, fmt, img.w.toLong, img.h.toLong,
+                // dust floor (MediaIngest.MinUnits's perceptual twin):
+                // below the 8x8 pooling grid the DCT spectrum carries
+                // almost no signal, so distinct tiny images would
+                // collide on near-degenerate hashes and silently drop
+                // each other as perceptual dups — refuse them instead
+                if (img.w < 8 || img.h < 8) rejected(fmt, "rejected:dust")
+                else MediaHash(id, fmt, img.w.toLong, img.h.toLong,
                   Multimodal.perceptualHash(img), ok = true, "kept")
               }
             case Some(fmt) => rejected(fmt, "rejected:unsupported")

@@ -129,6 +129,32 @@ class PhashGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$index/bands").count() == 16) // 2 admits x 8 bands
   }
 
+  test("sub-8x8 images are rejected:dust, and two distinct tiny images never phash-drop each other") {
+    import spark.implicits._
+    // two DIFFERENT 4x4 rasters: below the 8x8 pooling grid their DCT
+    // spectra are near-degenerate, so without the dust floor they
+    // could collide and silently drop each other as perceptual dups
+    val a = graft.functions.MediaCodecs.pngWrite(4, 4,
+      Array.tabulate[Byte](48)(i => (i * 5).toByte))
+    val b = graft.functions.MediaCodecs.pngWrite(4, 4,
+      Array.tabulate[Byte](48)(i => (255 - i * 5).toByte))
+    val files = Seq(("file:/d/m1.png", a), ("file:/d/m2.png", b))
+      .toDF("path", "content")
+    val out = PhashGate.hashBatch(spark, files, PhashGate.Config().maxUnits)
+      .collect().map(h => h.media_id -> h).toMap
+    assert(out.size == 2)
+    out.values.foreach { h =>
+      assert(!h.ok && h.verdict == "rejected:dust", s"$h")
+    }
+    // and the defense-in-depth clamp: a direct hash of a tiny raster
+    // is deterministic and NaN-free (distinct inputs, valid longs)
+    val pa = Multimodal.perceptualHash(graft.functions.MediaCodecs.ppmParse(
+      graft.functions.MediaCodecs.ppmWrite(4, 4, Array.tabulate[Byte](48)(i => (i * 5).toByte))))
+    val pa2 = Multimodal.perceptualHash(graft.functions.MediaCodecs.ppmParse(
+      graft.functions.MediaCodecs.ppmWrite(4, 4, Array.tabulate[Byte](48)(i => (i * 5).toByte))))
+    assert(pa == pa2, "tiny-raster hash must be deterministic")
+  }
+
   test("the gate refuses a mismatched bucket layout and a leased root") {
     val base = tmp()
     val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"

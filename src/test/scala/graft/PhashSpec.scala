@@ -66,7 +66,10 @@ class PhashSpec extends AnyFunSuite {
       assert(d > MaxHamming,
         s"residues ${hs(i)._1} and ${hs(j)._1} collide at hamming $d")
     }
-    // leave headroom visible in the test output if it ever erodes
+    // the fixtures are deterministic, so the observed floor is a
+    // constant of the set — pin it (ARCHITECTURE quotes 14; asserting
+    // only > MaxHamming would let the headroom erode silently)
+    assert(minD >= 14, s"m13 cross-residue hamming floor eroded to $minD")
     info(s"minimum cross-residue hamming distance: $minD")
   }
 
@@ -112,6 +115,8 @@ class PhashSpec extends AnyFunSuite {
       assert(d > MaxHamming,
         s"residues ${hs(i)._1} and ${hs(j)._1} collide at hamming $d")
     }
+    // deterministic fixtures: pin the observed acoustic floor too
+    assert(minD >= 13, s"m14 cross-residue hamming floor eroded to $minD")
     info(s"minimum cross-residue hamming distance: $minD")
     afpHashes.values.foreach(h => assert((h & (1L << 63)) == 0L))
   }
