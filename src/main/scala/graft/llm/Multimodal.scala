@@ -1037,7 +1037,14 @@ object Multimodal {
   private[graft] def hashNearDupGroups(
       spark: SparkSession, sigs0: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE pass of the decode-heavy signature computation, shared by the
+    // node set and the final join. localCheckpoint instead of persist:
+    // a persist here leaked one cached relation per m13/m14 run for the
+    // session lifetime (nothing could own the unpersist), while
+    // checkpoint blocks are reclaimed by the ContextCleaner as soon as
+    // the result is dropped — and the grouped plan below stays fully
+    // visible to the plan audits (raster-free shuffle, window election).
+    val sigs = sigs0.localCheckpoint()
     val nodes = sigs.select(col("sig").as("doc_id")).distinct()
     val bands = nodes.select(col("doc_id").as("h"))
       .select(col("h"), posexplode(expr(
@@ -1051,7 +1058,7 @@ object Multimodal {
     val cc = Clusters.connectedComponents(nodes, pairs)
       .withColumnRenamed("doc_id", "sig")
     val byCluster = Window.partitionBy("cluster")
-    val grouped = sigs.join(cc, Seq("sig"))
+    sigs.join(cc, Seq("sig"))
       .withColumn("group_size", count(lit(1)).over(byCluster))
       .withColumn("k", min(struct(col("media_id"), col("variant"))).over(byCluster))
       .select(
@@ -1059,14 +1066,6 @@ object Multimodal {
         col("k.media_id").as("keeper_id"),
         when(col("media_id") === col("k.media_id") &&
           col("variant") === col("k.variant"), 1L).otherwise(0L).as("is_keeper"))
-      // eager-materialize the grouped output (ids + group longs — the
-      // rasters and signatures are already gone), then RELEASE the
-      // signature relation: without this, every m13/m14 run leaked one
-      // persisted relation for the session lifetime. localCheckpoint
-      // blocks are reclaimed by the ContextCleaner once unreferenced.
-      .localCheckpoint()
-    sigs.unpersist()
-    grouped
   }
 
   // ----------------------------------- acoustic fingerprint (m14)

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
   *
@@ -250,25 +250,45 @@ object Similarity {
     * (deterministic, oracle-reproducible — s04) and [[kmeansCentroids]]
     * (Lloyd-refined, recall-tested — s04b).
     *
-    * 100 TB shape: centroids broadcast (nCentroids ~ sqrt(corpus) rows),
-    * assignment is one map-side scan computing nCentroids fused-codegen
-    * cosines per row, then a per-vector argmax over nCentroids rows —
-    * no corpus-sized shuffle beyond the argmax window keyed on vec_id.
+    * 100 TB shape: ZERO exchanges. The centroid table is collected to
+    * the driver (nCentroids ~ sqrt(corpus) rows — the k-means trainer
+    * already keeps it driver-local between iterations) and shipped as
+    * ONE array literal inside the task binary; the per-vector argmax
+    * is a fold over that array, so the assignment is a pure map over
+    * the corpus scan. The previous shape (crossJoin(broadcast) +
+    * row_number window + rn = 1) amplified the corpus nCentroids-fold
+    * and relied on Spark's PARTIAL WindowGroupLimit to keep the
+    * exchange corpus-sized — correct when the partial limit fires, a
+    * corpus x C shuffle of full embeddings when it does not. This
+    * kernel feeds s04/s04b/s06/s17/s20, d14, x05 and every x09 /
+    * SemanticGate-adjacent index build, so its plan shape must not
+    * depend on an optional optimizer rule (PlanAuditSpec pins the
+    * no-exchange shape). Ties break to the LOWEST cid: the fold runs
+    * in ascending-cid order with a strictly-greater test, reproducing
+    * the old window's (sim desc, cid asc) first row exactly; sims are
+    * identical because interpreted and codegen'd
+    * [[graft.functions.CosineSimilarity]] share one operation order.
     */
   def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
-    embeddings
-      .crossJoin(broadcast(cents))
-      .select(
-        col("vec_id"),
-        col("label"),
-        col("embedding"),
-        col("cid"),
-        round(cosine(col("embedding"), col("cv")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "label", "embedding", "cid")
+    // float -> double widening is exact, so normalizing both centroid
+    // flavors (float arrays from sampledCentroids, doubles from the
+    // k-means trainer) to double changes no cosine
+    val local: Seq[(Long, Seq[Double])] = cents
+      .select(col("cid").cast(LongType), col("cv").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toIndexedSeq.sortBy(_._1)
+    require(local.nonEmpty, "ivfAssignWith: empty centroid table")
+    val centArr = typedLit(local) // ONE literal node, not nCentroids AST children
+    val init = struct(lit(-1L).as("cid"), lit(-2.0).as("sim"))
+    val best = aggregate(centArr, init, (acc, c) => {
+      val s = round(cosine(col("embedding"), c.getField("_2")), 6)
+      when(s > acc.getField("sim"),
+        struct(c.getField("_1").as("cid"), s.as("sim"))).otherwise(acc)
+    })
+    embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      best.getField("cid").as("cid"))
   }
 
   /** IVF-flat top-k: probe the `nProbe` centroids nearest the query,

@@ -45,10 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF flavors broadcast their centroid tables, never shuffle the corpus to them") {
-    // both quantizers feed the same probe path; the corpus-side scan
-    // must see the centroids as a broadcast (nCentroids ~ sqrt(corpus)
-    // rows), with the only corpus-wide exchange the vec_id argmax window
+  test("IVF flavors broadcast their small sides, never shuffle the corpus to them") {
+    // query vectors / posting-list probes join the corpus as broadcasts
+    // (the centroid ASSIGNMENT itself no longer joins at all — next test)
     for (name <- Seq("s04_ivf_topk", "s04b_ivf_kmeans_topk",
         "d14_semdedup", "x05_cluster_mix", "s09_ivfpq_topk", "s11_filtered_topk")) {
       val plan = planOf(name)
@@ -56,6 +55,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name does not broadcast its centroids")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
+  }
+
+  test("IVF assignment is a pure map over the corpus scan: zero exchanges, no window, no join") {
+    // the most-reused ANN kernel (feeds s04/s04b/s06/s17/s20, d14, x05
+    // and every x09/SemanticGate-adjacent index build): the centroid
+    // argmax is a fold over a driver-collected array literal, so the
+    // whole assignment must plan as scan -> project. The previous
+    // crossJoin + row_number shape relied on an OPTIONAL partial
+    // WindowGroupLimit to keep the exchange corpus-sized — this pins
+    // the unconditional no-exchange shape instead (r14 verdict item).
+    val plan = llm.Similarity.ivfAssign(Tables.embeddings(spark, sf), 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"IVF assignment plans a window:\n$plan")
+    assert(!plan.contains("Join"), s"IVF assignment plans a join:\n$plan")
   }
 
   test("PQ searchers broadcast the ADC lookup table and shortlist, never the corpus") {
