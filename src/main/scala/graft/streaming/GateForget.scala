@@ -30,6 +30,9 @@ private[streaming] object GateForget {
 
   /** `roots`: (rootDir, optional bucket partition column). `pred`
     * selects the rows to FORGET (e.g. `col("doc_id").isin(...)`).
+    * A `Some(bucket)` root is a two-tier [[GateIndex]] relation (the
+    * signature indexes): both tiers rewrite, the base keeping its
+    * `bucket=` dirs. A `None` root is a flat batch-generation lake.
     */
   def fold(
       spark: SparkSession,
@@ -40,24 +43,23 @@ private[streaming] object GateForget {
       for ((root, bucket) <- roots) {
         val rp = new org.apache.hadoop.fs.Path(root)
         val fs = rp.getFileSystem(conf)
-        if (fs.exists(rp)) {
-          // heal BEFORE listing generations, so a crashed fold's
-          // consolidation is either visible (and its inputs gone) or
-          // rolled back by the time this fold picks its input set
-          FoldCommit.heal(fs, rp)
-          val gens = fs.listStatus(rp).toSeq
-            .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch="))
-            .map(_.getPath.getName)
-          if (gens.nonEmpty) {
-            val token = java.util.UUID.randomUUID().toString.take(8)
-            FoldCommit.publish(fs, rp, s"batch=forget-$token", gens) { staging =>
-              val kept = spark.read.parquet(root).filter(!pred).drop("batch")
-              (bucket match {
-                case Some(b) => kept.repartition(col(b)).write.partitionBy(b)
-                case None => kept.write
-              }).mode(SaveMode.Overwrite).parquet(staging)
+        if (fs.exists(rp)) bucket match {
+          case Some(_) => GateIndex.forgetRewrite(spark, root, pred)
+          case None =>
+            // heal BEFORE listing generations, so a crashed fold's
+            // consolidation is either visible (and its inputs gone) or
+            // rolled back by the time this fold picks its input set
+            FoldCommit.heal(fs, rp)
+            val gens = fs.listStatus(rp).toSeq
+              .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch="))
+              .map(_.getPath.getName)
+            if (gens.nonEmpty) {
+              val token = java.util.UUID.randomUUID().toString.take(8)
+              FoldCommit.publish(fs, rp, s"batch=forget-$token", gens) { staging =>
+                spark.read.parquet(root).filter(!pred).drop("batch")
+                  .write.mode(SaveMode.Overwrite).parquet(staging)
+              }
             }
-          }
         }
       }
     }

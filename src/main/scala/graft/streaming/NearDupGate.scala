@@ -33,18 +33,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * 100 TB notes: the per-batch pipeline shuffles band keys and
   * candidate shingles only (longs, candidate-bounded — see
-  * Dedup.jaccard). The persisted index carries a
-  * `bucket = hash(key) mod indexBuckets` partition column (band table
-  * keyed by (band, bv), shingle table by doc_id), so the per-batch
-  * probe partition-prunes to ONLY the bucket directories the
-  * micro-batch's keys touch — probe cost follows the delta, not the
-  * admitted corpus (NearDupGateSpec asserts the file-subset scan). The
-  * batch side is broadcast into the probe, so there is no index shuffle
-  * either; the only driver materialization is the touched-bucket list,
-  * bounded by indexBuckets. The index grows append-only in
-  * batch-partitioned parquet; [[LakeCompact.foldGenerations]] with
-  * `partitionCols = Seq("bucket")` folds its generations without
-  * losing the bucketed layout.
+  * Dedup.jaccard). The persisted index lives in the two-tier
+  * [[GateIndex]] layout: micro-batch DELTA generations land as the
+  * batch's own few parquet files with `bucket = hash(key) mod
+  * indexBuckets` as a data column (writing them as 64 `bucket=` dirs
+  * per micro-batch was pure commit cost at micro-batch sizes — the
+  * commit canary prices that sequence at ~0.5 s), while compaction
+  * folds deltas into the `_base/bucket=*` tier where DIRECTORY pruning
+  * makes the probe read only the touched buckets of a corpus-sized
+  * index (NearDupGateSpec asserts the file-subset scan on the base).
+  * The batch side is broadcast into the probe, so there is no index
+  * shuffle either; the only driver materialization is the
+  * touched-bucket list, bounded by indexBuckets.
   */
 /** Shared physical-layout guard for the gate indexes ([[NearDupGate]],
   * [[SemanticGate]]). The bucket count is a LAYOUT constant, not a
@@ -91,15 +91,16 @@ object NearDupGate {
       maxDf: Int = 1000,
       threshold: Double = 0.8,
       indexBuckets: Int = 64,
-      // the pruned probe still reads every un-folded generation's files
-      // in the touched buckets, so probe cost grows with generations
-      // between compactions; past this many, step() folds all four
-      // roots itself under the maintenance lease (same recipe as
+      // the pruned probe still reads every un-folded delta generation's
+      // files, so probe cost grows with generations between
+      // compactions; past this many, step() folds all four roots
+      // itself under the maintenance lease (same recipe as
       // TrendingTopK). 0 disables — manual compact() windows only.
       autoFoldGenerations: Int = 64)
 
-  /** index partition key of a band row: which `bucket=` directory the
-    * (band, bv) signature lives in
+  /** index partition key of a band row: which bucket the (band, bv)
+    * signature lives in (a data column on delta generations, a
+    * `bucket=` partition dir on the compacted base)
     */
   private[graft] def bandBucket(nb: Int, band: Column, bv: Column): Column =
     pmod(hash(band, bv), lit(nb))
@@ -108,15 +109,11 @@ object NearDupGate {
   private[graft] def docBucket(nb: Int, id: Column): Column =
     pmod(hash(id), lit(nb))
 
-  /** see [[GateLayout.assertBuckets]] — shared with [[SemanticGate]] */
-  private def assertBucketLayout(spark: SparkSession, indexDir: String, nb: Int): Unit =
-    GateLayout.assertBuckets(spark, indexDir, nb)
-
-  /** The corpus-side probe scan: the admitted band index restricted to
-    * `buckets` (partition-pruned — only those `bucket=` directories are
-    * read) and excluding this batch's own `batch=` partition (a
-    * crash-replay runs AFTER a partial write may have landed the batch's
-    * own signatures — without the exclusion every replayed doc would
+  /** The corpus-side probe scan: both index tiers restricted to
+    * `buckets` (dir-pruned on the base, a data filter on the deltas)
+    * and excluding this batch's own `batch=` partition (a crash-replay
+    * runs AFTER a partial write may have landed the batch's own
+    * signatures — without the exclusion every replayed doc would
     * "match" itself and be dropped as a corpus dup).
     */
   private[graft] def probeBands(
@@ -124,7 +121,7 @@ object NearDupGate {
       indexDir: String,
       batchTag: String,
       buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$indexDir/bands")
+    GateIndex.read(spark, s"$indexDir/bands")
       .filter(col("batch") =!= batchTag && col("bucket").isin(buckets: _*))
 
   /** Same pruned shape for the shingle side: only the buckets owning the
@@ -135,8 +132,16 @@ object NearDupGate {
       indexDir: String,
       batchTag: String,
       buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$indexDir/shingles")
+    GateIndex.read(spark, s"$indexDir/shingles")
       .filter(col("batch") =!= batchTag && col("bucket").isin(buckets: _*))
+
+  /** the admitted band index, both [[GateIndex]] tiers as one relation */
+  def readBands(spark: SparkSession, indexDir: String): DataFrame =
+    GateIndex.read(spark, s"$indexDir/bands")
+
+  /** the admitted shingle index, both tiers as one relation */
+  def readShingles(spark: SparkSession, indexDir: String): DataFrame =
+    GateIndex.read(spark, s"$indexDir/shingles")
 
   /** One incremental step: gate `batchDocs` against the index at
     * `indexDir`, append admitted docs/signatures/decisions under
@@ -156,7 +161,7 @@ object NearDupGate {
     // any of our output roots — see LakeCompact's quiesce contract
     Seq(lakeDir, s"$indexDir/bands", s"$indexDir/shingles", decisionsDir)
       .foreach(LakeCompact.assertNoLease(spark, _))
-    assertBucketLayout(spark, indexDir, cfg.indexBuckets)
+    GateLayout.assertBuckets(spark, indexDir, cfg.indexBuckets)
     // every cached frame (ours, plus the candidate frames Dedup.jaccard
     // caches internally) is unpersisted in the finally: a long-running
     // stream must not accumulate cache entries per micro-batch, and a
@@ -166,27 +171,24 @@ object NearDupGate {
     val docs = batchDocs
     try {
       val sh = track(Dedup.shingleIndex(Dedup.shingles(docs), cfg.maxDf).cache())
-      val bands = track(Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r).cache())
+      val bands = track(
+        Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r)
+          .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("bv")))
+          .cache())
 
-      val hasIndex = {
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
       // corpus-relative drops: band collision vs the admitted index,
       // then exact-Jaccard verify over the union of shingle tables.
       // Partner choice (for the audit log) is the min admitted doc_id
-      // among verified matches — deterministic across replays.
-      val corpusDropped: DataFrame =
-        if (!hasIndex) {
-          docs.select(col("doc_id")).limit(0)
-            .withColumn("partner", lit(null).cast("long"))
-            .withColumn("jac", lit(null).cast("double"))
-        } else {
+      // among verified matches — deterministic across replays. None
+      // when there is no index or no collisions, so the steady-state
+      // batch never runs jobs over empty relations.
+      val corpusDropped: Option[DataFrame] =
+        if (!GateIndex.exists(spark, s"$indexDir/bands")) None
+        else {
           // which index buckets does this batch touch? ≤ indexBuckets
           // ints — the one driver-side materialization of the probe
           val batchBuckets = bands
-            .select(bandBucket(cfg.indexBuckets, col("band"), col("bv")).as("bucket"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+            .select("bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
           // batch side is micro-batch-sized: broadcast it so the
           // bucket-pruned index probe is one partial scan of the band
           // table with no index shuffle
@@ -203,91 +205,84 @@ object NearDupGate {
           val candBuckets = cand
             .select(docBucket(cfg.indexBuckets, col("d1")).as("bucket"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          if (candBuckets.isEmpty)
-            docs.select(col("doc_id")).limit(0)
-              .withColumn("partner", lit(null).cast("long"))
-              .withColumn("jac", lit(null).cast("double"))
+          if (candBuckets.isEmpty) None
           else {
             val corpusSh = probeShingles(spark, indexDir, batchTag, candBuckets)
-            Dedup.jaccard(cand, corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
+            Some(Dedup.jaccard(cand,
+              corpusSh.select("doc_id", "h64").unionByName(sh.select("doc_id", "h64")))
               .filter(col("jac") >= cfg.threshold)
               .groupBy(col("d2").as("doc_id"))
               .agg(min_by(struct(col("d1"), col("jac")), col("d1")).as("m"))
-              .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac"))
+              .select(col("doc_id"), col("m.d1").as("partner"), col("m.jac").as("jac")))
           }
         }
-      val cd = track(corpusDropped.cache())
+      val cd = corpusDropped.map(df => track(df.cache()))
 
       // intra-batch near-dup clusters among the survivors: keeper =
       // min doc_id per connected component (d09's election)
-      val rem = track(docs.join(cd.select("doc_id"), Seq("doc_id"), "left_anti").cache())
+      val rem = cd match {
+        case Some(c) =>
+          track(docs.join(broadcast(c.select("doc_id")), Seq("doc_id"), "left_anti").cache())
+        case None => docs
+      }
       val remIds = rem.select("doc_id")
       val candB = bands.join(broadcast(remIds), Seq("doc_id"), "leftsemi")
       val candBPairs = track(Dedup.bandPairs(candB))
       val pairsB = Dedup.jaccard(candBPairs, sh)
         .filter(col("jac") >= cfg.threshold)
+      // one materialization of the labels, reused by the decision log
+      // and the three admitted-side writes
       val comps = Clusters.connectedComponents(remIds, pairsB.select("d1", "d2"))
+        .localCheckpoint()
       val batchDropped = comps.filter(col("cluster") =!= col("doc_id"))
         .select(col("doc_id"), col("cluster").as("partner"))
-
       val admittedIds = comps.filter(col("cluster") === col("doc_id")).select("doc_id")
+      val admitted = track(
+        rem.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi").cache())
 
       def write(df: DataFrame, dir: String): Unit =
         df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
-      // index writes carry the bucket partition key; repartitioning by
-      // it first keeps the file count at one per non-empty bucket
-      // instead of (tasks x buckets) splinters per micro-batch
-      def writeBucketed(df: DataFrame, dir: String): Unit =
-        df.repartition(col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$dir/batch=$batchTag")
 
-      write(rem.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"), lakeDir)
-      writeBucketed(
+      write(admitted, lakeDir)
+      GateIndex.writeDelta(
         sh.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi")
           .withColumn("bucket", docBucket(cfg.indexBuckets, col("doc_id"))),
-        s"$indexDir/shingles")
-      writeBucketed(
-        bands.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi")
-          .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("bv"))),
-        s"$indexDir/bands")
-      write(
-        admittedIds.withColumn("decision", lit("admit"))
-          .withColumn("partner", lit(null).cast("long"))
+        s"$indexDir/shingles", batchTag)
+      GateIndex.writeDelta(
+        bands.join(broadcast(admittedIds), Seq("doc_id"), "leftsemi"),
+        s"$indexDir/bands", batchTag)
+      val admitArm = admittedIds.withColumn("decision", lit("admit"))
+        .withColumn("partner", lit(null).cast("long"))
+        .withColumn("jac", lit(null).cast("double"))
+        .unionByName(batchDropped.withColumn("decision", lit("drop_batch"))
           .withColumn("jac", lit(null).cast("double"))
-          .unionByName(cd.withColumn("decision", lit("drop_corpus"))
-            .select(col("doc_id"), col("decision"), col("partner"), col("jac")))
-          .unionByName(batchDropped.withColumn("decision", lit("drop_batch"))
-            .withColumn("jac", lit(null).cast("double"))
-            .select(col("doc_id"), col("decision"), col("partner"), col("jac"))),
-        decisionsDir)
+          .select(col("doc_id"), col("decision"), col("partner"), col("jac")))
+      val decisions = cd.map(c => admitArm.unionByName(
+        c.withColumn("decision", lit("drop_corpus"))
+          .select(col("doc_id"), col("decision"), col("partner"), col("jac"))))
+        .getOrElse(admitArm)
+      // audit-row-thin; collapse union splinters to the batch's own
+      // parallelism before the write
+      write(decisions.coalesce(math.max(1, batchDocs.rdd.getNumPartitions)), decisionsDir)
     } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     // auto-fold: an unattended stream must not pay an ever-growing
     // probe waiting for an operator maintenance window. Runs AFTER the
-    // batch fully commits; the newest generation per root (this
-    // batch's) is never folded, so a crash-replay of this batch remains
-    // a same-tag overwrite, never a duplicate.
-    if (cfg.autoFoldGenerations > 0) {
-      val bp = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val gens =
-        if (bfs.exists(bp))
-          bfs.listStatus(bp).count(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch="))
-        else 0
-      if (gens > cfg.autoFoldGenerations) compact(spark, lakeDir, indexDir, decisionsDir)
-    }
+    // batch fully commits; the newest delta generation (this batch's)
+    // is never folded, so a crash-replay of this batch remains a
+    // same-tag overwrite, never a duplicate.
+    if (cfg.autoFoldGenerations > 0 &&
+        GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
+      compact(spark, lakeDir, indexDir, decisionsDir)
   }
 
   /** Lake maintenance for the gate's four batch-scoped outputs: fold
     * the doc lake, the decision log, and BOTH signature-index tables.
-    * The index folds keep `bucket` as the partition layout, so the
-    * pruned probe works identically over a compacted corpus — a
-    * compacted generation's `batch=compact-T` tag is just another
-    * string to the probe's `batch =!= batchTag` self-exclusion filter
-    * (which is why the tag is a string, never a numeric id). Run from a
-    * maintenance window; the [[LakeCompact]] lease makes a racing
-    * micro-batch fail loudly rather than lose rows.
+    * The index folds move delta generations into the `_base/bucket=*`
+    * tier, so the pruned probe partition-prunes the compacted corpus —
+    * the base never carries a live batch tag, which is why the probe's
+    * `batch =!= batchTag` self-exclusion only has to bite on deltas.
+    * Run from a maintenance window; the [[LakeCompact]] lease makes a
+    * racing micro-batch fail loudly rather than lose rows.
     */
   def compact(
       spark: SparkSession,
@@ -302,25 +297,22 @@ object NearDupGate {
     LakeCompact.withLeases(spark, roots) {
       LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
       LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, s"$indexDir/bands",
-        partitionCols = Seq("bucket"), assumeLeased = true)
-      LakeCompact.foldGenerations(spark, s"$indexDir/shingles",
-        partitionCols = Seq("bucket"), assumeLeased = true)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
+      GateIndex.foldIntoBase(spark, s"$indexDir/shingles")
     }
   }
 
   /** RIGHT-TO-BE-FORGOTTEN on the gate's admitted state: remove the
     * predicate's doc_ids from the lake and BOTH signature-index tables
     * under one lease window (the d18/s22 fold run against the gate's
-    * batch-scoped, bucket-partitioned layout — each root is row-shaped,
-    * so a filtered rewrite preserving the batch/bucket partition
-    * columns is exact). The DECISION LOG is deliberately untouched:
-    * it is the audit record of what was decided, and a takedown
-    * concerns the content (lake) and its searchable signatures
-    * (index), not the audit trail. After a forget, an identical future
-    * arrival finds no colliding signature and is admitted afresh
-    * (NearDupGateSpec asserts it), while dups of surviving docs keep
-    * dropping.
+    * two-tier layout — each root is row-shaped, so a filtered rewrite
+    * preserving the tier layout is exact). The DECISION LOG is
+    * deliberately untouched: it is the audit record of what was
+    * decided, and a takedown concerns the content (lake) and its
+    * searchable signatures (index), not the audit trail. After a
+    * forget, an identical future arrival finds no colliding signature
+    * and is admitted afresh (NearDupGateSpec asserts it), while dups
+    * of surviving docs keep dropping.
     */
   def forget(
       spark: SparkSession,
@@ -352,8 +344,8 @@ object NearDupGate {
     // a fresh checkpoint over the same lake/index gets new dirs instead
     // of clobbering a previous run's (and the string tag keeps the
     // index-exclusion filter a string comparison — a bare numeric id
-    // would cast a compacted generation's 'batch=compact-T' value to
-    // null and silently drop the whole corpus from the probe)
+    // would cast the base tier's '_base' value to null and silently
+    // drop the whole corpus from the probe)
     val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)

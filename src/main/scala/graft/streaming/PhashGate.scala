@@ -29,11 +29,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rejoin by hash at the end for per-row verdicts, so the row-space
   * work is one join against distinct-hash-sized labels.
   *
-  * State is one bucket-partitioned parquet relation, `indexDir/bands`
-  * (band, key, phash, media_id of the admitted keeper): the per-batch
-  * probe partition-prunes to the buckets the batch's bands touch —
-  * probe cost follows the delta, not the corpus ([[NearDupGate]]'s
-  * layout, enforced by the same [[GateLayout]] marker). All outputs
+  * State is one two-tier [[GateIndex]] relation, `indexDir/bands`
+  * (band, key, phash, media_id of the admitted keeper): micro-batch
+  * deltas land as the batch's own few files, compaction folds them
+  * into the `_base/bucket=*` tier, and the per-batch probe dir-prunes
+  * the base to the buckets the batch's bands touch — probe cost
+  * follows the delta, not the corpus ([[NearDupGate]]'s layout,
+  * enforced by the same [[GateLayout]] marker). All outputs
   * land as batch-scoped `batch=<tag>` overwrite generations (replay
   * rewrites, never duplicates), the probe excludes the batch's own
   * tag (a crash-replay must not match its own half-written
@@ -139,15 +141,11 @@ object PhashGate {
         .agg(min(col("media_id")).as("cand_id")).cache())
       val bands = track(bandRows(nodes.select("phash")).cache())
 
-      val hasIndex = {
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
       // hash-level corpus drops: banded probe of the admitted index,
       // exact hamming verify, partner = the (lowest-hamming, lowest-id)
       // admitted keeper — deterministic across replays
       val corpusDropped: DataFrame =
-        if (!hasIndex)
+        if (!GateIndex.exists(spark, s"$indexDir/bands"))
           nodes.select(col("phash")).limit(0)
             .withColumn("partner", lit(null).cast("long"))
             .withColumn("hamming", lit(null).cast("long"))
@@ -157,7 +155,7 @@ object PhashGate {
           val touched = bands
             .select(bandBucket(cfg.indexBuckets, col("band"), col("key")).as("bucket"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          val probe = spark.read.parquet(s"$indexDir/bands")
+          val probe = GateIndex.read(spark, s"$indexDir/bands")
             .filter(col("batch") =!= batchTag && col("bucket").isin(touched: _*))
             .select(col("band"), col("key"),
               col("phash").as("a_hash"), col("media_id").as("a_id"))
@@ -233,17 +231,18 @@ object PhashGate {
 
       write(verdicted.filter(col("decision") === "admit")
         .select("media_id", "fmt", "width", "height", "phash"), lakeDir)
-      // index: 8 band rows per admitted hash, keeper id attached;
-      // repartition by bucket first so each micro-batch lands one file
-      // per non-empty bucket, not (tasks x buckets) splinters
+      // index: 8 band rows per admitted hash, keeper id attached. The
+      // delta lands as the batch's own few files (bucket a data
+      // column); compaction folds deltas into the dir-pruned _base
+      // tier (GateIndex) — bucketing a micro-batch-sized delta was
+      // pure 64-directory commit cost
       val admitted = elected.filter(col("phash") === col("keeper_hash"))
         .select(col("phash"), col("keeper_id").as("media_id"))
-      bandRows(admitted.select("phash"))
-        .join(broadcast(admitted), Seq("phash"))
-        .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("key")))
-        .repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$indexDir/bands/batch=$batchTag")
+      GateIndex.writeDelta(
+        bandRows(admitted.select("phash"))
+          .join(broadcast(admitted), Seq("phash"))
+          .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("key"))),
+        s"$indexDir/bands", batchTag)
       // decisions: every ok row's verdict + every rejected row's reason
       write(verdicted.select("media_id", "fmt", "decision", "partner", "hamming")
         .unionByName(rows.filter(!col("ok"))
@@ -254,22 +253,18 @@ object PhashGate {
     // auto-fold AFTER the batch fully commits (NearDupGate's rule: the
     // newest generation is never folded, so a crash-replay stays a
     // same-tag overwrite)
-    if (cfg.autoFoldGenerations > 0) {
-      val bp = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val gens =
-        if (bfs.exists(bp))
-          bfs.listStatus(bp).count(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch="))
-        else 0
-      if (gens > cfg.autoFoldGenerations) compact(spark, lakeDir, indexDir, decisionsDir)
-    }
+    if (cfg.autoFoldGenerations > 0 &&
+        GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
+      compact(spark, lakeDir, indexDir, decisionsDir)
   }
+
+  /** the admitted band index, both [[GateIndex]] tiers as one relation */
+  def readBands(spark: SparkSession, indexDir: String): DataFrame =
+    GateIndex.read(spark, s"$indexDir/bands")
 
   /** fold the gate's three batch-scoped roots under ONE lease window
     * (see [[NearDupGate.compact]] — same gap-free reasoning); the index
-    * fold keeps `bucket` as the partition layout so the pruned probe is
-    * unchanged over a compacted corpus
+    * fold moves deltas into the dir-pruned `_base/bucket=*` tier
     */
   def compact(
       spark: SparkSession,
@@ -280,8 +275,7 @@ object PhashGate {
     LakeCompact.withLeases(spark, roots) {
       LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
       LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, s"$indexDir/bands",
-        partitionCols = Seq("bucket"), assumeLeased = true)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
     }
   }
 

@@ -24,18 +24,22 @@ import org.apache.spark.sql.types._
   * broadcast union-find fast path at micro-batch edge-set sizes).
   *
   * State is the admitted-vector index: a band table keyed by
-  * (band, bv) and the admitted embeddings keyed by vec_id, both
-  * physically partitioned by `bucket = hash(key) mod indexBuckets` so
-  * the per-batch probe partition-prunes to only the bucket directories
-  * the batch's signatures touch — probe cost follows the delta, not
-  * the corpus (the NearDupGate layout, verbatim). Idempotence is the
-  * same batch-scoped `batch=<tag>` overwrite recipe; compaction is the
-  * same four-root [[LakeCompact]] lease window.
+  * (band, bv) and the admitted embeddings keyed by vec_id, both in the
+  * two-tier [[GateIndex]] layout — micro-batch deltas land as the
+  * batch's own few parquet files (bucket a data column; the previous
+  * per-batch 64-directory bucketed write was pure commit cost at
+  * micro-batch sizes), while compaction folds deltas into the
+  * `_base/bucket=*` tier where directory pruning makes the probe
+  * delta-sized against a corpus-sized index. Idempotence is the same
+  * batch-scoped `batch=<tag>` overwrite recipe; compaction is the same
+  * four-root [[LakeCompact]] lease window.
   *
   * 100 TB notes: bands are (long, long) keys — the widest shuffle
   * carries 16 bytes per signature row; the batch side is broadcast
   * into the pruned index probe so the corpus is never shuffled; cosine
-  * verification is the codegen expression over candidate pairs only.
+  * verification is the codegen expression over candidate pairs only,
+  * and every intra-batch join side is micro-batch-sized and broadcast,
+  * so the per-batch pipeline plans no corpus-shaped exchange at all.
   * `planes` should grow ~log2(corpus) to hold band-bucket occupancy
   * constant — size it at index creation via
   * [[Similarity.adaptiveBandBits]](expected corpus); band values are
@@ -82,115 +86,122 @@ object SemanticGate {
     def track(df: DataFrame): DataFrame = { cached ::= df; df }
     val vecs = batchVecs
     try {
+      // band signatures carry their index bucket from birth — computed
+      // once, reused by the probe's pruning collect and the index write
       val bands = track(
-        Similarity.hyperplaneBands(vecs, cfg.planes, cfg.bandBits).cache())
+        Similarity.hyperplaneBands(vecs, cfg.planes, cfg.bandBits)
+          .withColumn("bucket",
+            NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv")))
+          .cache())
 
-      val hasIndex = {
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
       // corpus-relative drops: band collision vs the admitted index,
       // then exact-cosine verify. Partner = min admitted vec_id among
-      // verified matches — deterministic across replays.
-      val corpusDropped: DataFrame =
-        if (!hasIndex) emptyDecisions(vecs)
+      // verified matches — deterministic across replays. None (not an
+      // empty frame) when there is no index or no candidates, so the
+      // steady-state batch never pays jobs over empty relations.
+      val corpusDropped: Option[DataFrame] =
+        if (!GateIndex.exists(spark, s"$indexDir/bands")) None
         else {
           val batchBuckets = bands
-            .select(NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv")).as("bucket"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          val cand = track(
-            spark.read.parquet(s"$indexDir/bands")
-              .filter(col("batch") =!= batchTag && col("bucket").isin(batchBuckets: _*))
-              .select(col("band"), col("bv"), col("vec_id").as("v1"))
-              .join(broadcast(bands.select(col("band"), col("bv"), col("vec_id").as("v2"))),
-                Seq("band", "bv"))
-              .select("v1", "v2").distinct().cache())
+            .select("bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
+          val cand = track(GateIndex.read(spark, s"$indexDir/bands")
+            .filter(col("batch") =!= batchTag && col("bucket").isin(batchBuckets: _*))
+            .select(col("band"), col("bv"), col("vec_id").as("v1"))
+            .join(broadcast(bands.select(col("band"), col("bv"), col("vec_id").as("v2"))),
+              Seq("band", "bv"))
+            .select("v1", "v2").distinct().cache())
           val candBuckets = cand
             .select(NearDupGate.docBucket(cfg.indexBuckets, col("v1")).as("bucket"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          if (candBuckets.isEmpty) emptyDecisions(vecs)
+          if (candBuckets.isEmpty) None
           else {
-            val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
+            val corpusVecs = GateIndex.read(spark, s"$indexDir/vectors")
               .filter(col("batch") =!= batchTag && col("bucket").isin(candBuckets: _*))
               .select(col("vec_id").as("v1"), col("embedding").as("e1"))
-            cand
+            Some(cand
               .join(corpusVecs, "v1")
               .join(broadcast(vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))), "v2")
               .withColumn("cos", round(Similarity.cosine(col("e1"), col("e2")), 6))
               .filter(col("cos") >= cfg.tau)
               .groupBy(col("v2").as("vec_id"))
               .agg(min_by(struct(col("v1"), col("cos")), col("v1")).as("m"))
-              .select(col("vec_id"), col("m.v1").as("partner"), col("m.cos").as("cos"))
+              .select(col("vec_id"), col("m.v1").as("partner"), col("m.cos").as("cos")))
           }
         }
-      val cd = track(corpusDropped.cache())
+      val cd = corpusDropped.map(df => track(df.cache()))
 
       // intra-batch clusters among the survivors: band self-join,
-      // cosine verify, min-vec_id keeper election
-      val rem = track(vecs.join(cd.select("vec_id"), Seq("vec_id"), "left_anti").cache())
+      // cosine verify, min-vec_id keeper election. Every join side is
+      // micro-batch-sized, so everything is broadcast — the whole
+      // chain is map-shaped up to the components' one distinct.
+      val rem = cd match {
+        case Some(c) =>
+          track(vecs.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_anti").cache())
+        case None => vecs
+      }
       val remIds = rem.select("vec_id")
       val candB = bands.join(broadcast(remIds), Seq("vec_id"), "leftsemi")
-      val l = candB.select(col("band"), col("bv"), col("vec_id").as("v1"))
-      val r = candB.select(col("band"), col("bv"), col("vec_id").as("v2"))
-      val e1 = rem.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-      val e2 = rem.select(col("vec_id").as("v2"), col("embedding").as("e2"))
-      val pairsB = l.join(r, Seq("band", "bv"))
+      // no pre-distinct on the collided pairs: a pair colliding in k
+      // bands re-verifies k times (k <= planes/bandBits, candidates
+      // only) and the components' canonical edge set dedups — cheaper
+      // than a dedicated shuffle per micro-batch
+      val pairsB = candB.select(col("band"), col("bv"), col("vec_id").as("v1"))
+        .join(broadcast(candB.select(col("band"), col("bv"), col("vec_id").as("v2"))),
+          Seq("band", "bv"))
         .filter(col("v1") < col("v2"))
-        .select("v1", "v2").distinct()
-        .join(e1, "v1").join(e2, "v2")
+        .join(broadcast(rem.select(col("vec_id").as("v1"), col("embedding").as("e1"))), "v1")
+        .join(broadcast(rem.select(col("vec_id").as("v2"), col("embedding").as("e2"))), "v2")
         .filter(round(Similarity.cosine(col("e1"), col("e2")), 6) >= cfg.tau)
         .select(col("v1").as("d1"), col("v2").as("d2"))
+      // one materialization of the labels, reused by the decision log
+      // and the three admitted-side writes (block-manager-backed;
+      // reclaimed by the ContextCleaner after the batch)
       val comps = Clusters.connectedComponents(
-        remIds.select(col("vec_id").as("doc_id")), pairsB)
+        remIds.select(col("vec_id").as("doc_id")), pairsB).localCheckpoint()
       val batchDropped = comps.filter(col("cluster") =!= col("doc_id"))
         .select(col("doc_id").as("vec_id"), col("cluster").as("partner"))
       val admittedIds = comps.filter(col("cluster") === col("doc_id"))
         .select(col("doc_id").as("vec_id"))
+      val admitted = track(
+        rem.join(broadcast(admittedIds), Seq("vec_id"), "leftsemi").cache())
 
       def write(df: DataFrame, dir: String): Unit =
         df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
-      def writeBucketed(df: DataFrame, dir: String): Unit =
-        df.repartition(col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$dir/batch=$batchTag")
 
-      write(rem.join(broadcast(admittedIds), Seq("vec_id"), "leftsemi"), lakeDir)
-      writeBucketed(
-        rem.join(broadcast(admittedIds), Seq("vec_id"), "leftsemi")
-          .select(col("vec_id"), col("embedding"))
+      write(admitted, lakeDir)
+      GateIndex.writeDelta(
+        admitted.select(col("vec_id"), col("embedding"))
           .withColumn("bucket", NearDupGate.docBucket(cfg.indexBuckets, col("vec_id"))),
-        s"$indexDir/vectors")
-      writeBucketed(
-        bands.join(broadcast(admittedIds), Seq("vec_id"), "leftsemi")
-          .withColumn("bucket", NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv"))),
-        s"$indexDir/bands")
-      write(
-        admittedIds.withColumn("decision", lit("admit"))
-          .withColumn("partner", lit(null).cast("long"))
+        s"$indexDir/vectors", batchTag)
+      GateIndex.writeDelta(
+        bands.join(broadcast(admittedIds), Seq("vec_id"), "leftsemi"),
+        s"$indexDir/bands", batchTag)
+      val admitArm = admittedIds.withColumn("decision", lit("admit"))
+        .withColumn("partner", lit(null).cast("long"))
+        .withColumn("cos", lit(null).cast("double"))
+        .unionByName(batchDropped.withColumn("decision", lit("drop_batch"))
           .withColumn("cos", lit(null).cast("double"))
-          .unionByName(cd.withColumn("decision", lit("drop_corpus"))
-            .select(col("vec_id"), col("decision"), col("partner"), col("cos")))
-          .unionByName(batchDropped.withColumn("decision", lit("drop_batch"))
-            .withColumn("cos", lit(null).cast("double"))
-            .select(col("vec_id"), col("decision"), col("partner"), col("cos"))),
-        decisionsDir)
+          .select(col("vec_id"), col("decision"), col("partner"), col("cos")))
+      val decisions = cd.map(c => admitArm.unionByName(
+        c.withColumn("decision", lit("drop_corpus"))
+          .select(col("vec_id"), col("decision"), col("partner"), col("cos"))))
+        .getOrElse(admitArm)
+      // decisions are audit-row-thin; collapse the union's partition
+      // splinters to the batch's own parallelism before the write
+      write(decisions.coalesce(math.max(1, batchVecs.rdd.getNumPartitions)), decisionsDir)
     } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    if (cfg.autoFoldGenerations > 0) {
-      val bp = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val gens =
-        if (bfs.exists(bp))
-          bfs.listStatus(bp).count(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch="))
-        else 0
-      if (gens > cfg.autoFoldGenerations) compact(spark, lakeDir, indexDir, decisionsDir)
-    }
+    if (cfg.autoFoldGenerations > 0 &&
+        GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
+      compact(spark, lakeDir, indexDir, decisionsDir)
   }
 
-  private def emptyDecisions(vecs: DataFrame): DataFrame =
-    vecs.select(col("vec_id")).limit(0)
-      .withColumn("partner", lit(null).cast("long"))
-      .withColumn("cos", lit(null).cast("double"))
+  /** the admitted band index, both [[GateIndex]] tiers as one relation */
+  def readBands(spark: SparkSession, indexDir: String): DataFrame =
+    GateIndex.read(spark, s"$indexDir/bands")
+
+  /** the admitted vector index, both tiers as one relation */
+  def readVectors(spark: SparkSession, indexDir: String): DataFrame =
+    GateIndex.read(spark, s"$indexDir/vectors")
 
   /** WIDEN the persisted band signature by REBUILD: when the corpus
     * outgrows its creation-time width (band-bucket occupancy climbs,
@@ -201,28 +212,20 @@ object SemanticGate {
     * untouched: a rebuild changes future probe pruning, never a past
     * decision — admitted vectors stay admitted, and a duplicate of an
     * admitted vector still collides (same vector => same signature at
-    * any width). One new `batch=rebuild-<token>` generation replaces
-    * every prior band generation; a crash mid-rebuild leaves mixed
-    * widths only INSIDE the lease window, which no probe can enter.
+    * any width). The rebuilt table publishes as a fresh `_base` tier
+    * retiring every band delta in one [[FoldCommit]]-atomic swap; a
+    * crash mid-rebuild leaves mixed widths only INSIDE the lease
+    * window, which no probe can enter.
     */
   def rebuildBands(spark: SparkSession, indexDir: String, cfg: Config): Unit =
     LakeCompact.withLeases(spark, Seq(s"$indexDir/bands", s"$indexDir/vectors")) {
-      val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-      val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(bandsRoot)) {
-        val vecs = spark.read.parquet(s"$indexDir/vectors")
+      if (GateIndex.exists(spark, s"$indexDir/bands")) {
+        val vecs = GateIndex.read(spark, s"$indexDir/vectors")
           .select("vec_id", "embedding")
-        val token = java.util.UUID.randomUUID().toString.take(8)
-        Similarity.hyperplaneBands(vecs, cfg.planes, cfg.bandBits)
-          .withColumn("bucket",
-            NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv")))
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$indexDir/bands/batch=rebuild-$token")
-        fs.listStatus(bandsRoot).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-            s.getPath.getName != s"batch=rebuild-$token")
-          .foreach(s => fs.delete(s.getPath, true): Unit)
+        GateIndex.replaceAll(spark, s"$indexDir/bands",
+          Similarity.hyperplaneBands(vecs, cfg.planes, cfg.bandBits)
+            .withColumn("bucket",
+              NearDupGate.bandBucket(cfg.indexBuckets, col("band"), col("bv"))))
       }
     }
 
@@ -253,10 +256,8 @@ object SemanticGate {
     LakeCompact.withLeases(spark, roots) {
       LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
       LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, s"$indexDir/bands",
-        partitionCols = Seq("bucket"), assumeLeased = true)
-      LakeCompact.foldGenerations(spark, s"$indexDir/vectors",
-        partitionCols = Seq("bucket"), assumeLeased = true)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
+      GateIndex.foldIntoBase(spark, s"$indexDir/vectors")
     }
   }
 

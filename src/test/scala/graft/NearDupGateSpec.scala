@@ -135,29 +135,35 @@ class NearDupGateSpec extends AnyFunSuite {
       "replay duplicated lake rows")
 
     // the index holds signatures for exactly the admitted docs
-    val idxDocs = spark.read.parquet(s"$idx/bands").select("doc_id").distinct()
+    val idxDocs = NearDupGate.readBands(spark, idx).select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(idxDocs == admitted, s"index docs = $idxDocs")
 
-    // the probe is bucket-pruned: probing with one doc's band buckets
-    // must scan a strict subset of the index's band files (this is the
-    // scan `step` issues — probeBands IS its corpus read)
-    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().head
-        .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
-        .selectedPartitions.totalNumberOfFiles
-    }
-    val fullBands = spark.read.parquet(s"$idx/bands")
+    // pre-compaction the index is all delta generations (micro-batch-
+    // sized by design — nothing worth pruning there; the file-subset
+    // dir-pruning assertion lives in the compaction test, where the
+    // _base tier exists). Here: the pruned probe is LOSSLESS — probing
+    // with one doc's band buckets sees every band row of that doc
+    val fullBands = NearDupGate.readBands(spark, idx)
     val oneDocBuckets = fullBands.filter(col("doc_id") === 22L)
       .select("bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
     val probe = NearDupGate.probeBands(spark, idx, "no-such-batch", oneDocBuckets)
-    val (probeFiles, allFiles) = (scannedFiles(probe), scannedFiles(fullBands))
-    assert(probeFiles > 0 && probeFiles < allFiles,
-      s"probe scanned $probeFiles of $allFiles band files — not pruned")
-    // pruning loses nothing: every band row of the probed doc is visible
     assert(probe.filter(col("doc_id") === 22L).count() ==
       fullBands.filter(col("doc_id") === 22L).count())
+    // and each micro-batch landed a FEW delta files, not a 64-dir
+    // bucketed generation (the commit-cost regression this layout
+    // exists to prevent: ~64 file creates + renames per micro-batch)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/bands"))
+      .filter(_.getPath.getName.startsWith("batch="))
+    assert(gens.nonEmpty)
+    for (g <- gens) {
+      val n = fs.listStatus(g.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      assert(n <= 8, s"delta generation ${g.getPath.getName} splintered into $n files")
+      assert(!fs.listStatus(g.getPath).exists(_.getPath.getName.startsWith("bucket=")),
+        "delta generation carries bucket subdirs — the per-batch commit storm is back")
+    }
   }
 
   test("a mismatched indexBuckets config is refused, not silently mis-probed") {
@@ -260,10 +266,13 @@ class NearDupGateSpec extends AnyFunSuite {
 
     assert(decisionsOf(decM) == decisionsOf(decC), "decisions diverged after compaction")
     assert(docsOf(lakeM) == docsOf(lakeC), "lake diverged after compaction")
+    def readSide(idx: String, side: String) =
+      if (side == "bands") NearDupGate.readBands(spark, idx)
+      else NearDupGate.readShingles(spark, idx)
     for (side <- Seq("bands", "shingles"))
-      assert(spark.read.parquet(s"$idxM/$side").select("doc_id").distinct().collect()
+      assert(readSide(idxM, side).select("doc_id").distinct().collect()
           .map(_.getLong(0)).toSet ==
-        spark.read.parquet(s"$idxC/$side").select("doc_id").distinct().collect()
+        readSide(idxC, side).select("doc_id").distinct().collect()
           .map(_.getLong(0)).toSet, s"$side index diverged")
 
     // the planted verdicts actually happened (guards against a vacuous
@@ -273,23 +282,25 @@ class NearDupGateSpec extends AnyFunSuite {
       dec(43L) == "drop_batch" && dec(42L) == "admit" && dec(44L) == "admit",
       s"verdicts: $dec")
 
-    // the fold really happened and kept the bucketed layout...
+    // the fold really happened: deltas moved into the _base tier,
+    // which keeps the bucket=* partition layout for directory pruning
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bandGens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idxM/bands"))
-      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath)
-    val folded = bandGens.filter(_.getName.startsWith("batch=compact-"))
-    assert(folded.length == 1, s"gens: ${bandGens.map(_.getName).toList}")
-    assert(fs.listStatus(folded.head).exists(_.getPath.getName.startsWith("bucket=")),
-      "compacted generation lost the bucket partition layout")
-    // ...and the probe still partition-prunes over the compacted index
+    val base = new org.apache.hadoop.fs.Path(s"$idxM/bands/_base")
+    assert(fs.exists(base), "compaction published no _base tier")
+    assert(fs.listStatus(base).exists(_.getPath.getName.startsWith("bucket=")),
+      "base tier lost the bucket partition layout")
+    // ...and the probe DIR-PRUNES the base: restricted buckets scan a
+    // strict subset of the index's files (this is the scan `step`
+    // issues — probeBands IS its corpus read)
     def scanned(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collectLeaves().head
-        .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
-        .selectedPartitions.totalNumberOfFiles
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
     }
-    val full = spark.read.parquet(s"$idxM/bands")
+    val full = NearDupGate.readBands(spark, idxM)
     val bks = full.filter(col("doc_id") === 1L).select("bucket").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val pr = NearDupGate.probeBands(spark, idxM, "none", bks)
@@ -310,8 +321,8 @@ class NearDupGateSpec extends AnyFunSuite {
     NearDupGate.forget(spark, lake, idx, col("doc_id") === 1L)
     val lakeIds = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(lakeIds == Set(2L), s"lake after forget = $lakeIds")
-    assert(spark.read.parquet(s"$idx/shingles").filter(col("doc_id") === 1L).count() == 0)
-    assert(spark.read.parquet(s"$idx/bands").filter(col("doc_id") === 1L).count() == 0)
+    assert(NearDupGate.readShingles(spark, idx).filter(col("doc_id") === 1L).count() == 0)
+    assert(NearDupGate.readBands(spark, idx).filter(col("doc_id") === 1L).count() == 0)
     // the audit record of the original decision survives the takedown
     assert(spark.read.parquet(dec).filter(col("doc_id") === 1L).count() == 1)
 

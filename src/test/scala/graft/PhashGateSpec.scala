@@ -87,7 +87,7 @@ class PhashGateSpec extends AnyFunSuite {
     PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
     assert(spark.read.parquet(dec).count() == 10)
     assert(spark.read.parquet(lake).count() == 3)
-    val bandsPerAdmit = spark.read.parquet(s"$index/bands")
+    val bandsPerAdmit = PhashGate.readBands(spark, index)
       .groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bandsPerAdmit == Map(1L -> 8L, 4L -> 8L, 7L -> 8L))
@@ -126,7 +126,7 @@ class PhashGateSpec extends AnyFunSuite {
     PhashGate.step(spark, files, "t-1", lake, index, dec)
     assert(spark.read.parquet(lake).collect().map(_.toString).sorted.toSeq == lake1)
     assert(spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq == dec1)
-    assert(spark.read.parquet(s"$index/bands").count() == 16) // 2 admits x 8 bands
+    assert(PhashGate.readBands(spark, index).count() == 16) // 2 admits x 8 bands
   }
 
   test("sub-8x8 images are rejected:dust, and two distinct tiny images never phash-drop each other") {
@@ -195,6 +195,6 @@ class PhashGateSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 400L))
     assert(d.filter(col("decision") === "drop_batch" && col("partner") === 1L &&
       col("hamming") === 0L).count() == 299)
-    assert(spark.read.parquet(s"$index/bands").count() == 16)
+    assert(PhashGate.readBands(spark, index).count() == 16)
   }
 }

@@ -138,15 +138,18 @@ class SemanticGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(dec).collect().map(_.toString).sorted.toSeq == decBefore)
     // exactly one band generation remains, and it is the wide-width
     // signature of exactly the admitted vectors (rebuild ≡ recompute)
-    val gens = new java.io.File(s"$idx/bands").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
-    assert(gens.size == 1 && gens.head.startsWith("batch=rebuild-"), s"gens = $gens")
+    // the rebuild published as a fresh base tier and retired every
+    // band delta generation in one atomic swap
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(bandDirs.count(_.startsWith("batch=")) == 0 && bandDirs.contains("_base"),
+      s"band dirs = $bandDirs")
     def bandSet(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "band", "bv").collect()
         .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString)).toSet
-    val rebuilt = bandSet(spark.read.parquet(s"$idx/bands"))
+    val rebuilt = bandSet(SemanticGate.readBands(spark, idx))
     val expected = bandSet(llm.Similarity.hyperplaneBands(
-      spark.read.parquet(s"$idx/vectors").select("vec_id", "embedding"),
+      SemanticGate.readVectors(spark, idx).select("vec_id", "embedding"),
       wide.planes, wide.bandBits))
     assert(rebuilt == expected, "rebuilt bands must equal a fresh wide-width recompute")
 
@@ -176,8 +179,8 @@ class SemanticGateSpec extends AnyFunSuite {
     SemanticGate.step(spark, batchDf(Seq(1L -> v1, 2L -> v2)), "g1", lake, idx, dec)
     SemanticGate.forget(spark, lake, idx, col("vec_id") === 1L)
     assert(spark.read.parquet(lake).select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L))
-    assert(spark.read.parquet(s"$idx/vectors").filter(col("vec_id") === 1L).count() == 0)
-    assert(spark.read.parquet(s"$idx/bands").filter(col("vec_id") === 1L).count() == 0)
+    assert(SemanticGate.readVectors(spark, idx).filter(col("vec_id") === 1L).count() == 0)
+    assert(SemanticGate.readBands(spark, idx).filter(col("vec_id") === 1L).count() == 0)
     SemanticGate.step(spark,
       batchDf(Seq(10L -> v1, 11L -> perturb(v2, 902))), "g2", lake, idx, dec)
     val byId = spark.read.parquet(dec).collect()
