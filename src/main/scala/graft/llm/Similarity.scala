@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, IntegerType, LongType}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
   *
@@ -677,17 +677,32 @@ object Similarity {
   }
 
   /** ADC scoring over a STANDING code table (vec_id, pq) — the search
-    * half that never touches float vectors: unpack each row's PqM 4-bit
-    * codes, join the broadcast ADC table, sum decimal partials.
+    * half that never touches float vectors. The PqM x PqCodewords
+    * decimal partials collapse into ONE lookup array (slot =
+    * s * PqCodewords + code) broadcast as a single row, and each code
+    * row scores itself with an in-row fold over its 8 packed codes —
+    * decimal-exact like the previous explode + join + re-group shape
+    * (exact addition, order-free), but the corpus-sized code scan is
+    * never amplified PqM-fold and never shuffled for the sum.
     */
-  def pqScoresWithCodes(codes: DataFrame, books: DataFrame, q: DataFrame): DataFrame =
-    codes
-      .select(col("vec_id"), posexplode(
-        expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
-        .as(Seq("s", "code")))
-      .join(broadcast(adcTable(books, q)), Seq("s", "code"))
-      .groupBy("vec_id")
-      .agg(sum(col("p")).as("score"))
+  def pqScoresWithCodes(codes: DataFrame, books: DataFrame, q: DataFrame): DataFrame = {
+    val adcArr = adcTable(books, q)
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(
+        (col("s") * PqCodewords + col("code")).cast(IntegerType).as("slot"),
+        col("p")))).as("m"))
+      // dense layout with zero-fill — see pqScoresWithCodesBatched
+      .select(transform(
+        sequence(lit(0), lit(PqM * PqCodewords - 1)),
+        i => coalesce(try_element_at(col("m"), i),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))).as("adc"))
+    codes.crossJoin(broadcast(adcArr))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), cast(0 as decimal(18,6)), " +
+          s"(acc, s) -> cast(acc + element_at(adc, s * $PqCodewords + " +
+          "int((pq >> (s * 4)) & 15) + 1) as decimal(18,6)))"))
+      .select("vec_id", "score")
+  }
 
   /** batched ADC lookup table (query_id, s, code, p) against a query
     * FRAME `queries(query_id, qv)` — |queries| x PqCodewords x PqM
@@ -709,20 +724,39 @@ object Similarity {
   }
 
   /** batched ADC scoring: `members(query_id, vec_id, pq)` — each
-    * query's pruned posting-list members — scored against the
-    * broadcast batched ADC table. Same decimal-exact discipline as
-    * [[pqScoresWithCodes]]; the only non-broadcast relation is the
-    * member list itself.
+    * query's pruned posting-list members — scored IN-ROW against a
+    * per-query ADC lookup ARRAY (slot = s * PqCodewords + code, PqM x
+    * PqCodewords decimal partials per query, broadcast). Same
+    * decimal-exact values as the previous explode + (query_id, s,
+    * code) join + re-group shape (decimal addition is exact, so
+    * summation order cannot move a score), but the member relation is
+    * never amplified PqM-fold and never re-shuffled for the sum: one
+    * broadcast hash join on query_id, then a map-side fold over the 8
+    * packed codes. This is the serving hot loop —
+    * [[graft.streaming.ServeGate]] pays it per micro-batch.
     */
   def pqScoresWithCodesBatched(
-      members: DataFrame, books: DataFrame, queries: DataFrame): DataFrame =
-    members
-      .select(col("query_id"), col("vec_id"), posexplode(
-        expr(s"transform(sequence(0, ${PqM - 1}), s -> (pq >> (s * 4)) & 15)"))
-        .as(Seq("s", "code")))
-      .join(broadcast(adcTableBatched(books, queries)), Seq("query_id", "s", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("p")).as("score"))
+      members: DataFrame, books: DataFrame, queries: DataFrame): DataFrame = {
+    val adcArr = adcTableBatched(books, queries)
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("s") * PqCodewords + col("code")).cast(IntegerType).as("slot"),
+        col("p")))).as("m"))
+      // DENSE PqM x PqCodewords layout: a small corpus trains fewer
+      // codewords, and a compacted (sorted) array would misindex the
+      // s * PqCodewords + code arithmetic — absent slots zero-fill
+      // (they are never looked up: codes only reference trained words)
+      .select(col("query_id"), transform(
+        sequence(lit(0), lit(PqM * PqCodewords - 1)),
+        i => coalesce(try_element_at(col("m"), i),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))).as("adc"))
+    members.join(broadcast(adcArr), "query_id")
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), cast(0 as decimal(18,6)), " +
+          s"(acc, s) -> cast(acc + element_at(adc, s * $PqCodewords + " +
+          "int((pq >> (s * 4)) & 15) + 1) as decimal(18,6)))"))
+      .select("query_id", "vec_id", "score")
+  }
 
   /** batched IVF-PQ SERVING step against a standing index: answer a
     * whole query frame `queries(query_id, qv)` in one plan — the shape

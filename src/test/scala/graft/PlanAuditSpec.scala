@@ -72,14 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"IVF assignment plans a join:\n$plan")
   }
 
-  test("PQ searchers broadcast the ADC lookup table and shortlist, never the corpus") {
-    // the ADC table is PqM x PqCodewords rows and the shortlist is
-    // `shortlist` ids — both must reach the corpus-sized sides as
-    // broadcasts; an exchange of the codes frame toward either would
-    // shuffle the corpus to a 128-row table
+  test("PQ searchers broadcast the ADC array and shortlist, never the corpus") {
+    // the ADC partials collapse to ONE broadcast array row and the
+    // shortlist is `shortlist` ids — both must reach the corpus-sized
+    // sides as broadcasts (BNLJ for the single-row array, BHJ for the
+    // keyed joins); an exchange of the codes frame toward either would
+    // shuffle the corpus to a 128-slot table. The in-row fold means no
+    // plan may amplify the code scan PqM-fold through a Generate.
     for (name <- Seq("s08_pq_topk", "s09_ivfpq_topk", "s10_ivfpq_standing")) {
       val plan = planOf(name)
-      assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast the ADC table")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$name does not broadcast the ADC array")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
