@@ -578,7 +578,8 @@ object Bench {
       "keeper" -> (() => keeperThroughput(spark, sfDir)),
       "serve" -> (() => serveThroughput(spark, sfDir)),
       "media" -> (() => mediaThroughput(spark)),
-      "phash" -> (() => phashThroughput(spark)))
+      "phash" -> (() => phashThroughput(spark)),
+      "afp" -> (() => afpThroughput(spark)))
     for ((name, body) <- probeBodies) probeGated(name)(body())
     def pr(name: String): Double = probeResults.getOrElse(name, 0.0)
     // Output contract, tail-capture-proof (the driver keeps only the
@@ -694,7 +695,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_contam_excise_docs_per_sec":${f"${pr("contam_excise")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"streaming_phash_blobs_per_sec":${f"${pr("phash")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_contam_excise_docs_per_sec":${f"${pr("contam_excise")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"streaming_phash_blobs_per_sec":${f"${pr("phash")}%.0f"},"streaming_afp_blobs_per_sec":${f"${pr("afp")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -982,6 +983,44 @@ object Bench {
       }
       val t0 = System.nanoTime()
       graft.streaming.PhashGate
+        .start(spark, src, s"$base/lake", s"$base/index", s"$base/decisions", s"$base/ckpt")
+        .awaitTermination()
+      nBlobs / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  private def afpThroughput(spark: SparkSession): Double = {
+    afpRun(spark, nBlobs = 150) // warmup: JIT decode + fingerprint + graph path
+    afpRun(spark, nBlobs = 2400)
+  }
+
+  /** one audio-drop -> AfpGate -> deduped lake pass; returns blobs/s.
+    * Two of every three blobs are acoustic re-masters of an earlier
+    * track (the 2x-gain copy / extra-LIST-chunk container of the same
+    * residue) and the 240-residue pool cycles — the same maximum-dup-
+    * pressure recipe as the phash probe, through RIFF/PCM decode +
+    * delta-sign fingerprint + banded probe + election + commit.
+    */
+  private def afpRun(spark: SparkSession, nBlobs: Int): Double = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_bench_afp").toString
+    try {
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      var id = 0
+      while (id < nBlobs) {
+        val rid = (id / 3) % 240
+        val variants = graft.llm.Multimodal.afpVariants(rid).toMap
+        val (name, bytes) = (id % 3) match {
+          case 0 => (f"m$id%06d.wav", variants("pcm"))
+          case 1 => (f"m$id%06d.wav", variants("loud"))
+          case _ => (f"m$id%06d.wav", variants("pad"))
+        }
+        Files.write(Paths.get(src, name), bytes)
+        id += 1
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.AfpGate
         .start(spark, src, s"$base/lake", s"$base/index", s"$base/decisions", s"$base/ckpt")
         .awaitTermination()
       nBlobs / ((System.nanoTime() - t0) / 1e9)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.MediaCodecs
-import graft.llm.{Clusters, Multimodal}
+import graft.llm.Multimodal
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -104,19 +104,11 @@ object PhashGate {
       })
   }
 
-  /** the 8 (band, key) rows of a 63-bit hash column — m13's banding */
-  private def bandRows(hashes: DataFrame): DataFrame =
-    hashes.select(col("phash"),
-      posexplode(expr(
-        "transform(sequence(0, 7), b -> shiftright(phash, b * 8) & 255)"))
-        .as(Seq("band", "key")))
-
-  private def bandBucket(nb: Int, band: Column, key: Column): Column =
-    pmod(hash(band, key), lit(nb))
-
   /** One incremental step: gate `files` (binaryFile-shaped: path,
     * content) against the index at `indexDir`, land admitted rows /
     * band signatures / per-row decisions under `batch=batchTag`.
+    * Everything past the decode is [[HashGateCore]] — the pipeline
+    * m13 and m14 share in signature space.
     */
   def step(
       spark: SparkSession,
@@ -129,133 +121,13 @@ object PhashGate {
     Seq(lakeDir, s"$indexDir/bands", decisionsDir)
       .foreach(LakeCompact.assertNoLease(spark, _))
     GateLayout.assertBuckets(spark, indexDir, cfg.indexBuckets)
-    var cached = List[DataFrame]()
-    def track(df: DataFrame): DataFrame = { cached ::= df; df }
-    try {
-      val rows = track(hashBatch(spark, files, cfg.maxUnits).toDF().cache())
-      val okRows = rows.filter(col("ok"))
-      // dup pressure collapses HERE: hash-space nodes, with the
-      // would-be keeper (min media_id over the hash's rows) riding
-      // along for the election and for partner attribution
-      val nodes = track(okRows.groupBy("phash")
-        .agg(min(col("media_id")).as("cand_id")).cache())
-      val bands = track(bandRows(nodes.select("phash")).cache())
-
-      // hash-level corpus drops: banded probe of the admitted index,
-      // exact hamming verify, partner = the (lowest-hamming, lowest-id)
-      // admitted keeper — deterministic across replays
-      val corpusDropped: DataFrame =
-        if (!GateIndex.exists(spark, s"$indexDir/bands"))
-          nodes.select(col("phash")).limit(0)
-            .withColumn("partner", lit(null).cast("long"))
-            .withColumn("hamming", lit(null).cast("long"))
-        else {
-          // which buckets does the batch touch? <= indexBuckets ints —
-          // the one driver-side materialization of the probe
-          val touched = bands
-            .select(bandBucket(cfg.indexBuckets, col("band"), col("key")).as("bucket"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          val probe = GateIndex.read(spark, s"$indexDir/bands")
-            .filter(col("batch") =!= batchTag && col("bucket").isin(touched: _*))
-            .select(col("band"), col("key"),
-              col("phash").as("a_hash"), col("media_id").as("a_id"))
-          probe
-            .join(broadcast(bands), Seq("band", "key"))
-            .select(col("phash"), col("a_hash"), col("a_id")).distinct()
-            .withColumn("hamming", expr("bit_count(phash ^ a_hash)").cast("long"))
-            .filter(col("hamming") <= cfg.maxHamming)
-            .groupBy("phash")
-            .agg(min(struct(col("hamming"), col("a_id"))).as("m"))
-            .select(col("phash"), col("m.a_id").as("partner"),
-              col("m.hamming").as("hamming"))
-        }
-      val cd = track(corpusDropped.cache())
-
-      // intra-batch near-dup components among surviving hashes: the
-      // cluster keeper is the hash carrying the min candidate media_id
-      // (ties to the lower hash) — m13's lexicographic election in
-      // hash space
-      val rem = track(nodes.join(cd.select("phash"), Seq("phash"), "left_anti").cache())
-      val remBands = bands.join(broadcast(rem.select("phash")), Seq("phash"), "leftsemi")
-      val pairs = remBands.as("a").join(remBands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.phash") < col("b.phash"))
-        .select(col("a.phash").as("d1"), col("b.phash").as("d2")).distinct()
-        .filter(expr(s"bit_count(d1 ^ d2) <= ${cfg.maxHamming}"))
-      val comps = Clusters
-        .connectedComponents(rem.select(col("phash").as("doc_id")), pairs)
-        .withColumnRenamed("doc_id", "phash")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
-      val elected = track(rem.join(comps, Seq("phash"))
-        .withColumn("k", min(struct(col("cand_id"), col("phash"))).over(w))
-        .select(col("phash"), col("cand_id"),
-          col("k.cand_id").as("keeper_id"), col("k.phash").as("keeper_hash"))
-        .cache())
-
-      // hash-space labels -> per-row verdicts. Three hash states:
-      // corpus-dropped, cluster loser, cluster keeper; within a KEEPER
-      // hash only the min-media_id row admits — its same-hash
-      // duplicates drop against it at hamming 0.
-      val labels =
-        cd.select(col("phash"), lit("corpus").as("hstate"),
-            col("partner"), col("hamming"),
-            lit(null).cast("long").as("keeper_id"))
-          .unionByName(elected.select(col("phash"),
-            when(col("phash") === col("keeper_hash"), "keeper")
-              .otherwise("loser").as("hstate"),
-            when(col("phash") === col("keeper_hash"), lit(null).cast("long"))
-              .otherwise(col("keeper_id")).as("partner"),
-            when(col("phash") === col("keeper_hash"), lit(null).cast("long"))
-              .otherwise(expr("bit_count(phash ^ keeper_hash)").cast("long"))
-              .as("hamming"),
-            col("keeper_id")))
-      val verdicted = track(okRows.join(labels, Seq("phash"))
-        .select(col("media_id"), col("fmt"), col("width"), col("height"),
-          col("phash"),
-          when(col("hstate") === "corpus", "drop_corpus")
-            .when(col("hstate") === "loser", "drop_batch")
-            .when(col("media_id") === col("keeper_id"), "admit")
-            .otherwise("drop_batch").as("decision"),
-          when(col("hstate") === "corpus", col("partner"))
-            .when(col("hstate") === "loser", col("partner"))
-            .when(col("media_id") === col("keeper_id"), lit(null).cast("long"))
-            .otherwise(col("keeper_id")).as("partner"),
-          when(col("hstate") === "corpus", col("hamming"))
-            .when(col("hstate") === "loser", col("hamming"))
-            .when(col("media_id") === col("keeper_id"), lit(null).cast("long"))
-            .otherwise(lit(0L)).as("hamming"))
-        .cache())
-
-      def write(df: DataFrame, dir: String): Unit =
-        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchTag")
-
-      write(verdicted.filter(col("decision") === "admit")
-        .select("media_id", "fmt", "width", "height", "phash"), lakeDir)
-      // index: 8 band rows per admitted hash, keeper id attached. The
-      // delta lands as the batch's own few files (bucket a data
-      // column); compaction folds deltas into the dir-pruned _base
-      // tier (GateIndex) — bucketing a micro-batch-sized delta was
-      // pure 64-directory commit cost
-      val admitted = elected.filter(col("phash") === col("keeper_hash"))
-        .select(col("phash"), col("keeper_id").as("media_id"))
-      GateIndex.writeDelta(
-        bandRows(admitted.select("phash"))
-          .join(broadcast(admitted), Seq("phash"))
-          .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("key"))),
-        s"$indexDir/bands", batchTag)
-      // decisions: every ok row's verdict + every rejected row's reason
-      write(verdicted.select("media_id", "fmt", "decision", "partner", "hamming")
-        .unionByName(rows.filter(!col("ok"))
-          .select(col("media_id"), col("fmt"), col("verdict").as("decision"),
-            lit(null).cast("long").as("partner"),
-            lit(null).cast("long").as("hamming"))), decisionsDir)
-    } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    // auto-fold AFTER the batch fully commits (NearDupGate's rule: the
-    // newest generation is never folded, so a crash-replay stays a
-    // same-tag overwrite)
-    if (cfg.autoFoldGenerations > 0 &&
-        GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
-      compact(spark, lakeDir, indexDir, decisionsDir)
+    HashGateCore.step(spark,
+      hashBatch(spark, files, cfg.maxUnits).toDF(),
+      sig = "phash",
+      lakeCols = Seq("media_id", "fmt", "width", "height", "phash"),
+      batchTag, lakeDir, indexDir, decisionsDir,
+      cfg.maxHamming, cfg.indexBuckets, cfg.autoFoldGenerations,
+      () => compact(spark, lakeDir, indexDir, decisionsDir))
   }
 
   /** the admitted band index, both [[GateIndex]] tiers as one relation */

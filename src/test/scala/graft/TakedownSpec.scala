@@ -207,6 +207,43 @@ class TakedownSpec extends AnyFunSuite {
     assert(d(43L) == "admit" && d(44L) == "drop_corpus")
   }
 
+  test("the ledger drives a takedown across the acoustic media gate") {
+    import graft.streaming.AfpGate
+    val base = tmp("graft_takedown")
+    val lake = s"$base/lake"; val index = s"$base/index"
+    val dec = s"$base/dec"; val ledger = s"$base/ledger"
+    def blob(rid: Long, v: String) =
+      graft.llm.Multimodal.afpVariants(rid).toMap.apply(v)
+    // admit two acoustic groups (residues 31 and 32)
+    AfpGate.step(spark,
+      Seq(("f/m51.wav", blob(31, "pcm")), ("f/m52.wav", blob(32, "pcm")))
+        .toDF("path", "content"),
+      "t-1", lake, index, dec)
+    assert(spark.read.parquet(lake).count() == 2)
+
+    val token = Takedown.request(spark, ledger,
+      Seq(51L).toDF("media_id"), Seq("afp"))
+    val closed = Takedown.resume(spark, ledger, Seq(
+      Takedown.Surface("afp", (s, ids) =>
+        AfpGate.forget(s, lake, index, col("media_id").isInCollection(ids)))))
+    assert(closed == Seq(token) && Takedown.pending(spark, ledger).isEmpty)
+
+    // the keeper and its fingerprint bands are gone; the audit log stays
+    assert(spark.read.parquet(lake).select("media_id").as[Long].collect().toSeq == Seq(52L))
+    assert(AfpGate.readBands(spark, index)
+      .filter(col("media_id") === 51L).count() == 0)
+    assert(spark.read.parquet(dec).count() == 2)
+    // a re-master of the FORGOTTEN track admits afresh; a re-master of
+    // the SURVIVOR still drops at the door
+    AfpGate.step(spark,
+      Seq(("f/m53.wav", blob(31, "loud")), ("f/m54.wav", blob(32, "pad")))
+        .toDF("path", "content"),
+      "t-2", lake, index, dec)
+    val d = spark.read.parquet(dec)
+      .select("media_id", "decision").as[(Long, String)].collect().toMap
+    assert(d(53L) == "admit" && d(54L) == "drop_corpus")
+  }
+
   test("a legacy request without a pinned surface set neither wedges nor blocks newer tokens") {
     // a ledger written before surface pinning existed carries no
     // `surfaces` file; resume must fall back to the resuming
