@@ -1140,31 +1140,37 @@ object LlmQueries {
   private def s27IdxDir =
     new java.io.File("target/graft_idx/s27_rq").getAbsolutePath
 
-  private[graft] def s27Build(s: SparkSession, d: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(s27IdxDir)
+  private[graft] def s27Build(s: SparkSession, d: String): Unit =
+    s27BuildAt(s, d, s27IdxDir)
+
+  private[graft] def s27BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(idxDir)
     graft.streaming.FoldCommit.clearResidue(
       root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
     val emb = Tables.embeddings(s, d)
     Similarity.sampledCodebooks(emb)
-      .write.mode("overwrite").parquet(s"$s27IdxDir/books")
+      .write.mode("overwrite").parquet(s"$idxDir/books")
     Similarity.residualCodebooksWide(emb, Similarity.sampledCodebooks(emb))
-      .write.mode("overwrite").parquet(s"$s27IdxDir/books2")
-    val books = s.read.parquet(s"$s27IdxDir/books")
-    val books2 = s.read.parquet(s"$s27IdxDir/books2")
+      .write.mode("overwrite").parquet(s"$idxDir/books2")
+    val books = s.read.parquet(s"$idxDir/books")
+    val books2 = s.read.parquet(s"$idxDir/books2")
     Similarity.residualPqEncodeWith(emb.filter(col("vec_id") % 10 =!= 7), books, books2)
       .select("vec_id", "pq", "pq2")
-      .write.mode("overwrite").parquet(s"$s27IdxDir/rows")
+      .write.mode("overwrite").parquet(s"$idxDir/rows")
     Similarity.residualPqEncodeWith(emb.filter(col("vec_id") % 10 === 7), books, books2)
       .select("vec_id", "pq", "pq2")
-      .write.mode("append").parquet(s"$s27IdxDir/rows")
+      .write.mode("append").parquet(s"$idxDir/rows")
   }
 
   private[graft] def s27Probe(s: SparkSession, d: String): DataFrame =
+    s27ProbeAt(s, d, s27IdxDir)
+
+  private[graft] def s27ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame =
     Similarity.rqRefineTopKWith(
       Tables.embeddings(s, d),
-      s.read.parquet(s"$s27IdxDir/rows"),
-      s.read.parquet(s"$s27IdxDir/books"),
-      s.read.parquet(s"$s27IdxDir/books2"),
+      s.read.parquet(s"$idxDir/rows"),
+      s.read.parquet(s"$idxDir/books"),
+      s.read.parquet(s"$idxDir/books2"),
       0L, 10, 50, 20)
 
   private val s27 = Q(
@@ -2994,6 +3000,14 @@ object LlmQueries {
 
   private[graft] def x09BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
     s10BuildAt(s, d, s"$idxDir/ivf")
+    bm25BuildAt(s, d, idxDir)
+  }
+
+  /** the standing BM25 half both serving builds (x09, x10) freeze:
+    * s13's partial-aggregate layout over the embedded lexical corpus,
+    * base batch + appended delta
+    */
+  private def bm25BuildAt(s: SparkSession, d: String, idxDir: String): Unit = {
     val embIds = Tables.embeddings(s, d).select(col("vec_id"))
     val corpus = Tables.documents(s, d)
       .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
@@ -3025,8 +3039,21 @@ object LlmQueries {
     x09ProbeAt(s, d, x09IdxDir)
 
   private[graft] def x09ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
-    // lexical arm: x08's scoring, inputs read back from the standing
-    // relations (partials merged at read — associative, so ≡ x08)
+    // dense arm: the s10 standing probe — IVF 4/16, ADC shortlist 50,
+    // exact re-rank top-10, ranked exactly as the re-rank orders
+    val wd = Window.orderBy(col("cos").desc, col("corpus_doc"))
+    val dense = s10ProbeAt(s, d, s"$idxDir/ivf")
+      .select(col("vec_id").as("corpus_doc"), col("cos"))
+      .withColumn("vec_rank", row_number().over(wd).cast(LongType))
+      .select("corpus_doc", "vec_rank")
+    fuseAndDiversify(s, Tables.embeddings(s, d), bm25ArmAt(s, d, idxDir), dense)
+  }
+
+  /** the lexical serving arm off the standing BM25 relations: x08's
+    * scoring, inputs read back from disk (partials merged at read —
+    * associative, so ≡ x08); shared by x09 and x10
+    */
+  private def bm25ArmAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
     val postings = s.read.parquet(s"$idxDir/bm25/postings")
     val dfr = s.read.parquet(s"$idxDir/bm25/df")
       .groupBy("term").agg(sum(col("df")).as("df"))
@@ -3055,20 +3082,86 @@ object LlmQueries {
       .withColumn("lex_rank", row_number().over(wl).cast(LongType))
       .filter(col("lex_rank") <= 10)
       .select("corpus_doc", "lex_rank")
-    // dense arm: the s10 standing probe — IVF 4/16, ADC shortlist 50,
-    // exact re-rank top-10, ranked exactly as the re-rank orders
-    val wd = Window.orderBy(col("cos").desc, col("corpus_doc"))
-    val dense = s10ProbeAt(s, d, s"$idxDir/ivf")
-      .select(col("vec_id").as("corpus_doc"), col("cos"))
-      .withColumn("vec_rank", row_number().over(wd).cast(LongType))
-      .select("corpus_doc", "vec_rank")
-    fuseAndDiversify(s, Tables.embeddings(s, d), lex, dense)
+    lex
   }
 
   private val x09 = Q(
     "x09_serving_standing",
     (s, d) => { x09Build(s, d); x09Probe(s, d) },
     Some(x09Oracle))
+
+  // -- x10: the serving stack with the RQ-REFINED dense arm — x09's
+  //    composition where the dense side runs the s27 standing
+  //    residual-quantization search instead of the plain IVF-PQ probe:
+  //    level-1 ADC ranks the standing code parquet (wide 50), the
+  //    level-2 residual partials refine the wide set (narrow 20), and
+  //    exact cosines are paid only on the narrow shortlist (s26
+  //    measured the recall this buys; x10 is where serving collects
+  //    it). The BM25 arm, RRF fusion and MMR tail are byte-shared with
+  //    x09 (bm25BuildAt / bm25ArmAt / fuseAndDiversify), so the ONLY
+  //    delta is the dense arm — exactly the swap a deployment makes
+  //    when it upgrades its embedding index. The oracle models the
+  //    full refinement chain explicitly (wide/refine/narrow CTEs), so
+  //    the shortlist recall effects are pinned, not assumed.
+  private def x10IdxDir =
+    new java.io.File("target/graft_idx/x10_serving").getAbsolutePath
+
+  private[graft] def x10Build(s: SparkSession, d: String): Unit = {
+    s27BuildAt(s, d, s"$x10IdxDir/rq")
+    bm25BuildAt(s, d, x10IdxDir)
+  }
+
+  private[graft] def x10Probe(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.orderBy(col("cos").desc, col("corpus_doc"))
+    val dense = s27ProbeAt(s, d, s"$x10IdxDir/rq")
+      .select(col("vec_id").as("corpus_doc"), col("cos"))
+      .withColumn("vec_rank", row_number().over(wd).cast(LongType))
+      .select("corpus_doc", "vec_rank")
+    fuseAndDiversify(s, Tables.embeddings(s, d), bm25ArmAt(s, d, x10IdxDir), dense)
+  }
+
+  /** x10's dense arm in DuckDB: the s26/s27 RQ oracle machinery
+    * (level-1 ADC wide-50, residual refine, narrow-20, exact re-rank)
+    * producing the `xdense(corpus_doc, vec_rank)` interface the shared
+    * serving template consumes.
+    */
+  private lazy val x10Oracle = servingOracle(s"""$pqCte,
+      $rqCte,
+      xadc1 AS (SELECT c.code, s.s,
+                  CAST(round(SUM(CAST(c.cv[s.s*8+i.i+1] AS DOUBLE)
+                               * CAST(xq.qv[s.s*8+i.i+1] AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS p
+                FROM cw c, xq, sub s, d8 i GROUP BY c.code, s.s),
+      xw1 AS (SELECT b.vec_id, SUM(a.p) AS score1
+              FROM best b JOIN xadc1 a ON a.s = b.s AND a.code = b.code
+              WHERE b.vec_id <> 0 GROUP BY b.vec_id
+              ORDER BY score1 DESC, vec_id ASC LIMIT 50),
+      xadc2 AS (SELECT w.code2, w.s,
+                  CAST(round(SUM(w.rv * CAST(xq.qv[w.s*8+w.i+1] AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS p2
+                FROM cw2 w, xq GROUP BY w.code2, w.s),
+      xnar AS (SELECT b2.vec_id
+               FROM best2 b2
+               JOIN xadc2 a2 ON a2.s = b2.s AND a2.code2 = b2.code2
+               JOIN xw1 ON xw1.vec_id = b2.vec_id
+               GROUP BY b2.vec_id, xw1.score1
+               ORDER BY (xw1.score1 + SUM(a2.p2)) DESC, b2.vec_id ASC LIMIT 20),
+      xdx AS (SELECT e.vec_id,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS dt,
+                SUM(CAST(e.embedding[d.d+1] AS DOUBLE) * CAST(e.embedding[d.d+1] AS DOUBLE)) AS na,
+                SUM(CAST(xq.qv[d.d+1] AS DOUBLE) * CAST(xq.qv[d.d+1] AS DOUBLE)) AS nb
+              FROM embeddings e JOIN xnar sh ON sh.vec_id = e.vec_id, xq, xdims d
+              GROUP BY e.vec_id),
+      xdense AS MATERIALIZED (
+        SELECT vec_id AS corpus_doc,
+               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+        FROM (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM xdx)
+        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10)""")
+
+  private val x10 = Q(
+    "x10_serving_rq",
+    (s, d) => { x10Build(s, d); x10Probe(s, d) },
+    Some(x10Oracle))
 
   // -- t01: language ID via marker-word density.
   private val t01 = Q(
@@ -3989,7 +4082,7 @@ object LlmQueries {
     """.trim))
 
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, x10, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract
@@ -4051,5 +4144,6 @@ object LlmQueries {
     "s27_rq_standing" -> ((s27Build _, s27Probe _)),
     "s13_bm25_standing" -> ((s13Build _, s13Probe _)),
     "s19_hamming_standing" -> ((s19Build _, s19Probe _)),
-    "x09_serving_standing" -> ((x09Build _, x09Probe _)))
+    "x09_serving_standing" -> ((x09Build _, x09Probe _)),
+    "x10_serving_rq" -> ((x10Build _, x10Probe _)))
 }

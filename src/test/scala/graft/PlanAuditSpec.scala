@@ -264,6 +264,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("x10 serves off the standing RQ + BM25 indexes — nothing corpus-sized built in-query") {
+    // x09's composition with the refined dense arm: the level-1/level-2
+    // ADC passes must scan the persisted (vec_id, pq, pq2) code parquet
+    // and frozen codebooks, the lexical arm the persisted BM25 partials
+    val plan = planOf("x10_serving_rq")
+    assert(plan.contains("x10_serving/bm25"), "x10 lost the standing BM25 scan")
+    assert(plan.contains("x10_serving/rq"), "x10 lost the standing RQ code scan")
+    assert(plan.contains("BroadcastHashJoin"), "x10's small relations must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // the float corpus is touched only for the query row and the
+    // narrow-shortlist re-rank, never re-encoded in-query
+    assert(!plan.toLowerCase.contains("posexplode(transform(sequence(0, 7), s"),
+      "x10 re-encodes embeddings in-query instead of reading the code parquet")
+  }
+
   test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
     val plan = planOf("q50_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread over buckets;
