@@ -131,25 +131,44 @@ object Cbor {
         else nf.numberNode(java.math.BigInteger.valueOf(-1)
           .subtract(new java.math.BigInteger(java.lang.Long.toUnsignedString(v))))
       case 2 =>
-        val b = new Array[Byte](readLen(buf, info).toInt); buf.get(b)
+        val b = if (info == 31) readChunks(buf, 2)
+        else { val a = new Array[Byte](readLen(buf, info).toInt); buf.get(a); a }
         nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
       case 3 =>
-        val b = new Array[Byte](readLen(buf, info).toInt); buf.get(b)
+        val b = if (info == 31) readChunks(buf, 3)
+        else { val a = new Array[Byte](readLen(buf, info).toInt); buf.get(a); a }
         nf.textNode(new String(b, StandardCharsets.UTF_8))
       case 4 =>
-        val len = readLen(buf, info).toInt
-        val arr: ArrayNode = nf.arrayNode(len)
-        var i = 0
-        while (i < len) { arr.add(decode(buf)); i += 1 }
-        arr
+        if (info == 31) {
+          // indefinite-length array (RFC 8949 §3.2.2): items to the break
+          val arr: ArrayNode = nf.arrayNode()
+          while (!atBreak(buf)) arr.add(decode(buf))
+          buf.get() // consume the break
+          arr
+        } else {
+          val len = readLen(buf, info).toInt
+          val arr: ArrayNode = nf.arrayNode(len)
+          var i = 0
+          while (i < len) { arr.add(decode(buf)); i += 1 }
+          arr
+        }
       case 5 =>
-        val len = readLen(buf, info).toInt
         val obj: ObjectNode = nf.objectNode()
-        var i = 0
-        while (i < len) {
-          val k = decode(buf)
-          obj.set[JsonNode](k.asText(), decode(buf))
-          i += 1
+        if (info == 31) {
+          // indefinite-length map: key/value pairs to the break
+          while (!atBreak(buf)) {
+            val k = decode(buf)
+            obj.set[JsonNode](k.asText(), decode(buf))
+          }
+          buf.get() // consume the break
+        } else {
+          val len = readLen(buf, info).toInt
+          var i = 0
+          while (i < len) {
+            val k = decode(buf)
+            obj.set[JsonNode](k.asText(), decode(buf))
+            i += 1
+          }
         }
         obj
       case 7 =>
@@ -157,8 +176,11 @@ object Cbor {
           case 20 => nf.booleanNode(false)
           case 21 => nf.booleanNode(true)
           case 22 | 23 => nf.nullNode()
+          case 25 => nf.numberNode(halfToDouble(buf.getShort & 0xffff))
           case 26 => nf.numberNode(java.lang.Float.intBitsToFloat(buf.getInt).toDouble)
           case 27 => nf.numberNode(java.lang.Double.longBitsToDouble(buf.getLong))
+          case 31 => throw new IllegalArgumentException(
+            "unexpected break (0xff) outside an indefinite-length item")
           case _ => throw new IllegalArgumentException(s"unsupported simple value $info")
         }
       case 6 => // tag 2/3 = bignum (RFC 8949 §3.4.3); other tags: skip
@@ -176,6 +198,44 @@ object Cbor {
   }
 
   private def longNode(v: Long): JsonNode = nf.numberNode(v)
+
+  /** is the next byte the 0xff break stop code? (peek, no consume) */
+  private def atBreak(buf: ByteBuffer): Boolean =
+    (buf.get(buf.position()) & 0xff) == 0xff
+
+  /** concatenate an indefinite-length string's definite chunks (RFC
+    * 8949 §3.2.3: chunks must be definite-length strings of the SAME
+    * major type; nesting is forbidden)
+    */
+  private def readChunks(buf: ByteBuffer, major: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val b = buf.get() & 0xff
+      if (b == 0xff) done = true
+      else {
+        require(b >> 5 == major && (b & 0x1f) != 31,
+          s"indefinite-length chunk must be a definite chunk of major $major, got $b")
+        val a = new Array[Byte](readLen(buf, b & 0x1f).toInt)
+        buf.get(a); out.write(a)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** IEEE 754 half-precision -> double, RFC 8949 appendix D's exact
+    * arithmetic (subnormals, infinities and NaN included)
+    */
+  private def halfToDouble(h: Int): Double = {
+    val exp = (h >> 10) & 0x1f
+    val mant = h & 0x3ff
+    val mag =
+      if (exp == 0) mant * math.pow(2, -24)
+      else if (exp != 31) (mant + 1024) * math.pow(2, exp - 25)
+      else if (mant == 0) Double.PositiveInfinity
+      else Double.NaN
+    if ((h & 0x8000) != 0) -mag else mag
+  }
 
   private def readLen(buf: ByteBuffer, info: Int): Long = info match {
     case x if x < 24 => x.toLong

@@ -42,6 +42,44 @@ class CodecSpec extends AnyFunSuite {
     assert(hex(Cbor.jsonToCbor("1.1")) == "fb3ff199999999999a")
   }
 
+  test("CBOR decodes foreign-producer shapes: indefinite lengths + half-floats (RFC 8949 appendix A)") {
+    def fromHex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def dec(h: String): String = Cbor.cborToJson(fromHex(h))
+    // the engine's own writer never emits these (preferred
+    // serialization is definite lengths + f64), but a foreign CBOR
+    // producer may — appendix A's indefinite examples, verbatim:
+    // (_ "strea", "ming")
+    assert(dec("7f657374726561646d696e67ff") == "\"streaming\"")
+    // [_ 1, [2, 3], [_ 4, 5]]  — nesting both shapes
+    assert(dec("9f018202039f0405ffff") == "[1,[2,3],[4,5]]")
+    // [1, [2, 3], [_ 4, 5]]
+    assert(dec("83018202039f0405ff") == "[1,[2,3],[4,5]]")
+    // {_ "a": 1, "b": [_ 2, 3]}
+    assert(dec("bf61610161629f0203ffff") == "{\"a\":1,\"b\":[2,3]}")
+    // {_ "Fun": true, "Amt": -2}
+    assert(dec("bf6346756ef563416d7421ff") == "{\"Fun\":true,\"Amt\":-2}")
+    // [_ ] (empty indefinite array)
+    assert(dec("9fff") == "[]")
+    // (_ h'0102', h'030405') — indefinite byte string, chunks concatenate
+    // (byte strings surface base64, the engine's binary-column contract)
+    assert(dec("5f42010243030405ff") ==
+      "\"" + java.util.Base64.getEncoder.encodeToString(
+        Array[Byte](1, 2, 3, 4, 5)) + "\"")
+    // half-floats, appendix A's exact doubles
+    assert(dec("f93c00") == "1.0")
+    assert(dec("f90001") == "5.9604644775390625E-8")
+    assert(dec("f97bff") == "65504.0")
+    assert(dec("f9c400") == "-4.0")
+    assert(dec("f98000") == "-0.0")
+    assert(dec("f97c00") == "\"Infinity\"" || dec("f97c00") == "Infinity")
+    // a break outside any indefinite item is a loud error, not a value
+    intercept[IllegalArgumentException](dec("ff"))
+    // chunks must be definite and of the same major type
+    intercept[IllegalArgumentException](dec("5f6161ff")) // text chunk in a byte string
+    intercept[IllegalArgumentException](dec("5f5f4101ffff")) // nested indefinite chunk
+  }
+
   test("CBOR bignum vectors (RFC 8949 appendix A + §3.4.3 tag 2/3)") {
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     // u64 edge: stays major type 0 (preferred serialization)
