@@ -808,6 +808,93 @@ object Similarity {
         col("score").cast(DoubleType).as("score"), col("rank"))
   }
 
+  /** Batched IVFADC+R serving — [[ivfPqServeBatch]] with the s26/s27
+    * residual refinement inserted between the level-1 ADC and the
+    * final cut (Jégou et al.'s "+R" in its streaming-serving shape):
+    * probe nProbe posting lists per query, rank the members by
+    * level-1 ADC, keep a per-query WIDE shortlist (a partial
+    * WindowGroupLimit keeps the exchange wide-bounded), refine ONLY
+    * those rows with the level-2 residual partials (score = q·cw1 +
+    * q·cw2 — still no float vectors anywhere), and cut to k. Both ADC
+    * tables ship as dense per-query decimal arrays scored by in-row
+    * folds (the [[pqScoresWithCodesBatched]] recipe), so the member
+    * relation is never amplified and the only exchanges are the
+    * cid posting join and the two per-query top-k windows.
+    */
+  def ivfPqRefineServeBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      cents: DataFrame,
+      books1: DataFrame,
+      books2: DataFrame,
+      k: Int,
+      nProbe: Int,
+      wide: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid").asc)
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("sim"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cid")
+    val joined = index.join(broadcast(probes), "cid")
+    val members =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined)
+        .select("query_id", "vec_id", "pq", "pq2")
+    val w1 = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
+    val wideSet =
+      pqScoresWithCodesBatched(members.select("query_id", "vec_id", "pq"), books1, queries)
+        .withColumn("wr", row_number().over(w1))
+        .filter(col("wr") <= wide)
+        .select(col("query_id"), col("vec_id"), col("score").as("score1"))
+    // level-2 per-query dense lookup array (slot = s * PqCodewords +
+    // code2, zero-filled — the pqScoresWithCodesBatched layout on the
+    // residual codebooks)
+    val sub = Dims / PqM
+    val adc2 = booksWideToRows(books2)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        (col("s") * PqCodewords + col("code2")).cast(IntegerType).as("slot"),
+        round(expr(s"aggregate(sequence(0, ${sub - 1}), cast(0.0 as double), " +
+          s"(acc, i) -> acc + element_at(rv, i + 1) * " +
+          s"cast(element_at(qv, s * $sub + i + 1) as double))"), 6)
+          .cast(DecimalType(18, 6)).as("p"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("p")))).as("m"))
+      .select(col("query_id"), transform(
+        sequence(lit(0), lit(PqM * PqCodewords - 1)),
+        i => coalesce(try_element_at(col("m"), i),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))).as("adc2"))
+    val wr = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
+    members.select("query_id", "vec_id", "pq2")
+      .join(broadcast(wideSet), Seq("query_id", "vec_id"))
+      .join(broadcast(adc2), "query_id")
+      .withColumn("score2", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), cast(0 as decimal(18,6)), " +
+          s"(acc, s) -> cast(acc + element_at(adc2, s * $PqCodewords + " +
+          "int((pq2 >> (s * 4)) & 15) + 1) as decimal(18,6)))"))
+      .withColumn("score", col("score1") + col("score2"))
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("score").cast(DoubleType).as("score"), col("rank"))
+  }
+
+  /** One batch of standing IVF-PQ+RQ index rows (vec_id, cid, pq, pq2)
+    * against a FROZEN quantizer and both codebook levels — the
+    * [[ivfPqIndexRows]] rule on the residual family; per-row against
+    * frozen tables, so append ≡ rebuild bit-for-bit.
+    */
+  def ivfRqIndexRows(
+      batch: DataFrame, cents: DataFrame,
+      books1: DataFrame, books2: DataFrame): DataFrame =
+    ivfAssignWith(batch, cents)
+      .select("vec_id", "cid")
+      .join(residualPqEncodeWith(batch, books1, books2)
+        .select("vec_id", "pq", "pq2"), "vec_id")
+
   /** One batch of standing IVF-PQ index rows (vec_id, cid, pq) against
     * a FROZEN quantizer (cents) + codebook (books) — base build and
     * delta append are the same call over different batches, and because

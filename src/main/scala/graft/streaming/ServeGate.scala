@@ -147,13 +147,21 @@ object ServeGate {
       Similarity.sampledCodebooks(embeddings)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/books")
       trip("books")
+      // level-2 residual codebooks ride in every release (s27's
+      // layout) so a deployment can flip refinement on per-step
+      // without an index rebuild
+      Similarity.residualCodebooksWide(
+          embeddings, spark.read.parquet(s"$staging/books"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/books2")
+      trip("books2")
       // the rows assignment reads the JUST-WRITTEN quantizer back so
       // the release is internally consistent even if the sampling
       // primitives were re-evaluated differently
-      Similarity.ivfPqIndexRows(
+      Similarity.ivfRqIndexRows(
           embeddings,
           spark.read.parquet(s"$staging/cents"),
-          spark.read.parquet(s"$staging/books"))
+          spark.read.parquet(s"$staging/books"),
+          spark.read.parquet(s"$staging/books2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
       trip("rows")
     }
@@ -185,7 +193,8 @@ object ServeGate {
       resultsDir: String,
       k: Int = 10,
       nProbe: Int = 4,
-      maxQueriesPerPart: Int = 4096): Unit = {
+      maxQueriesPerPart: Int = 4096,
+      refineWide: Int = 0): Unit = {
     LakeCompact.assertNoLease(spark, resultsDir)
     val gen = currentDir(spark, indexDir)
     val rows = spark.read.parquet(s"$gen/rows")
@@ -197,7 +206,14 @@ object ServeGate {
     val q = batchQueries.select(col("query_id"), col("qv")).cache()
     try {
       def serveTo(queries: DataFrame, genDir: String): Unit = {
-        Similarity.ivfPqServeBatch(queries, rows, cents, books, k, nProbe)
+        // refineWide > 0 switches the dense plan to IVFADC+R: the
+        // level-1 shortlist of that width re-scored with the release's
+        // residual codebooks before the final cut (x10's dense arm at
+        // serve time; same release, no rebuild)
+        (if (refineWide > 0)
+           Similarity.ivfPqRefineServeBatch(queries, rows, cents, books,
+             spark.read.parquet(s"$gen/books2"), k, nProbe, refineWide)
+         else Similarity.ivfPqServeBatch(queries, rows, cents, books, k, nProbe))
           .write.mode(SaveMode.Overwrite).parquet(genDir)
         val (fs, _) = fsOf(spark, genDir)
         val out = fs.create(new Path(genDir, "_served_gen"), true)
@@ -227,7 +243,8 @@ object ServeGate {
       checkpointDir: String,
       k: Int = 10,
       nProbe: Int = 4,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      refineWide: Int = 0): StreamingQuery = {
     val raw = spark.readStream
       .schema(querySchema)
       .option("maxFilesPerTrigger", 16)
@@ -236,7 +253,8 @@ object ServeGate {
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(spark, batch, s"$token-$batchId", indexDir, resultsDir, k, nProbe)
+        step(spark, batch, s"$token-$batchId", indexDir, resultsDir, k, nProbe,
+          refineWide = refineWide)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

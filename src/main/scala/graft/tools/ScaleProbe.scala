@@ -367,7 +367,8 @@ object ScaleProbe {
         if (i % 10 != 0) 240L * i + 11 // 90%: residue 11 — one clique
         else 240L * i + 1 + (i % 238)) // 10%: spread across other residues
       val docs = ids.toDF("doc_id").repartition(cores)
-      // clear per rep: phashNearDup persists its signature relation
+      // clear per rep: keep each rep's decode cold (the signature
+      // relation is a localCheckpoint now, but rep isolation stands)
       val t = bestOf(reps) {
         spark.catalog.clearCache()
         materialize(graft.llm.Multimodal.phashNearDup(spark, docs))

@@ -65,6 +65,69 @@ class ServeGateSpec extends AnyFunSuite {
     }
   }
 
+  test("refined serving (IVFADC+R) equals its batch step; the refinement math checks by hand") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    ServeGate.buildIndex(spark, emb, idx)
+    val queries = queryFeed().cache()
+    queries.write.mode("append").parquet(src)
+    ServeGate.start(spark, src, idx, out, ckpt, refineWide = 40).awaitTermination()
+
+    val gen = ServeGate.currentDir(spark, idx)
+    val rows = spark.read.parquet(s"$gen/rows")
+    val cents = spark.read.parquet(s"$gen/cents")
+    val books = spark.read.parquet(s"$gen/books")
+    val books2 = spark.read.parquet(s"$gen/books2")
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "vec_id", "score", "rank")
+    val batch = Similarity.ivfPqRefineServeBatch(
+      queries, rows, cents, books, books2, 10, 4, 40)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed refined top-k must equal the batch refined step")
+
+    // structural contract: every refined hit comes from one of its
+    // query's 4 probed posting lists (the refinement reorders the
+    // shortlist, it must never invent a member)
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cid"),
+        round(Similarity.cosine(col("cv"), col("qv")), 6).as("sim"))
+      .withColumn("pr", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("pr") <= 4).select("query_id", "cid")
+    val outside = streamed
+      .join(rows.select(col("vec_id"), col("cid")), "vec_id")
+      .join(probes, Seq("query_id", "cid"), "left_anti")
+    assert(outside.count() == 0, "a refined hit escaped its probed posting lists")
+
+    // hand-check the level-2 refinement for ONE (query, hit) pair:
+    // score(refined) - score(level-1 over the same member) must equal
+    // the decimal sum of the member's 8 residual partials q·cw2[code2]
+    val q0 = queries.orderBy("query_id").head()
+    val hit = streamed.filter(col("query_id") === q0.getLong(0))
+      .orderBy("rank").head()
+    val member = rows.filter(col("vec_id") === hit.getLong(1)).head()
+    val qv = q0.getSeq[Float](1).map(_.toDouble)
+    val pq2 = member.getAs[Long]("pq2")
+    val b2 = books2.collect().map(r => r.getLong(0) -> r).toMap
+    val sub = Similarity.Dims / 8
+    val expected2 = (0 until 8).map { sIdx =>
+      val code2 = ((pq2 >> (sIdx * 4)) & 15).toInt
+      val rv = b2(code2.toLong).getSeq[Double](1 + sIdx)
+      BigDecimal((0 until sub).map(i => rv(i) * qv(sIdx * sub + i)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val score1 = Similarity.pqScoresWithCodesBatched(
+      rows.filter(col("vec_id") === hit.getLong(1))
+        .select(lit(q0.getLong(0)).as("query_id"), col("vec_id"), col("pq")),
+      books, queries.filter(col("query_id") === q0.getLong(0)))
+      .head().getDecimal(2)
+    assert(math.abs(score1.doubleValue + expected2.toDouble - hit.getDouble(2)) < 1e-9,
+      s"refined score ${hit.getDouble(2)} != level-1 $score1 + hand-computed " +
+        s"residual partials $expected2")
+  }
+
   test("checkpoint restart re-emits nothing; a late drop is served incrementally") {
     val (src, idx, out, ckpt) = dirs()
     val emb = Tables.embeddings(spark, sf)
