@@ -279,6 +279,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "x10 re-encodes embeddings in-query instead of reading the code parquet")
   }
 
+  test("refined serving scans the standing release and broadcasts every query-sized side") {
+    // the IVFADC+R serving kernel (ServeGate refineWide > 0): the only
+    // corpus-sized relation is the (vec_id, cid, pq, pq2) code parquet
+    // of the CURRENT release; probes, the wide shortlist, and both
+    // dense ADC arrays must reach it as broadcasts — an exchange of
+    // the member relation toward any of them would shuffle the corpus
+    // to a query-batch-sized table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_refine").toString
+    val emb = Tables.embeddings(spark, sf)
+    graft.streaming.ServeGate.buildIndex(spark, emb, tmp)
+    val gen = graft.streaming.ServeGate.currentDir(spark, tmp)
+    val queries = emb.limit(3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val plan = llm.Similarity.ivfPqRefineServeBatch(
+      queries,
+      spark.read.parquet(s"$gen/rows"),
+      spark.read.parquet(s"$gen/cents"),
+      spark.read.parquet(s"$gen/books"),
+      spark.read.parquet(s"$gen/books2"),
+      10, 4, 40).queryExecution.executedPlan.toString
+    assert(plan.contains("gen-"), "refined serving does not scan the standing release")
+    assert(plan.contains("BroadcastHashJoin"),
+      "refined serving lost its broadcast joins toward the code scan")
+    assert(!plan.contains("CartesianProduct"), "refined serving plans a cartesian")
+  }
+
   test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
     val plan = planOf("q50_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread over buckets;
