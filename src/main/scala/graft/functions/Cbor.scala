@@ -132,11 +132,11 @@ object Cbor {
           .subtract(new java.math.BigInteger(java.lang.Long.toUnsignedString(v))))
       case 2 =>
         val b = if (info == 31) readChunks(buf, 2)
-        else { val a = new Array[Byte](readLen(buf, info).toInt); buf.get(a); a }
+        else { val a = new Array[Byte](readBoundedLen(buf, info)); buf.get(a); a }
         nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
       case 3 =>
         val b = if (info == 31) readChunks(buf, 3)
-        else { val a = new Array[Byte](readLen(buf, info).toInt); buf.get(a); a }
+        else { val a = new Array[Byte](readBoundedLen(buf, info)); buf.get(a); a }
         nf.textNode(new String(b, StandardCharsets.UTF_8))
       case 4 =>
         if (info == 31) {
@@ -146,7 +146,9 @@ object Cbor {
           buf.get() // consume the break
           arr
         } else {
-          val len = readLen(buf, info).toInt
+          // every element costs >= 1 input byte, so remaining bounds the
+          // element count too — reject before the capacity-len prealloc
+          val len = readBoundedLen(buf, info)
           val arr: ArrayNode = nf.arrayNode(len)
           var i = 0
           while (i < len) { arr.add(decode(buf)); i += 1 }
@@ -162,7 +164,7 @@ object Cbor {
           }
           buf.get() // consume the break
         } else {
-          val len = readLen(buf, info).toInt
+          val len = readBoundedLen(buf, info)
           var i = 0
           while (i < len) {
             val k = decode(buf)
@@ -188,7 +190,7 @@ object Cbor {
         if (tag == 2L || tag == 3L) {
           val inner = buf.get() & 0xff
           require(inner >> 5 == 2, s"bignum content must be a byte string, got major ${inner >> 5}")
-          val b = new Array[Byte](readLen(buf, inner & 0x1f).toInt); buf.get(b)
+          val b = new Array[Byte](readBoundedLen(buf, inner & 0x1f)); buf.get(b)
           val mag = new java.math.BigInteger(1, b)
           nf.numberNode(
             if (tag == 2L) mag else java.math.BigInteger.valueOf(-1).subtract(mag))
@@ -216,7 +218,7 @@ object Cbor {
       else {
         require(b >> 5 == major && (b & 0x1f) != 31,
           s"indefinite-length chunk must be a definite chunk of major $major, got $b")
-        val a = new Array[Byte](readLen(buf, b & 0x1f).toInt)
+        val a = new Array[Byte](readBoundedLen(buf, b & 0x1f))
         buf.get(a); out.write(a)
       }
     }
@@ -244,5 +246,23 @@ object Cbor {
     case 26 => buf.getInt & 0xffffffffL
     case 27 => buf.getLong
     case _ => throw new IllegalArgumentException(s"unsupported length info $info")
+  }
+
+  /** Read a definite length that is about to size an allocation (a
+    * byte-array copy, or an element-count loop where each element
+    * costs >= 1 input byte) and BOUND it by the bytes actually
+    * remaining — the declared-before-decode discipline
+    * [[graft.functions.MediaCodecs]] applies to media headers. Without
+    * it a 12-byte hostile input declaring a ~2 GB string forces the
+    * full allocation (or a NegativeArraySizeException past 2^31)
+    * before the read ever fails.
+    */
+  private def readBoundedLen(buf: ByteBuffer, info: Int): Int = {
+    val len = readLen(buf, info)
+    if (len < 0 || len > buf.remaining)
+      throw new IllegalArgumentException(
+        s"declared length $len exceeds the ${buf.remaining} bytes remaining " +
+          "— truncated or hostile CBOR input")
+    len.toInt
   }
 }

@@ -272,7 +272,12 @@ object Similarity {
   def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     // float -> double widening is exact, so normalizing both centroid
     // flavors (float arrays from sampledCentroids, doubles from the
-    // k-means trainer) to double changes no cosine
+    // k-means trainer) to double changes no cosine.
+    // NOTE: the collect is EAGER — calling this runs one (centroid-
+    // table-sized) Spark job even if the returned frame is never
+    // executed. Centroid tables are ~sqrt(corpus) rows and the k-means
+    // trainer keeps them driver-local anyway, so the job is cheap; but
+    // don't call this in a loop to "build plans" lazily.
     val local: Seq[(Long, Seq[Double])] = cents
       .select(col("cid").cast(LongType), col("cv").cast(ArrayType(DoubleType)))
       .collect()
@@ -280,9 +285,17 @@ object Similarity {
       .toIndexedSeq.sortBy(_._1)
     require(local.nonEmpty, "ivfAssignWith: empty centroid table")
     val centArr = typedLit(local) // ONE literal node, not nCentroids AST children
-    val init = struct(lit(-1L).as("cid"), lit(-2.0).as("sim"))
+    // Degenerate inputs (null/empty embedding) cosine to NULL; NULL
+    // coalesces to -2.0 — above the -3.0 init but below any real
+    // cosine — so the ascending-cid fold assigns the LOWEST cid, which
+    // is exactly what the pre-fold window shape did (nulls sorted last
+    // under sim DESC, leaving row_number to pick by cid ASC). Without
+    // the coalesce such vectors would silently keep the init's cid=-1,
+    // a posting list no probe path ever visits.
+    val init = struct(lit(-1L).as("cid"), lit(-3.0).as("sim"))
     val best = aggregate(centArr, init, (acc, c) => {
-      val s = round(cosine(col("embedding"), c.getField("_2")), 6)
+      val s = coalesce(
+        round(cosine(col("embedding"), c.getField("_2")), 6), lit(-2.0))
       when(s > acc.getField("sim"),
         struct(c.getField("_1").as("cid"), s.as("sim"))).otherwise(acc)
     })

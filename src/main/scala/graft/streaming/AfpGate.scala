@@ -113,7 +113,8 @@ object AfpGate {
       lakeCols = Seq("media_id", "fmt", "sample_rate", "n_samples", "afp"),
       batchTag, lakeDir, indexDir, decisionsDir,
       cfg.maxHamming, cfg.indexBuckets, cfg.autoFoldGenerations,
-      () => compact(spark, lakeDir, indexDir, decisionsDir))
+      // the auto-fold knows its own live tag, so exclusion is by name
+      () => compact(spark, lakeDir, indexDir, decisionsDir, Some(batchTag)))
   }
 
   /** the admitted band index, both [[GateIndex]] tiers as one relation */
@@ -125,14 +126,21 @@ object AfpGate {
       spark: SparkSession,
       lakeDir: String,
       indexDir: String,
-      decisionsDir: String): Unit =
-    HashGateCore.compact(spark, lakeDir, indexDir, decisionsDir)
+      decisionsDir: String,
+      liveTag: Option[String] = None): Unit =
+    HashGateCore.compact(spark, lakeDir, indexDir, decisionsDir, liveTag)
 
   /** right-to-be-forgotten on the gate's admitted state: remove the
     * predicate's media_ids from the lake and the band index (decision
     * log untouched — the audit rule, see [[NearDupGate.forget]]).
     * After a forget, an acoustically-identical future arrival finds no
     * colliding fingerprint and admits afresh.
+    *
+    * CRASH-RE-RUN CONTRACT ([[GateForget]]): each root rewrites
+    * crash-atomically, but a death between roots leaves a half-done
+    * forget with no on-disk record — re-run the same forget until it
+    * returns; ledger-driven takedowns ([[Takedown]]) re-drive this
+    * automatically.
     */
   def forget(
       spark: SparkSession,

@@ -74,22 +74,68 @@ private[graft] object FoldCommit {
   def publish(fs: FileSystem, root: Path, finalName: String,
       retires: Seq[String])(write: String => Unit): Unit = {
     heal(fs, root)
+    val st = stage(fs, root, finalName, retires)(write)
+    commitStaged(fs, st)
+    finishStaged(fs, st)
+  }
+
+  /** A staged-but-not-yet-published maintenance result — the handle
+    * the two-phase [[stage]]/[[commitStaged]]/[[finishStaged]] path
+    * threads. Multi-publication operations (the forget fold's
+    * base + delta rewrites) stage EVERY expensive rewrite first, then
+    * commit all markers back-to-back: once the last marker lands, a
+    * crash anywhere heals by rolling ALL of them forward, so the
+    * torn-between-publications window shrinks from "a distributed
+    * rewrite job" to "two metadata writes".
+    */
+  final case class Staged(root: Path, staging: Path, finalName: String,
+      retires: Seq[String], token: String)
+
+  /** Phase 1: run the expensive rewrite into an (ignored, uncommitted)
+    * staging dir. A crash here rolls BACK at the next heal. Does NOT
+    * heal first — multi-stage callers heal once at entry, then stage
+    * several results under the same root.
+    */
+  def stage(fs: FileSystem, root: Path, finalName: String,
+      retires: Seq[String])(write: String => Unit): Staged = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(root, s"$StagePrefix$token$StageSuffix")
-    val fin = new Path(root, finalName)
     write(staging.toString)
     trip("staged")
+    Staged(root, staging, finalName, retires, token)
+  }
+
+  /** Phase 2 — THE commit point for this publication: once the marker
+    * is written, [[heal]] rolls the staged image forward.
+    */
+  def commitStaged(fs: FileSystem, st: Staged): Unit = {
+    val fin = new Path(st.root, st.finalName)
     val displaced =
-      if (fs.exists(fin)) Seq(s"$finalName.retired-$token") else Nil
-    writeMarker(fs, staging, finalName +: (retires ++ displaced))
+      if (fs.exists(fin)) Seq(s"${st.finalName}.retired-${st.token}") else Nil
+    writeMarker(fs, st.staging, st.finalName +: (st.retires ++ displaced))
     trip("committed")
-    for (r <- displaced)
-      require(fs.rename(fin, new Path(root, r)),
-        s"fold displace failed for $finalName")
+  }
+
+  /** Phase 3: displace / publish-rename / retire. Idempotent with
+    * [[heal]] — a crash anywhere in here is finished at the next entry.
+    */
+  def finishStaged(fs: FileSystem, st: Staged): Unit = {
+    val fin = new Path(st.root, st.finalName)
+    if (!fs.exists(st.staging)) return // a concurrent heal already published it
+    val lines = readMarker(fs, new Path(st.staging, Marker))
+    val protocolRetire = s"${st.finalName}.retired-"
+    if (fs.exists(fin)) {
+      lines.tail.find(_.startsWith(protocolRetire)) match {
+        case Some(r) =>
+          require(fs.rename(fin, new Path(st.root, r)),
+            s"fold displace failed for ${st.finalName}")
+        case None => fs.delete(fin, true): Unit
+      }
+    }
     trip("displaced")
-    require(fs.rename(staging, fin), s"fold publish failed for $finalName")
+    require(fs.rename(st.staging, fin), s"fold publish failed for ${st.finalName}")
     trip("published")
-    finishRetire(fs, root, fin)
+    finishRetire(fs, st.root, fin)
   }
 
   /** Finish any interrupted publication under `root`. Safe (and cheap)

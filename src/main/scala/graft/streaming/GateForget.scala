@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * input generations while a crashed holder's lease was stale) whatever
   * an interruption left behind. Runs under one [[LakeCompact]] lease
   * window spanning all roots, so micro-batches are fenced for the fold.
+  *
+  * ==Crash-re-run contract==
+  * Each root's rewrite is individually crash-atomic (and
+  * [[GateIndex.forgetRewrite]] stages BOTH of its tiers before
+  * committing either), but a process death BETWEEN roots leaves the
+  * predicate's rows still present in the not-yet-rewritten roots with
+  * nothing recording the half-done forget. The fold is an idempotent
+  * filtered rewrite, so the caller MUST re-run the same forget after a
+  * crash until it completes. [[Takedown]]-ledger-driven
+  * takedowns re-drive automatically (the ledger row stays pending);
+  * direct callers of the gates' `forget()` entry points own the retry.
   */
 private[streaming] object GateForget {
 

@@ -100,19 +100,37 @@ private[streaming] object GateIndex {
   def writeDelta(df: DataFrame, root: String, tag: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$tag")
 
-  /** Fold every delta generation EXCEPT the newest (the possibly
+  /** Fold every delta generation EXCEPT the live one (the possibly
     * written-but-uncommitted tail a stream restart replays — folding
     * it would resurrect its rows as duplicates next to the replay's
-    * same-tag rewrite) plus the current base into a fresh `_base`.
-    * Caller holds the root's lease; the swap itself is [[FoldCommit]]-
-    * atomic, so a crash at any point heals to the pre- or post-fold
-    * image.
+    * same-tag rewrite, and worse: base rows carry `batch = "_base"`,
+    * so the replay's `batch =!= tag` self-exclusion could no longer
+    * see them as its own — every replayed row would drop as a corpus
+    * dup while the same-tag lake overwrite empties the batch)
+    * plus the current base into a fresh `_base`. Caller holds the
+    * root's lease; the swap itself is [[FoldCommit]]-atomic, so a
+    * crash at any point heals to the pre- or post-fold image.
+    *
+    * `liveTag`: the auto-fold path (called from inside a gate step)
+    * passes the batch tag it just wrote, and that generation is
+    * excluded BY NAME — exact on every store. When absent (a manual
+    * quiesced compaction), the newest-by-mtime generation is excluded
+    * instead; that fallback is only decisive where the store reports
+    * real directory mtimes (object stores listing prefixes with
+    * mtime 0 would fall back to lexicographic order, where
+    * `batch=tok-10` sorts before `batch=tok-9` — never rely on it
+    * from a live stream).
     */
-  def foldIntoBase(spark: SparkSession, root: String): Unit = {
+  def foldIntoBase(spark: SparkSession, root: String,
+      liveTag: Option[String] = None): Unit = {
     val (fs, p) = fsOf(spark, root)
     if (!fs.exists(p)) return
     FoldCommit.heal(fs, p)
-    val foldable = deltaGens(spark, root).sortBy(_.getModificationTime).dropRight(1)
+    val gens = deltaGens(spark, root)
+    val foldable = liveTag match {
+      case Some(tag) => gens.filterNot(_.getPath.getName == s"batch=$tag")
+      case None => gens.sortBy(_.getModificationTime).dropRight(1)
+    }
     if (foldable.isEmpty) return
     val deltaDf = spark.read.option("basePath", root)
       .parquet(foldable.map(_.getPath.toString): _*).drop("batch")
@@ -146,9 +164,21 @@ private[streaming] object GateIndex {
     * tiers. The base is rewritten in place (keeping the bucket dirs);
     * the deltas consolidate into one `batch=forget-<token>` generation
     * (the probe's `batch =!= tag` treats the new tag as just another
-    * string). Each swap is independently FoldCommit-atomic; the fold
-    * is an idempotent filtered rewrite, so a crash between the two is
-    * healed by re-running the forget. Caller holds the lease.
+    * string).
+    *
+    * Crash atomicity: BOTH tiers' filtered rewrites are STAGED before
+    * either commits ([[FoldCommit.stage]]), then the two commit
+    * markers land back-to-back, then both publish. Once the second
+    * marker is written, a crash anywhere heals by rolling both tiers
+    * forward — the torn window where only one tier has forgotten is
+    * two metadata writes, not a distributed rewrite job. A crash
+    * INSIDE that window (after the base's marker, before the deltas')
+    * still publishes the base alone; the fold is an idempotent
+    * filtered rewrite, so RE-RUNNING the forget completes it — ledger-
+    * driven takedowns ([[Takedown]]) re-drive automatically,
+    * and the gates' public `forget()` entry points document the same
+    * re-run-on-crash requirement for direct callers. Caller holds the
+    * lease.
     */
   def forgetRewrite(spark: SparkSession, root: String,
       pred: org.apache.spark.sql.Column): Unit = {
@@ -156,22 +186,29 @@ private[streaming] object GateIndex {
     if (!fs.exists(p)) return
     FoldCommit.heal(fs, p)
     val basePath = new Path(p, BaseName)
-    if (fs.exists(basePath)) {
-      val kept = spark.read.parquet(basePath.toString).filter(!pred)
-      FoldCommit.publish(fs, p, BaseName, Nil) { staging =>
-        kept.repartition(col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
-      }
-    }
     val gens = deltaGens(spark, root)
-    if (gens.nonEmpty) {
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val kept = spark.read.option("basePath", root)
-        .parquet(gens.map(_.getPath.toString): _*).drop("batch").filter(!pred)
-      FoldCommit.publish(fs, p, s"batch=forget-$token",
-        gens.map(_.getPath.getName)) { staging =>
-        kept.write.mode(SaveMode.Overwrite).parquet(staging)
+    val stagedBase =
+      if (!fs.exists(basePath)) None
+      else {
+        val kept = spark.read.parquet(basePath.toString).filter(!pred)
+        Some(FoldCommit.stage(fs, p, BaseName, Nil) { staging =>
+          kept.repartition(col("bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+        })
       }
-    }
+    val stagedDeltas =
+      if (gens.isEmpty) None
+      else {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val kept = spark.read.option("basePath", root)
+          .parquet(gens.map(_.getPath.toString): _*).drop("batch").filter(!pred)
+        Some(FoldCommit.stage(fs, p, s"batch=forget-$token",
+          gens.map(_.getPath.getName)) { staging =>
+          kept.write.mode(SaveMode.Overwrite).parquet(staging)
+        })
+      }
+    val staged = stagedBase.toSeq ++ stagedDeltas.toSeq
+    staged.foreach(FoldCommit.commitStaged(fs, _))
+    staged.foreach(FoldCommit.finishStaged(fs, _))
   }
 }

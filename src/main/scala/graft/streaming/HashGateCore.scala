@@ -181,17 +181,22 @@ private[streaming] object HashGateCore {
       compactFn()
   }
 
-  /** the gates' shared three-root maintenance window */
+  /** the gates' shared three-root maintenance window. `liveTag` is the
+    * in-flight batch tag when called from a step's auto-fold — its
+    * generation is excluded from every fold BY NAME (exact on stores
+    * without directory mtimes; see [[GateIndex.foldIntoBase]]).
+    */
   def compact(
       spark: SparkSession,
       lakeDir: String,
       indexDir: String,
-      decisionsDir: String): Unit = {
+      decisionsDir: String,
+      liveTag: Option[String] = None): Unit = {
     val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands")
     LakeCompact.withLeases(spark, roots) {
-      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
+      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true, liveTag = liveTag)
+      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true, liveTag = liveTag)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands", liveTag)
     }
   }
 }

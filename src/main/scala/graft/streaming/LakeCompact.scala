@@ -283,13 +283,23 @@ object LakeCompact {
   /** Fold `root`'s batch=* generations into one, re-partitioned inside
     * the compacted generation by `partitionCols` (e.g. lang for the
     * doc lake, block_date for blocks).
+    *
+    * `liveTag`: the auto-fold path (a sink folding from inside its own
+    * micro-batch) passes the batch tag it just wrote so the live
+    * generation is excluded BY NAME — exact on every store. Without
+    * it the newest-by-mtime generation is excluded, which is only
+    * decisive where the store reports real directory mtimes (see
+    * [[GateIndex.foldIntoBase]] — on mtime-less prefix listings the
+    * fallback degrades to lexicographic order, where `batch=tok-10`
+    * sorts before `batch=tok-9`).
     */
   def foldGenerations(
       spark: SparkSession,
       root: String,
       partitionCols: Seq[String] = Nil,
       shrink: Int = 16,
-      assumeLeased: Boolean = false): Unit = {
+      assumeLeased: Boolean = false,
+      liveTag: Option[String] = None): Unit = {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -329,13 +339,17 @@ object LakeCompact {
 
     val gens = fs.listStatus(path).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("batch="))
-    // NEVER fold the newest generation: it may be a written-but-
+    // NEVER fold the live generation: it may be a written-but-
     // uncommitted tail whose micro-batch the stream will REPLAY after
     // restart — folding it would resurrect its rows as duplicates when
     // the replay recreates the dir ("quiesced" does not mean "cleanly
     // committed"). Steady state is therefore two generations: the
-    // compacted fold plus the live tail.
-    val foldable = gens.sortBy(_.getModificationTime).dropRight(1)
+    // compacted fold plus the live tail. With a caller-supplied
+    // liveTag the exclusion is by NAME; otherwise newest-by-mtime.
+    val foldable = liveTag match {
+      case Some(tag) => gens.filterNot(_.getPath.getName == s"batch=$tag")
+      case None => gens.sortBy(_.getModificationTime).dropRight(1)
+    }
     if (foldable.length <= 1) return
     // basePath keeps partition discovery rooted at the lake while the
     // scan reads ONLY the foldable generations (never the live tail)

@@ -272,7 +272,8 @@ object NearDupGate {
     // same-tag overwrite, never a duplicate.
     if (cfg.autoFoldGenerations > 0 &&
         GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
-      compact(spark, lakeDir, indexDir, decisionsDir)
+      // the auto-fold knows its own live tag, so exclusion is by name
+      compact(spark, lakeDir, indexDir, decisionsDir, Some(batchTag))
   }
 
   /** Lake maintenance for the gate's four batch-scoped outputs: fold
@@ -288,17 +289,18 @@ object NearDupGate {
       spark: SparkSession,
       lakeDir: String,
       indexDir: String,
-      decisionsDir: String): Unit = {
+      decisionsDir: String,
+      liveTag: Option[String] = None): Unit = {
     // ONE lease window spanning all four roots: per-root sequential
     // leases would leave gaps between folds in which a starting
     // micro-batch passes every assertNoLease check and then races the
     // remaining folds mid-pipeline
     val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands", s"$indexDir/shingles")
     LakeCompact.withLeases(spark, roots) {
-      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
-      GateIndex.foldIntoBase(spark, s"$indexDir/shingles")
+      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true, liveTag = liveTag)
+      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true, liveTag = liveTag)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands", liveTag)
+      GateIndex.foldIntoBase(spark, s"$indexDir/shingles", liveTag)
     }
   }
 
@@ -313,6 +315,12 @@ object NearDupGate {
     * forget, an identical future arrival finds no colliding signature
     * and is admitted afresh (NearDupGateSpec asserts it), while dups
     * of surviving docs keep dropping.
+    *
+    * CRASH-RE-RUN CONTRACT ([[GateForget]]): each root rewrites
+    * crash-atomically, but a death between roots leaves a half-done
+    * forget with no on-disk record — re-run the same forget until it
+    * returns; ledger-driven takedowns ([[Takedown]]) re-drive this
+    * automatically.
     */
   def forget(
       spark: SparkSession,

@@ -127,7 +127,8 @@ object PhashGate {
       lakeCols = Seq("media_id", "fmt", "width", "height", "phash"),
       batchTag, lakeDir, indexDir, decisionsDir,
       cfg.maxHamming, cfg.indexBuckets, cfg.autoFoldGenerations,
-      () => compact(spark, lakeDir, indexDir, decisionsDir))
+      // the auto-fold knows its own live tag, so exclusion is by name
+      () => compact(spark, lakeDir, indexDir, decisionsDir, Some(batchTag)))
   }
 
   /** the admitted band index, both [[GateIndex]] tiers as one relation */
@@ -142,20 +143,21 @@ object PhashGate {
       spark: SparkSession,
       lakeDir: String,
       indexDir: String,
-      decisionsDir: String): Unit = {
-    val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands")
-    LakeCompact.withLeases(spark, roots) {
-      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
-    }
-  }
+      decisionsDir: String,
+      liveTag: Option[String] = None): Unit =
+    HashGateCore.compact(spark, lakeDir, indexDir, decisionsDir, liveTag)
 
   /** right-to-be-forgotten on the gate's admitted state: remove the
     * predicate's media_ids from the lake and the band index (decision
     * log untouched — the audit rule, see [[NearDupGate.forget]]). After
     * a forget, a perceptually-identical future arrival finds no
     * colliding signature and admits afresh.
+    *
+    * CRASH-RE-RUN CONTRACT ([[GateForget]]): each root rewrites
+    * crash-atomically, but a death between roots leaves a half-done
+    * forget with no on-disk record — re-run the same forget until it
+    * returns; ledger-driven takedowns ([[Takedown]]) re-drive this
+    * automatically.
     */
   def forget(
       spark: SparkSession,

@@ -192,7 +192,8 @@ object SemanticGate {
     } finally cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     if (cfg.autoFoldGenerations > 0 &&
         GateIndex.deltaGenerationCount(spark, s"$indexDir/bands") > cfg.autoFoldGenerations)
-      compact(spark, lakeDir, indexDir, decisionsDir)
+      // the auto-fold knows its own live tag, so exclusion is by name
+      compact(spark, lakeDir, indexDir, decisionsDir, Some(batchTag))
   }
 
   /** the admitted band index, both [[GateIndex]] tiers as one relation */
@@ -235,6 +236,12 @@ object SemanticGate {
     * index under one lease window; the decision log stays as the audit
     * record. An identical vector arriving later finds no colliding
     * signature and is admitted afresh (SemanticGateSpec asserts it).
+    *
+    * CRASH-RE-RUN CONTRACT ([[GateForget]]): each root rewrites
+    * crash-atomically, but a death between roots leaves a half-done
+    * forget with no on-disk record — re-run the same forget until it
+    * returns; ledger-driven takedowns ([[Takedown]]) re-drive this
+    * automatically.
     */
   def forget(
       spark: SparkSession,
@@ -251,13 +258,14 @@ object SemanticGate {
       spark: SparkSession,
       lakeDir: String,
       indexDir: String,
-      decisionsDir: String): Unit = {
+      decisionsDir: String,
+      liveTag: Option[String] = None): Unit = {
     val roots = Seq(lakeDir, decisionsDir, s"$indexDir/bands", s"$indexDir/vectors")
     LakeCompact.withLeases(spark, roots) {
-      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true)
-      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true)
-      GateIndex.foldIntoBase(spark, s"$indexDir/bands")
-      GateIndex.foldIntoBase(spark, s"$indexDir/vectors")
+      LakeCompact.foldGenerations(spark, lakeDir, assumeLeased = true, liveTag = liveTag)
+      LakeCompact.foldGenerations(spark, decisionsDir, assumeLeased = true, liveTag = liveTag)
+      GateIndex.foldIntoBase(spark, s"$indexDir/bands", liveTag)
+      GateIndex.foldIntoBase(spark, s"$indexDir/vectors", liveTag)
     }
   }
 

@@ -122,6 +122,133 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 
+  /** An INDEPENDENT test-only CBOR writer that deliberately emits the
+    * non-canonical forms our production encoder never produces —
+    * non-shortest lengths, indefinite-length strings split into random
+    * chunks, indefinite arrays and maps — seeded per tree, so the
+    * generative cross-check exercises the decoder against a second
+    * implementation of the RFC. (The ideal cross-check would be
+    * jackson-dataformat-cbor, but this Spark distribution ships only
+    * jackson-dataformat-yaml and the sandbox resolves no new jars.)
+    */
+  private def advEncode(js: String, seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    def writeLen(major: Int, v: Long): Unit = {
+      val mt = major << 5
+      // randomly widen the length form: 0x17 can legally travel as
+      // 0x18 17, 0x19 0017, 0x1a 00000017 or 0x1b 00...17
+      val form = rnd.nextInt(4)
+      if (v < 24 && form == 0) out.write(mt | v.toInt)
+      else if (v < (1L << 8) && form <= 1) { out.write(mt | 24); out.write(v.toInt) }
+      else if (v < (1L << 16) && form <= 2) {
+        out.write(mt | 25); out.write((v >> 8).toInt); out.write(v.toInt & 0xff)
+      } else if (v < (1L << 32)) {
+        out.write(mt | 26)
+        for (s <- Seq(24, 16, 8, 0)) out.write((v >> s).toInt & 0xff)
+      } else {
+        out.write(mt | 27)
+        for (s <- 56 to 0 by -8) out.write((v >> s).toInt & 0xff)
+      }
+    }
+    def writeNode(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.isNull) out.write(0xf6)
+      else if (n.isBoolean) out.write(if (n.asBoolean()) 0xf5 else 0xf4)
+      else if (n.isIntegralNumber) {
+        val v = n.asLong()
+        if (v >= 0) writeLen(0, v) else writeLen(1, -(v + 1))
+      } else if (n.isTextual) {
+        val b = n.asText().getBytes("UTF-8")
+        if (b.length >= 2 && rnd.nextBoolean()) {
+          // indefinite-length text: split into 2 definite chunks
+          out.write(0x7f)
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          writeLen(3, cut.toLong); out.write(b, 0, cut)
+          writeLen(3, (b.length - cut).toLong); out.write(b, cut, b.length - cut)
+          out.write(0xff)
+        } else { writeLen(3, b.length.toLong); out.write(b) }
+      } else if (n.isArray) {
+        val it = n.elements()
+        if (rnd.nextBoolean()) {
+          out.write(0x9f)
+          while (it.hasNext) writeNode(it.next())
+          out.write(0xff)
+        } else {
+          writeLen(4, n.size().toLong)
+          while (it.hasNext) writeNode(it.next())
+        }
+      } else if (n.isObject) {
+        val it = n.fields()
+        def pairs(): Unit = while (it.hasNext) {
+          val e = it.next()
+          writeNode(nodeText(e.getKey)); writeNode(e.getValue)
+        }
+        if (rnd.nextBoolean()) { out.write(0xbf); pairs(); out.write(0xff) }
+        else { writeLen(5, n.size().toLong); pairs() }
+      } else fail(s"unexpected node $n")
+    }
+    writeNode(mapper.readTree(js))
+    out.toByteArray
+  }
+
+  private def nodeText(s: String) =
+    com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(s)
+
+  test("CBOR decode property vs an independent non-canonical writer (indefinite + wide lengths)") {
+    check(Prop.forAll(jsonGen, Arbitrary.arbitrary[Long]) { (js, seed) =>
+      mapper.readTree(Cbor.cborToJson(advEncode(js, seed))) == mapper.readTree(js)
+    })
+  }
+
+  test("CBOR half-float property: every non-NaN 16-bit pattern matches the RFC appendix-D arithmetic") {
+    // test-side reference, written independently from the codec: RFC
+    // 8949 appendix D's ldexp formulation
+    def ref(h: Int): Double = {
+      val exp = (h >> 10) & 0x1f
+      val mant = h & 0x3ff
+      val mag =
+        if (exp == 0) StrictMath.scalb(mant.toDouble, -24)
+        else if (exp != 31) StrictMath.scalb((mant + 1024).toDouble, exp - 25)
+        else if (mant == 0) Double.PositiveInfinity
+        else Double.NaN
+      if ((h & 0x8000) != 0) -mag else mag
+    }
+    // exhaustive, not sampled: 65536 patterns decode in milliseconds.
+    // Compare on the decoded NODE (Infinity/NaN don't survive a JSON
+    // text round-trip)
+    for (h <- 0 until 0x10000) {
+      val bytes = Array[Byte](0xf9.toByte, (h >> 8).toByte, h.toByte)
+      val got = Cbor.decode(java.nio.ByteBuffer.wrap(bytes)).doubleValue()
+      val want = ref(h)
+      assert(java.lang.Double.compare(got, want) == 0 ||
+        (got.isNaN && want.isNaN), f"f9$h%04x: got $got want $want")
+    }
+  }
+
+  test("CBOR hostile declared lengths fail fast, before any allocation") {
+    def fromHex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // each input is a handful of bytes declaring a gigabyte-to-
+    // petabyte-scale item; the decoder must reject on the DECLARED
+    // length vs bytes-remaining, not allocate and fail on the read
+    val hostile = Seq(
+      "5a7fffffff",           // byte string declaring ~2 GiB
+      "5b0000000100000000",   // byte string declaring 2^32 (> Int.MaxValue)
+      "7a7fffffff",           // text string, same game
+      "9a7fffffff",           // definite array of 2^31-1 elements
+      "ba7fffffff",           // definite map of 2^31-1 pairs
+      "7f7a7fffffffff",       // hostile chunk inside an indefinite text
+      "c25a7fffffff",         // bignum content declaring ~2 GiB
+      "5b7fffffffffffffff")   // byte string declaring 2^63-1
+    for (h <- hostile) {
+      val e = intercept[IllegalArgumentException](Cbor.cborToJson(fromHex(h)))
+      assert(e.getMessage.contains("exceeds"), s"$h: ${e.getMessage}")
+    }
+    // near-miss sanity: a declared length exactly equal to remaining
+    // still decodes (the guard is len > remaining, not >=)
+    assert(Cbor.cborToJson(fromHex("43010203")) != null)
+  }
+
   test("CBOR golden bytes: hand-assembled RFC 8949 encoding of a worked envelope payload") {
     // The byte-parity fixture for the wire-format ops (b04/b05/b08 are
     // rows-only under DuckDB forever): a miniature block envelope whose

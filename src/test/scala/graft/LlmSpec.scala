@@ -279,6 +279,38 @@ class LlmSpec extends AnyFunSuite {
     assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty)
   }
 
+  test("ivfAssignWith: degenerate (null/empty) embeddings assign the LOWEST cid, never -1") {
+    // the fold's init cid is -1; a null cosine must not let a vector
+    // silently keep it — cid=-1 is a posting list no probe path ever
+    // visits, so the vector would become unreachable. The pre-fold
+    // window shape assigned the lowest cid on degenerate inputs (nulls
+    // last under sim DESC, row_number by cid ASC) and the fold must
+    // reproduce that.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, 0, Seq(1.0f, 0.0f)),
+      Row(2L, 0, null),            // null embedding
+      Row(3L, 0, Seq.empty[Float]) // empty embedding (zero norm => null cosine)
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(5L, Seq(1.0f, 0.0f)), Row(9L, Seq(0.0f, 1.0f)))),
+      StructType(Seq(StructField("cid", LongType),
+        StructField("cv", ArrayType(FloatType)))))
+    val got = llm.Similarity.ivfAssignWith(df, cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 5L, "a real vector still argmaxes")
+    assert(got(2L) == 5L, "null embedding -> lowest cid, not -1")
+    assert(got(3L) == 5L, "empty embedding -> lowest cid, not -1")
+  }
+
   test("s10: appended standing IVF-PQ index equals a full rebuild, search equals s09") {
     import org.apache.spark.sql.functions.{col, expr}
     val emb = Tables.embeddings(spark, sf)
