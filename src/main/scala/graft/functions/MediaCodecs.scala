@@ -179,16 +179,104 @@ object MediaCodecs {
     } finally ais.close()
   }
 
+  // --------------------------------------------- AIFF / AU (javax.sound)
+
+  /** Decode an AIFF or AU container through the JDK's own javax.sound
+    * readers, normalized to interleaved PCM16 (whatever the stored
+    * encoding — 8/16-bit PCM, μ-law AU — the JDK converter widens it).
+    * Multi-channel containers keep their interleaving; the stats /
+    * fingerprint arms operate per sample, so channels ride through.
+    */
+  def javaSoundParse(bytes: Array[Byte]): Wav = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val src = ais.getFormat
+      val ch = src.getChannels
+      require(ch > 0, s"channel-less audio stream")
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, ch, 2 * ch, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(dst, ais)
+      val out = pcm.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](out.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+      Wav(src.getSampleRate.toInt, ch, 16, samples)
+    } finally ais.close()
+  }
+
+  private def javaSoundWrite(samples: Array[Short], sampleRate: Int,
+      kind: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, true) // AIFF/AU are BE
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) >> 8).toByte
+      raw(2 * i + 1) = samples(i).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, kind, out) finally ais.close()
+    out.toByteArray
+  }
+
+  /** mono PCM16 AIFF writer (fixtures + sinks), JDK encoder */
+  def aiffWrite(samples: Array[Short], sampleRate: Int): Array[Byte] =
+    javaSoundWrite(samples, sampleRate,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+
+  /** mono PCM16 Sun AU writer (fixtures + sinks), JDK encoder */
+  def auWrite(samples: Array[Short], sampleRate: Int): Array[Byte] =
+    javaSoundWrite(samples, sampleRate,
+      javax.sound.sampled.AudioFileFormat.Type.AU)
+
+  // ------------------------------------------------ BMP / TIFF (ImageIO)
+
+  private def imageIoWrite(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+    out.toByteArray
+  }
+
+  /** 24-bit BMP writer (fixtures + sinks) — lossless, JDK encoder */
+  def bmpWrite(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    imageIoWrite(w, h, rgb, "bmp")
+
+  /** TIFF writer (fixtures + sinks) — lossless, the JDK 9+ plugin */
+  def tiffWrite(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    imageIoWrite(w, h, rgb, "tiff")
+
   // -------------------------------------------------- container sniff
 
   /** magic-byte format detection across the whole codec ladder —
     * what a real ingest must do, because arriving blobs carry no
     * trustworthy kind column. Returns the format token
-    * (`png | jpeg | gif | ppm | wav-pcm | wav-ulaw`) or None for
-    * anything unrecognized; WAV disambiguates the audio format by
-    * walking the RIFF chunks to the fmt tag (1 = PCM, 7 = μ-law),
-    * because the 12-byte RIFF/WAVE prelude is identical for both.
-    * Sniffing never throws: a torn header is just None.
+    * (`png | jpeg | gif | ppm | bmp | tiff | wav-pcm | wav-ulaw |
+    * aiff | au`) or None for anything unrecognized; WAV disambiguates
+    * the audio format by walking the RIFF chunks to the fmt tag
+    * (1 = PCM, 7 = μ-law), because the 12-byte RIFF/WAVE prelude is
+    * identical for both. BMP additionally checks that the DIB header
+    * size field names a known header revision ("BM" alone is two ASCII
+    * letters any text file can open with). Sniffing never throws: a
+    * torn header is just None.
     */
   def sniff(bytes: Array[Byte]): Option[String] = {
     def at(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
@@ -201,6 +289,17 @@ object MediaCodecs {
     else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) Some("gif")
     else if (ascii(0, "P6") && (at(2) == ' ' || at(2) == '\n' || at(2) == '\t' ||
       at(2) == '\r' || at(2) == '#')) Some("ppm")
+    else if (at(0) == 'B' && at(1) == 'M' && bytes.length >= 26 && {
+      // the DIB header size field (LE u32 at 14) must name a known
+      // revision: CORE 12, INFO 40, V2 52, V3 56, OS/2 64, V4 108, V5 124
+      val dib = at(14).toLong | (at(15).toLong << 8) |
+        (at(16).toLong << 16) | (at(17).toLong << 24)
+      Set(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(dib)
+    }) Some("bmp")
+    else if ((at(0) == 0x49 && at(1) == 0x49 && at(2) == 0x2a && at(3) == 0x00) ||
+      (at(0) == 0x4d && at(1) == 0x4d && at(2) == 0x00 && at(3) == 0x2a)) Some("tiff")
+    else if (ascii(0, "FORM") && ascii(8, "AIFF")) Some("aiff")
+    else if (ascii(0, ".snd")) Some("au")
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
       // walk chunks to the fmt tag; bail to None on any structural tear
       val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -349,6 +448,86 @@ object MediaCodecs {
         }
         try { w = token().toLong; h = token().toLong } catch { case _: NumberFormatException => }
         if (w <= 0 || h <= 0) -1L else w * h
+      case "bmp" =>
+        // BITMAPFILEHEADER (14 bytes) then the DIB header: CORE (12)
+        // carries u16 w/h; every later revision carries i32 w/h, with
+        // a NEGATIVE height meaning top-down row order (same pixel
+        // count)
+        def le32i(i: Int): Long =
+          if (i + 3 >= bytes.length) Long.MinValue
+          else (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong
+        val dib = le32i(14)
+        val (w, h) =
+          if (dib == 12L) (le16(18).toLong, le16(20).toLong)
+          else (le32i(18), math.abs(le32i(22)))
+        if (w <= 0 || h <= 0 || h == Long.MinValue) -1L else w * h
+      case "tiff" =>
+        // bounded walk of the FIRST image file directory: width is tag
+        // 256, height tag 257, each a left-justified SHORT or LONG in
+        // the entry's 4-byte value field
+        if (bytes.length < 8) -1L
+        else {
+          val le = u8(0) == 0x49
+          def r16(i: Int): Int = if (le) le16(i) else be16(i)
+          def r32(i: Int): Long =
+            if (i + 3 >= bytes.length) -1L
+            else if (le) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+            else be32(i)
+          val ifd = r32(4)
+          if (ifd < 8 || ifd + 2 > bytes.length) -1L
+          else {
+            val n = r16(ifd.toInt)
+            var w = -1L; var h = -1L
+            var k = 0
+            while (k < n && ifd + 2 + 12L * k + 12 <= bytes.length) {
+              val off = (ifd + 2 + 12L * k).toInt
+              val tag = r16(off); val typ = r16(off + 2)
+              val v: Long =
+                if (typ == 3) r16(off + 8).toLong // SHORT, left-justified
+                else if (typ == 4) r32(off + 8)   // LONG
+                else -1L
+              if (tag == 256) w = v else if (tag == 257) h = v
+              k += 1
+            }
+            if (w <= 0 || h <= 0) -1L else w * h
+          }
+        }
+      case "aiff" =>
+        // big-endian IFF chunk walk to COMM: channels u16, then
+        // numSampleFrames u32; units = frames x channels (samples)
+        if (bytes.length < 12) -1L
+        else {
+          var i = 12; var units = -1L
+          while (units == -1L && i + 8 <= bytes.length) {
+            val id = new String(bytes, i, 4, "US-ASCII")
+            val size = be32(i + 4)
+            if (size < 0 || i + 8 + size > bytes.length) units = -2L // torn
+            else if (id == "COMM" && size >= 6) {
+              val ch = be16(i + 8); val frames = be32(i + 10)
+              units = if (ch > 0 && frames > 0) frames * ch else -2L
+            } else i += 8 + size.toInt + (size.toInt & 1)
+          }
+          math.max(units, -1L)
+        }
+      case "au" =>
+        // fixed big-endian header: dataOffset, dataSize, encoding;
+        // 0xffffffff dataSize means "to EOF"
+        if (bytes.length < 24) -1L
+        else {
+          val dataOff = be32(4)
+          val rawSize = be32(8)
+          val size =
+            if (rawSize == 0xffffffffL) bytes.length.toLong - dataOff else rawSize
+          val bytesPer = be32(12) match {
+            case 1L | 2L | 27L => 1L // μ-law / 8-bit PCM / A-law
+            case 3L => 2L            // 16-bit PCM
+            case 4L => 3L
+            case 5L | 6L => 4L
+            case 7L => 8L
+            case _ => -1L
+          }
+          if (dataOff < 24 || size <= 0 || bytesPer <= 0) -1L else size / bytesPer
+        }
       case "wav-pcm" | "wav-ulaw" =>
         // chunk walk to the data chunk's declared byte size; PCM16 is
         // 2 bytes/sample, μ-law 1 (its decode expands 2x — bounded)

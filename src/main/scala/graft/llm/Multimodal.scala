@@ -431,7 +431,8 @@ object Multimodal {
   }
 
   private val BuiltinFmts: Seq[String] =
-    Seq("png", "jpeg", "gif", "ppm", "wav-pcm", "wav-ulaw")
+    Seq("png", "jpeg", "gif", "ppm", "bmp", "tiff", "wav-pcm", "wav-ulaw",
+      "aiff", "au")
 
   /** registration-ordered externals; tiny and read-mostly, so a
     * volatile immutable vector + synchronized writers is the whole
@@ -513,7 +514,7 @@ object Multimodal {
     dec.decode(bytes)
   }
 
-  /** the five JDK codec arms behind the built-in [[MediaDecoder]]s */
+  /** the JDK codec arms behind the built-in [[MediaDecoder]]s */
   private def jdkDecode(fmt: String, bytes: Array[Byte]): DecodedStats = {
     def imageStats(img: MediaCodecs.Ppm): DecodedStats = {
       var s = 0L; var p = 0L; var i = 0
@@ -530,10 +531,12 @@ object Multimodal {
       DecodedStats("audio", 1L, samples.length.toLong, s, p)
     }
     fmt match {
-      case "png" | "jpeg" => imageStats(MediaCodecs.pngParse(bytes)) // ImageIO sniffs
+      // ImageIO sniffs the container for all four of its formats
+      case "png" | "jpeg" | "bmp" | "tiff" => imageStats(MediaCodecs.pngParse(bytes))
       case "ppm" => imageStats(MediaCodecs.ppmParse(bytes))
       case "wav-pcm" => audioStats(MediaCodecs.wavParse(bytes).samples)
       case "wav-ulaw" => audioStats(MediaCodecs.ulawWavDecode(bytes)._2)
+      case "aiff" | "au" => audioStats(MediaCodecs.javaSoundParse(bytes).samples)
       case "gif" =>
         val anim = MediaCodecs.gifParse(bytes)
         var s = 0L; var p = 0L

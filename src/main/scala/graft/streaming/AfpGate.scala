@@ -70,15 +70,19 @@ object AfpGate {
           AudioHash(id, fmt, 0L, 0L, 0L, ok = false, why)
         try {
           MediaCodecs.sniff(bytes) match {
-            case Some(fmt @ ("wav-pcm" | "wav-ulaw")) =>
+            case Some(fmt @ ("wav-pcm" | "wav-ulaw" | "aiff" | "au")) =>
               if (MediaCodecs.declaredUnits(fmt, bytes) > maxUnits)
                 rejected(fmt, "rejected:oversize")
               else {
-                val (rate, samples) =
-                  if (fmt == "wav-pcm") {
+                val (rate, samples) = fmt match {
+                  case "wav-pcm" =>
                     val w = MediaCodecs.wavParse(bytes)
                     (w.sampleRate, w.samples)
-                  } else MediaCodecs.ulawWavDecode(bytes)
+                  case "wav-ulaw" => MediaCodecs.ulawWavDecode(bytes)
+                  case _ => // aiff / au through the JDK javax.sound reader
+                    val w = MediaCodecs.javaSoundParse(bytes)
+                    (w.sampleRate, w.samples)
+                }
                 if (samples.length < MinSamples) rejected(fmt, "rejected:dust")
                 else AudioHash(id, fmt, rate.toLong, samples.length.toLong,
                   Multimodal.audioFingerprint(samples), ok = true, "kept")

@@ -78,11 +78,12 @@ object PhashGate {
           MediaHash(id, fmt, 0L, 0L, 0L, ok = false, why)
         try {
           MediaCodecs.sniff(bytes) match {
-            case Some(fmt @ ("png" | "ppm" | "jpeg")) =>
+            case Some(fmt @ ("png" | "ppm" | "jpeg" | "bmp" | "tiff")) =>
               if (MediaCodecs.declaredUnits(fmt, bytes) > maxUnits)
                 rejected(fmt, "rejected:oversize")
               else {
-                // ImageIO sniffs the container for png/jpeg; ppm is ours
+                // ImageIO sniffs the container for png/jpeg/bmp/tiff;
+                // ppm is ours
                 val img =
                   if (fmt == "ppm") MediaCodecs.ppmParse(bytes)
                   else MediaCodecs.pngParse(bytes)

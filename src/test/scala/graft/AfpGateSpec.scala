@@ -120,6 +120,33 @@ class AfpGateSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L, 12L))
   }
 
+  test("AIFF/AU re-containers of admitted WAV audio drop as acoustic dups") {
+    import graft.functions.MediaCodecs
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val index = s"$base/index"; val dec = s"$base/decisions"
+    val ckpt = s"$base/ckpt"
+    // batch 1 admits the WAV original
+    drop(dropDir, "m1.wav", blob(0, "pcm"))
+    AfpGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    // batch 2: the SAME samples re-containered as AIFF and AU (every
+    // byte of the container differs; the decoded fingerprint does not)
+    // plus a genuinely different signal as AIFF
+    drop(dropDir, "m2.aif", MediaCodecs.aiffWrite(Multimodal.afpSamples(0), 8000))
+    drop(dropDir, "m3.au", MediaCodecs.auWrite(Multimodal.afpSamples(0), 8000))
+    drop(dropDir, "m4.aif", MediaCodecs.aiffWrite(Multimodal.afpSamples(3), 8000))
+    AfpGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    val d = spark.read.parquet(dec)
+      .select("media_id", "fmt", "decision", "partner").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(d(2L) == (("aiff", "drop_corpus", 1L)))
+    assert(d(3L) == (("au", "drop_corpus", 1L)))
+    assert(d(4L) == (("aiff", "admit", -1L)))
+    assert(spark.read.parquet(lake).select("media_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("the gate's admitted set equals batch m14's keeper election over the same corpus") {
     import spark.implicits._
     val base = tmp()

@@ -556,6 +556,55 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.decodeStats("mp3", "ID3x".getBytes))
   }
 
+  test("BMP/TIFF/AIFF/AU: JDK decodes are hash-gated lossless; headers declare; truncations reject") {
+    import graft.functions.MediaCodecs._
+    val rgb = Array.tabulate(12 * 9 * 3)(i => (i % 251).toByte)
+    // 24-bit BMP and TIFF are lossless containers: the decode must
+    // reproduce the exact raster, not just the dimensions
+    for ((fmt, bytes) <- Seq("bmp" -> bmpWrite(12, 9, rgb),
+        "tiff" -> tiffWrite(12, 9, rgb))) {
+      assert(sniff(bytes).contains(fmt), fmt)
+      assert(declaredUnits(fmt, bytes) == 12L * 9, fmt)
+      val img = pngParse(bytes) // ImageIO sniffs the container
+      assert(img.w == 12 && img.h == 9, fmt)
+      assert(img.rgb.toSeq == rgb.toSeq, s"$fmt decode must be lossless")
+    }
+    // PCM16 AIFF and AU: lossless sample round-trip through javax.sound
+    val ss = Array.tabulate[Short](600)(i => (math.sin(i * 0.1) * 12000).toInt.toShort)
+    for ((fmt, bytes) <- Seq("aiff" -> aiffWrite(ss, 8000), "au" -> auWrite(ss, 8000))) {
+      assert(sniff(bytes).contains(fmt), fmt)
+      assert(declaredUnits(fmt, bytes) == 600L, fmt)
+      val w = javaSoundParse(bytes)
+      assert(w.sampleRate == 8000 && w.channels == 1, fmt)
+      assert(w.samples.toSeq == ss.toSeq, s"$fmt decode must be lossless")
+    }
+    // TIFF is both-endian: a big-endian (MM) header declares the same
+    val mm = tiffWrite(12, 9, rgb)
+    if ((mm(0) & 0xff) == 0x49) { // JDK writes II; hand-check MM via bytes
+      val tiny = Array[Byte](0x4d, 0x4d, 0, 0x2a, 0, 0, 0, 8, // MM magic, IFD@8
+        0, 2, // 2 entries
+        1, 0, 0, 3, 0, 0, 0, 1, 0, 12, 0, 0, // tag 256 SHORT w=12
+        1, 1, 0, 3, 0, 0, 0, 1, 0, 9, 0, 0)  // tag 257 SHORT h=9
+      assert(sniff(tiny).contains("tiff"))
+      assert(declaredUnits("tiff", tiny) == 12L * 9)
+    }
+    // TRUNCATED headers: either unrecognized at the sniff, or sniffed
+    // but declaring nothing (-1, which the ingest guard refuses as
+    // corrupt) — never a throw, never a trusted decode
+    assert(sniff(bmpWrite(12, 9, rgb).take(20)).isEmpty) // below the DIB field
+    val tornTiff = tiffWrite(12, 9, rgb).take(6) // magic ok, IFD offset torn
+    assert(sniff(tornTiff).contains("tiff") &&
+      declaredUnits("tiff", tornTiff) == -1L)
+    val tornAiff = aiffWrite(ss, 8000).take(12) // FORM..AIFF, no COMM
+    assert(sniff(tornAiff).contains("aiff") &&
+      declaredUnits("aiff", tornAiff) == -1L)
+    val tornAu = auWrite(ss, 8000).take(12) // .snd, header cut mid-field
+    assert(sniff(tornAu).contains("au") &&
+      declaredUnits("au", tornAu) == -1L)
+    // "BM" alone is not a BMP: the DIB revision field must be sane
+    assert(sniff("BMJUNKJUNKJUNKJUNKJUNKJUNKJUNK".getBytes).isEmpty)
+  }
+
   test("PPM nearest-neighbor resize matches a brute-force reference") {
     import graft.functions.MediaCodecs._
     check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 8), Gen.choose(1, 8)) {

@@ -87,6 +87,46 @@ class MediaIngestSpec extends AnyFunSuite {
       .filter(col("media_id") === 110L && col("verdict") === "kept").count() == 1)
   }
 
+  test("BMP/TIFF/AIFF/AU route through the ingest: kept with real stats, truncations rejected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rgb = Array.tabulate(10 * 8 * 3)(i => (i % 233).toByte)
+    val ss = Array.tabulate[Short](400)(i => ((i * 37) % 9000 - 4500).toShort)
+    val blobs = Seq(
+      "/drop/m401.bmp" -> bmpWrite(10, 8, rgb),
+      "/drop/m402.tif" -> tiffWrite(10, 8, rgb),
+      "/drop/m403.aif" -> aiffWrite(ss, 16000),
+      "/drop/m404.au" -> auWrite(ss, 16000),
+      // truncated-header arms: the router must reject, never throw
+      "/drop/m405.bmp" -> bmpWrite(10, 8, rgb).take(20), // below the DIB field
+      "/drop/m406.tif" -> tiffWrite(10, 8, rgb).take(6), // IFD offset torn
+      "/drop/m407.aif" -> aiffWrite(ss, 16000).take(12), // no COMM chunk
+      "/drop/m408.au" -> auWrite(ss, 16000).take(12))    // header cut mid-field
+    val files = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.map { case (p, b) => Row(p, b) }),
+      StructType(Seq(StructField("path", StringType), StructField("content", BinaryType))))
+    val out = MediaIngest.decide(spark, files).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(401L).fmt == "bmp" && out(401L).verdict == "kept" &&
+      out(401L).kind == "image" && out(401L).n_units == 80L)
+    assert(out(402L).fmt == "tiff" && out(402L).verdict == "kept" &&
+      out(402L).n_units == 80L)
+    // lossless containers decode to the SAME raster => identical stats
+    assert(out(401L).sum_vals == out(402L).sum_vals &&
+      out(401L).peak == out(402L).peak)
+    assert(out(403L).fmt == "aiff" && out(403L).verdict == "kept" &&
+      out(403L).kind == "audio" && out(403L).n_units == 400L)
+    assert(out(404L).fmt == "au" && out(404L).verdict == "kept" &&
+      out(404L).n_units == 400L)
+    assert(out(403L).sum_vals == out(404L).sum_vals)
+    // truncations: below-sniff tears are unrecognized; sniffed-but-
+    // declaring-nothing headers are corrupt (the guard refused them)
+    assert(out(405L).verdict == "rejected:unrecognized")
+    assert(out(406L).fmt == "tiff" && out(406L).verdict == "rejected:corrupt")
+    assert(out(407L).fmt == "aiff" && out(407L).verdict == "rejected:corrupt")
+    assert(out(408L).fmt == "au" && out(408L).verdict == "rejected:corrupt")
+  }
+
   test("hostile feed armor: oversize header claims are quarantined, the stream survives") {
     import CraftedMedia.{craftedGif, craftedPng}
     val base = tmp()

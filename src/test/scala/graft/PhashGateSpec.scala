@@ -109,6 +109,35 @@ class PhashGateSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L, 11L))
   }
 
+  test("BMP/TIFF re-encodes of an admitted PNG drop as perceptual dups") {
+    import graft.functions.MediaCodecs
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val index = s"$base/index"; val dec = s"$base/decisions"
+    val ckpt = s"$base/ckpt"
+    drop(dropDir, "m1.png", blob(0, "base"))
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    // the SAME raster re-encoded into the two new lossless containers
+    // (identical pixels => identical DCT hash), plus a different image
+    // as BMP
+    val px0 = Multimodal.phashVariants(0).toMap.apply("base")
+    val raster = MediaCodecs.pngParse(px0)
+    drop(dropDir, "m2.bmp", MediaCodecs.bmpWrite(raster.w, raster.h, raster.rgb))
+    drop(dropDir, "m3.tif", MediaCodecs.tiffWrite(raster.w, raster.h, raster.rgb))
+    val other = MediaCodecs.pngParse(Multimodal.phashVariants(7).toMap.apply("base"))
+    drop(dropDir, "m4.bmp", MediaCodecs.bmpWrite(other.w, other.h, other.rgb))
+    PhashGate.start(spark, dropDir, lake, index, dec, ckpt).awaitTermination()
+    val d = spark.read.parquet(dec)
+      .select("media_id", "fmt", "decision", "partner").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(d(2L) == (("bmp", "drop_corpus", 1L)))
+    assert(d(3L) == (("tiff", "drop_corpus", 1L)))
+    assert(d(4L) == (("bmp", "admit", -1L)))
+    assert(spark.read.parquet(lake).select("media_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("step replay with the same tag rewrites its generation byte-stably") {
     val base = tmp()
     val lake = s"$base/lake"; val index = s"$base/index"; val dec = s"$base/dec"
