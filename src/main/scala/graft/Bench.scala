@@ -577,6 +577,7 @@ object Bench {
       "sample" -> (() => sampleThroughput(spark, sfDir)),
       "keeper" -> (() => keeperThroughput(spark, sfDir)),
       "serve" -> (() => serveThroughput(spark, sfDir)),
+      "serve_hybrid" -> (() => serveHybridThroughput(spark, sfDir)),
       "media" -> (() => mediaThroughput(spark)),
       "phash" -> (() => phashThroughput(spark)),
       "afp" -> (() => afpThroughput(spark)))
@@ -644,8 +645,15 @@ object Bench {
     // only when it survives on a provably-quiet box.
     val probeFlagDetail = scala.collection.mutable.ArrayBuffer[String]()
     var probeContendedFlags = 0
+    // confirm TRIGGER sits below the regression bar (1.25 vs 1.5): the
+    // r15 blocks probe read norm 1.34 at guest load 10 and was never
+    // re-measured because it sat under the old 1.5 trigger — an
+    // elevated-but-unflagged number the judge had to adjudicate by
+    // hand. Everything in (1.25, 1.5] now gets the same wait-for-quiet
+    // confirm cycle; only confirmed > 1.5 on a quiet box counts as a
+    // regression, confirmed (1.25, 1.5] is recorded as "elevated".
     val probeRatios = probeRatios0.map { case t @ (n, raw0, norm0) =>
-      if (norm0 <= 1.5 || (only.nonEmpty && !probesOnly)) t
+      if (norm0 <= 1.25 || (only.nonEmpty && !probesOnly)) t
       else {
         val base = baseline("probe:" + n)
         System.err.println(f"[bench] probe $n at $raw0%.2fx under its certified " +
@@ -666,9 +674,12 @@ object Bench {
         val norm = probeNorm(n, raw, conds)
         val loud = math.max(confCpu, math.max(confIo, confCommit)) > 1.3
         val verdict =
-          if (norm <= 1.5) "recovered"
+          if (norm <= 1.25) "recovered"
+          else if (norm <= 1.5) "elevated" // above trigger, below the bar
           else if (loud) "contended"
           else "regression"
+        // contended only offsets the >1.5 regression count — an
+        // elevated-on-a-loud-box probe is below the bar either way
         if (verdict == "contended") probeContendedFlags += 1
         probeFlagDetail += (s"""{"name":"$n","first":${f"${base / raw0}%.0f"},""" +
           s""""best":${f"$best%.0f"},"baseline":${f"$base%.0f"},"ratio":${f"$raw%.2f"},""" +
@@ -683,6 +694,22 @@ object Bench {
     val probeVsBaselineJson = probeRatios
       .map { case (n, r, nr) => s""""$n":{"ratio":${f"$r%.2f"},"norm":${f"$nr%.2f"}}""" }
       .mkString("{", ",", "}")
+    // RETIGHTEN GUARD — the query-baseline provenance discipline
+    // applied to probes: a probe baseline may only be tightened (or
+    // first set) from a run whose three-arm canary read <= 1.2 AT THAT
+    // PROBE. This field is the single sanctioned source of new
+    // probe:<name> values for BASELINE_QUERIES.json; a faster read on
+    // a loud box is a contention-normalization artifact, not a
+    // speedup, and must not become the bar.
+    val probeRetightenJson = probeResults.toSeq.flatMap { case (n, v) =>
+      if (v <= 0) None
+      else {
+        val conds = probeConditions.getOrElse(n, (1.0, 1.0, 1.0, 0.0))
+        val quietAtProbe = math.max(conds._1, math.max(conds._2, conds._3)) <= 1.2
+        val beatsCurrent = baseline.get("probe:" + n).forall(v > _)
+        if (quietAtProbe && beatsCurrent) Some(s""""$n":${f"$v%.0f"}""") else None
+      }
+    }.mkString("{", ",", "}")
     val probeVsBaselineMaxNorm =
       if (probeRatios.isEmpty) 0.0 else probeRatios.map(_._3).max
     // only confirm-survived-on-a-quiet-box counts as a regression; the
@@ -695,7 +722,7 @@ object Bench {
     val sentinel =
       s""""load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"canary_s":${f"$canary0%.3f"},"canary_drift_max":${f"$canaryDriftMax%.2f"},"io_canary_s":${f"$ioCanary0%.3f"},"io_canary_drift_max":${f"$ioCanaryDriftMax%.2f"},"rep_spread_warnings":$spreadWarnings,"vs_baseline_max":${f"$vsBaselineMax%.2f"},"vs_baseline_median":${f"$vsBaselineMedian%.2f"},"vs_baseline_max_norm":${f"$vsBaselineMaxNorm%.2f"},"vs_baseline_median_norm":${f"$vsBaselineMedianNorm%.2f"},"n_baseline_regressions":$baselineRegressions,"n_contended_flags":$contendedFlags,"baseline_missing":$missingFromBaseline,"n_failed":${failedQueries.size},"failed":$failedJson"""
     val probes =
-      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_contam_excise_docs_per_sec":${f"${pr("contam_excise")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"streaming_phash_blobs_per_sec":${f"${pr("phash")}%.0f"},"streaming_afp_blobs_per_sec":${f"${pr("afp")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
+      s""""streaming_blocks_per_sec":${f"${pr("blocks")}%.0f"},"streaming_blocks_per_sec_8k":${f"${pr("blocks_8k")}%.0f"},"streaming_bus_blocks_per_sec":${f"${pr("bus")}%.0f"},"streaming_bus_publish_blocks_per_sec":${f"${pr("bus_publish")}%.0f"},"streaming_docs_per_sec":${f"${pr("docs")}%.0f"},"streaming_merge_changes_per_sec":${f"${pr("merge")}%.0f"},"streaming_neardup_docs_per_sec":${f"${pr("neardup")}%.0f"},"streaming_neardup_docs_per_sec_8k":${f"${pr("neardup_8k")}%.0f"},"streaming_trending_docs_per_sec":${f"${pr("trending")}%.0f"},"streaming_semantic_vecs_per_sec":${f"${pr("semantic")}%.0f"},"streaming_semantic_vecs_per_sec_8k":${f"${pr("semantic_8k")}%.0f"},"streaming_contam_docs_per_sec":${f"${pr("contam")}%.0f"},"streaming_contam_excise_docs_per_sec":${f"${pr("contam_excise")}%.0f"},"streaming_gate_forget_docs_per_sec":${f"${pr("gate_forget")}%.0f"},"streaming_sample_docs_per_sec":${f"${pr("sample")}%.0f"},"streaming_keeper_docs_per_sec":${f"${pr("keeper")}%.0f"},"streaming_serve_queries_per_sec":${f"${pr("serve")}%.0f"},"streaming_serve_hybrid_queries_per_sec":${f"${pr("serve_hybrid")}%.0f"},"streaming_media_blobs_per_sec":${f"${pr("media")}%.0f"},"streaming_phash_blobs_per_sec":${f"${pr("phash")}%.0f"},"streaming_afp_blobs_per_sec":${f"${pr("afp")}%.0f"},"probe_conditions":$probeCondJson,"probe_vs_baseline":$probeVsBaselineJson,"probe_retighten_eligible":$probeRetightenJson,"probe_vs_baseline_max_norm":${f"$probeVsBaselineMaxNorm%.2f"},"n_probe_regressions":$nProbeRegressions,"n_probe_contended":$probeContendedFlags,"probe_regressions_detail":${probeFlagDetail.mkString("[", ",", "]")},"commit_canary_s":${f"$commitCanary0%.3f"},"standing_splits":$splitsJson"""
     val regressionsJson = regressionsDetail.mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"aqe":true,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$probes,$sentinel,"n_queries":${results2.size},"queries_file":"bench_full.json"}"""
@@ -1149,6 +1176,38 @@ object Bench {
       val t0 = System.nanoTime()
       graft.streaming.ServeGate
         .start(spark, src, s"$base/idx", s"$base/out", s"$base/ckpt")
+        .awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally rmTree(base)
+  }
+
+  /** HYBRID serving queries/s: the full x10 composition per query —
+    * RQ-refined dense arm + BM25 lexical arm + RRF fusion + per-query
+    * MMR — streamed against one frozen hybrid release (build untimed,
+    * like the dense serve probe). The delta vs `serve` prices what the
+    * lexical arm + fusion + diversification add per query.
+    */
+  private def serveHybridThroughput(spark: SparkSession, sfDir: String): Double = {
+    serveHybridRun(spark, WarmDir, 100)
+    serveHybridRun(spark, sfDir, 1000)
+  }
+
+  private def serveHybridRun(spark: SparkSession, sfDir: String, nQueries: Int): Double = {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bench_serve_hyb").toString
+    try {
+      val src = s"$base/src"
+      val emb = Tables.embeddings(spark, sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      graft.streaming.ServeGate.buildHybridIndex(spark, emb, docs, s"$base/idx")
+      val qs = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .selectExpr("vec_id AS query_id", "embedding AS qv", "text AS qtext")
+        .orderBy("query_id").limit(nQueries)
+      val n = qs.count()
+      qs.repartition(32).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      graft.streaming.ServeGate
+        .startHybrid(spark, src, s"$base/idx", s"$base/out", s"$base/ckpt")
         .awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } finally rmTree(base)

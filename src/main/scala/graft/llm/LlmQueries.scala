@@ -2626,10 +2626,13 @@ object LlmQueries {
     * hardcoding 0.3 on the other would flip near-tie selections),
     * shortlist 20, k 10.
     */
-  private val MmrLambda = 0.7
-  private val MmrMu = 0.3
+  // the canonical literals live in HybridServe (the serving kernel
+  // shares them); referencing them here keeps oracle generation and
+  // the greedy engine from ever drifting apart
+  private val MmrLambda = HybridServe.MmrLambda
+  private val MmrMu = HybridServe.MmrMu
   private val MmrShortlist = 20
-  private val MmrK = 10
+  private val MmrK = HybridServe.MmrK
 
   /** Generated s25 oracle: shortlist + pairwise-cosine CTEs, then one
     * CTE block PER GREEDY PICK (the v05 recipe — the same loop that
@@ -2736,24 +2739,14 @@ object LlmQueries {
     * λ·rel − μ·max(sim to picked); ties to the lower id — the exact
     * arithmetic the generated oracle CTEs replay.
     */
+  /** the shared greedy (moved to [[HybridServe]] so the streaming
+    * hybrid serve runs the SAME selection; kept as a local alias for
+    * the catalog call sites)
+    */
   private def mmrGreedy(
       rel: Seq[(Long, Double)],
-      sim: scala.collection.Map[(Long, Long), Double]): Seq[(Long, Long)] = {
-    val relMap = rel.toMap
-    val selected = scala.collection.mutable.ArrayBuffer[Long]()
-    val remaining = scala.collection.mutable.LinkedHashSet[Long](rel.map(_._1): _*)
-    while (selected.size < MmrK && remaining.nonEmpty) {
-      val best = remaining.toSeq.map { v =>
-        val score =
-          if (selected.isEmpty) relMap(v)
-          else MmrLambda * relMap(v) - MmrMu * selected.map(p => sim((v, p))).max
-        (score, v)
-      }.minBy { case (score, v) => (-score, v) }._2
-      selected += best
-      remaining -= best
-    }
-    selected.toSeq.zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) }
-  }
+      sim: scala.collection.Map[(Long, Long), Double]): Seq[(Long, Long)] =
+    HybridServe.mmrGreedy(rel, sim)
 
   /** x08/x09's generated oracle: the lexical arm, RRF fusion and the
     * s25-style MMR pick chain are shared; `denseBlock` supplies the

@@ -869,15 +869,28 @@ object Multimodal {
     * pooling block of the 64x64 image averages exactly the pixels of
     * the base's 4x4 block, so the pooled plane is bit-identical).
     */
-  private[graft] def phashVariants(id: Long): Seq[(String, Array[Byte])] = {
-    val base = phashPixels(id)
-    val bright = base.map(b => ((b & 0xff) + 8).toByte)
-    val scaled = MediaCodecs.ppmResize(MediaCodecs.Ppm(32, 32, base), 64, 64)
-    Seq(
-      ("base", MediaCodecs.pngWrite(32, 32, base)),
-      ("bright", MediaCodecs.ppmWrite(32, 32, bright)),
-      ("scaled", MediaCodecs.pngWrite(64, 64, scaled.rgb)))
-  }
+  /** Per-JVM memo of the 240 distinct variant sets: the fixtures are
+    * pure functions of id % 240, but the PNG deflate encode per call
+    * dominated fixture BUILD time when a corpus-sized caller derives
+    * them per doc (m13 re-encoded the same 240 rasters thousands of
+    * times per bench rep). ~10 KB x 240 resident; entries are treated
+    * as immutable by every caller (file write / decode only). The
+    * MEASURED kernels are untouched — they still sniff and decode
+    * every blob from bytes.
+    */
+  private val phashVariantCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[(String, Array[Byte])]]()
+
+  private[graft] def phashVariants(id: Long): Seq[(String, Array[Byte])] =
+    phashVariantCache.computeIfAbsent((id % 240).toInt, rid => {
+      val base = phashPixels(rid.toLong)
+      val bright = base.map(b => ((b & 0xff) + 8).toByte)
+      val scaled = MediaCodecs.ppmResize(MediaCodecs.Ppm(32, 32, base), 64, 64)
+      Seq(
+        ("base", MediaCodecs.pngWrite(32, 32, base)),
+        ("bright", MediaCodecs.ppmWrite(32, 32, bright)),
+        ("scaled", MediaCodecs.pngWrite(64, 64, scaled.rgb)))
+    })
 
   /** cos((2n+1) k pi / 16) DCT-II basis, StrictMath so the table is
     * bit-identical on every JVM the executors run
@@ -1154,14 +1167,19 @@ object Multimodal {
     * file, identical samples — RIFF chunk walking, not byte hashing,
     * is what recovers it)
     */
-  private[graft] def afpVariants(id: Long): Seq[(String, Array[Byte])] = {
-    val base = afpSamples(id)
-    val loud = base.map(s => (s * 2).toShort)
-    Seq(
-      ("pcm", MediaCodecs.wavWrite(base, 8000)),
-      ("loud", MediaCodecs.wavWrite(loud, 8000)),
-      ("pad", wavWithListChunk(base)))
-  }
+  /** the [[phashVariants]] memo on the acoustic axis (~13 KB x 240) */
+  private val afpVariantCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[(String, Array[Byte])]]()
+
+  private[graft] def afpVariants(id: Long): Seq[(String, Array[Byte])] =
+    afpVariantCache.computeIfAbsent((id % 240).toInt, rid => {
+      val base = afpSamples(rid.toLong)
+      val loud = base.map(s => (s * 2).toShort)
+      Seq(
+        ("pcm", MediaCodecs.wavWrite(base, 8000)),
+        ("loud", MediaCodecs.wavWrite(loud, 8000)),
+        ("pad", wavWithListChunk(base)))
+    })
 
   case class AfpRow(media_id: Long, variant: String, sig: Long)
 

@@ -124,7 +124,16 @@ object ServeGate {
     * PREVIOUS current are retired with the publish (keep-two grace
     * window for a batch that resolved just before the flip).
     */
-  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit =
+    publishRelease(spark, indexDir)(stageDense(spark, embeddings, _))
+
+  /** the release-publication protocol shared by every release writer
+    * (dense build, hybrid build, forget fold): heal, next sequence
+    * number, stage via `stage`, one-rename publish retiring everything
+    * older than the displaced current
+    */
+  private def publishRelease(spark: SparkSession, indexDir: String)(
+      stage: String => Unit): Unit = {
     val (fs, root) = fsOf(spark, indexDir)
     fs.mkdirs(root)
     // finish any crashed release FIRST (publish would heal anyway, but
@@ -140,30 +149,126 @@ object ServeGate {
     // retire everything older than the generation being displaced —
     // after this publish the root holds (previous, new)
     val retires = if (pub.isEmpty) Nil else pub.dropRight(1)
-    FoldCommit.publish(fs, root, name, retires) { staging =>
-      Similarity.sampledCentroids(embeddings, 16)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/cents")
+    FoldCommit.publish(fs, root, name, retires)(stage)
+  }
+
+  /** stage the dense family (cents/books/books2/rows) into a release */
+  private def stageDense(
+      spark: SparkSession, embeddings: DataFrame, staging: String): Unit = {
+    Similarity.sampledCentroids(embeddings, 16)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/cents")
+    trip("cents")
+    Similarity.sampledCodebooks(embeddings)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/books")
+    trip("books")
+    // level-2 residual codebooks ride in every release (s27's
+    // layout) so a deployment can flip refinement on per-step
+    // without an index rebuild
+    Similarity.residualCodebooksWide(
+        embeddings, spark.read.parquet(s"$staging/books"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/books2")
+    trip("books2")
+    // the rows assignment reads the JUST-WRITTEN quantizer back so
+    // the release is internally consistent even if the sampling
+    // primitives were re-evaluated differently
+    Similarity.ivfRqIndexRows(
+        embeddings,
+        spark.read.parquet(s"$staging/cents"),
+        spark.read.parquet(s"$staging/books"),
+        spark.read.parquet(s"$staging/books2"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
+    trip("rows")
+  }
+
+  /** Freeze a HYBRID serving release: the dense family PLUS the exact
+    * re-rank vectors (`embs`) and the s13-layout BM25 family
+    * (`bm25/{postings,df,dl,stats}`) over `docs` — ALL relations in
+    * ONE generation made visible by ONE rename, so the dense and
+    * lexical halves of a hybrid answer can never come from different
+    * releases. `docs` is the lexical corpus `(doc_id, text)`; doc_id
+    * shares vec_id's namespace (the d10 convention), and only docs
+    * whose vectors are in `embeddings` participate (a lexical-only doc
+    * could be retrieved but not MMR-diversified).
+    */
+  def buildHybridIndex(
+      spark: SparkSession, embeddings: DataFrame, docs: DataFrame,
+      indexDir: String): Unit =
+    publishRelease(spark, indexDir) { staging =>
+      stageDense(spark, embeddings, staging)
+      embeddings.select(col("vec_id"), col("embedding"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/embs")
+      trip("embs")
+      val corpus = docs
+        .join(broadcast(embeddings.select(col("vec_id"))),
+          col("doc_id") === col("vec_id"), "left_semi")
+      val tf = corpus
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        tf.write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/postings")
+        tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/df")
+        val dlB = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        dlB.write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/dl")
+        dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/stats")
+      } finally tf.unpersist(): Unit
+      trip("bm25")
+    }
+
+  /** RIGHT-TO-BE-FORGOTTEN fold on the serving releases — the one
+    * standing-index family that previously had to wait for the next
+    * full [[buildIndex]]: filter the predicate's ids out of every
+    * row-shaped relation of the CURRENT release and publish the result
+    * as a NEW generation under the same atomic release protocol (the
+    * quantizer relations — cents/books/books2 — copy unchanged: a
+    * forget never retrains, which is also why post-forget serving
+    * equals a rebuild-without only when the forgotten ids are outside
+    * the quantizer's training sample; ServeGateSpec pins that case).
+    * BM25's derived relations (df, stats) are RECOMPUTED from the
+    * filtered postings/dl, never merged — the s13FoldForgets rule.
+    * A crash at any point leaves the previous release serving; re-run
+    * to complete (the filter is idempotent).
+    *
+    * `gone(idCol)` receives `vec_id` for the dense relations and
+    * `doc_id` for the lexical ones — one namespace (d10), two column
+    * names.
+    */
+  def forgetRelease(
+      spark: SparkSession, indexDir: String,
+      gone: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    val cur = currentDir(spark, indexDir)
+    val (fs, _) = fsOf(spark, indexDir)
+    def has(rel: String): Boolean = fs.exists(new Path(cur, rel))
+    publishRelease(spark, indexDir) { staging =>
+      for (rel <- Seq("cents", "books", "books2"))
+        spark.read.parquet(s"$cur/$rel")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/$rel")
       trip("cents")
-      Similarity.sampledCodebooks(embeddings)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/books")
-      trip("books")
-      // level-2 residual codebooks ride in every release (s27's
-      // layout) so a deployment can flip refinement on per-step
-      // without an index rebuild
-      Similarity.residualCodebooksWide(
-          embeddings, spark.read.parquet(s"$staging/books"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/books2")
-      trip("books2")
-      // the rows assignment reads the JUST-WRITTEN quantizer back so
-      // the release is internally consistent even if the sampling
-      // primitives were re-evaluated differently
-      Similarity.ivfRqIndexRows(
-          embeddings,
-          spark.read.parquet(s"$staging/cents"),
-          spark.read.parquet(s"$staging/books"),
-          spark.read.parquet(s"$staging/books2"))
+      spark.read.parquet(s"$cur/rows").filter(!gone(col("vec_id")))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
       trip("rows")
+      if (has("embs")) {
+        spark.read.parquet(s"$cur/embs").filter(!gone(col("vec_id")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/embs")
+        trip("embs")
+      }
+      if (has("bm25")) {
+        val postings = spark.read.parquet(s"$cur/bm25/postings")
+          .filter(!gone(col("doc_id"))).persist()
+        try {
+          postings.write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/postings")
+          postings.groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/df")
+          val dlF = spark.read.parquet(s"$cur/bm25/dl").filter(!gone(col("doc_id")))
+          dlF.write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/dl")
+          dlF.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("dl")), lit(0L)).as("s"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/stats")
+        } finally postings.unpersist(): Unit
+        trip("bm25")
+      }
     }
   }
 
@@ -255,6 +360,101 @@ object ServeGate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         step(spark, batch, s"$token-$batchId", indexDir, resultsDir, k, nProbe,
           refineWide = refineWide)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  /** schema of the HYBRID query feed: id + the dense embedding + the
+    * raw query text (the step derives the top-4 terms exactly as the
+    * x08/x09/x10 batch queries do)
+    */
+  val hybridQuerySchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("qv", ArrayType(FloatType), nullable = false),
+    StructField("qtext", StringType, nullable = false)))
+
+  /** One HYBRID serving step: answer `(query_id, qv, qtext)` queries
+    * with the full x10 composition — RQ-refined dense arm + BM25
+    * lexical arm + RRF fusion + MMR diversification
+    * ([[graft.llm.HybridServe.hybridServeBatch]]) — against the
+    * CURRENT hybrid release (all relations resolved from ONE
+    * generation, so the two arms can never answer from different
+    * releases). Same batch-scoped replay/idempotence, lease-refusal,
+    * sub-batch splitting and `_served_gen` provenance as [[step]].
+    * `excludeSelf` is the s10 corpus-vector-as-query convention
+    * (default OFF — the serving-feed namespace rule, see [[step]]).
+    */
+  def stepHybrid(
+      spark: SparkSession,
+      batchQueries: DataFrame,
+      batchTag: String,
+      indexDir: String,
+      resultsDir: String,
+      k: Int = 10,
+      nProbe: Int = 4,
+      wide: Int = 50,
+      narrow: Int = 20,
+      maxQueriesPerPart: Int = 4096,
+      excludeSelf: Boolean = false): Unit = {
+    LakeCompact.assertNoLease(spark, resultsDir)
+    val gen = currentDir(spark, indexDir)
+    val rows = spark.read.parquet(s"$gen/rows")
+    val cents = spark.read.parquet(s"$gen/cents")
+    val books = spark.read.parquet(s"$gen/books")
+    val books2 = spark.read.parquet(s"$gen/books2")
+    val embs = spark.read.parquet(s"$gen/embs")
+    val postings = spark.read.parquet(s"$gen/bm25/postings")
+    val dfp = spark.read.parquet(s"$gen/bm25/df")
+    val dl = spark.read.parquet(s"$gen/bm25/dl")
+    val stats = spark.read.parquet(s"$gen/bm25/stats")
+    val q = batchQueries.select(col("query_id"), col("qv"), col("qtext")).cache()
+    try {
+      def serveTo(queries: DataFrame, genDir: String): Unit = {
+        graft.llm.HybridServe.hybridServeBatch(queries, rows, cents, books,
+            books2, embs, postings, dfp, dl, stats, k, nProbe, wide, narrow,
+            excludeSelf)
+          .write.mode(SaveMode.Overwrite).parquet(genDir)
+        val (fs, _) = fsOf(spark, genDir)
+        val out = fs.create(new Path(genDir, "_served_gen"), true)
+        try out.write((new Path(gen).getName + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      val parts = math.max(1L,
+        (q.count() + maxQueriesPerPart - 1) / maxQueriesPerPart).toInt
+      if (parts == 1) serveTo(q, s"$resultsDir/batch=$batchTag")
+      else
+        for (i <- 0 until parts)
+          serveTo(q.filter(pmod(xxhash64(col("query_id")), lit(parts)) === i),
+            s"$resultsDir/batch=$batchTag-p$i")
+    } finally q.unpersist(): Unit
+  }
+
+  /** Streaming HYBRID entry point: parquet `(query_id, qv, qtext)`
+    * drop in, per-query fused+diversified top-k generations out.
+    */
+  def startHybrid(
+      spark: SparkSession,
+      srcDir: String,
+      indexDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      k: Int = 10,
+      nProbe: Int = 4,
+      wide: Int = 50,
+      narrow: Int = 20,
+      availableNow: Boolean = true,
+      excludeSelf: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(hybridQuerySchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(srcDir)
+    val token = BlockIngest.runToken(s"ckpt:$checkpointDir")
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stepHybrid(spark, batch, s"$token-$batchId", indexDir, resultsDir,
+          k, nProbe, wide, narrow, excludeSelf = excludeSelf)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

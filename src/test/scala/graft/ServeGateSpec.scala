@@ -195,6 +195,162 @@ class ServeGateSpec extends AnyFunSuite {
       b: org.apache.spark.sql.DataFrame): Boolean =
     a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
 
+  /** hybrid query feed: the dense feed plus each query doc's text
+    * (doc_id ≡ vec_id — the d10 convention)
+    */
+  private def hybridQueryFeed() = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    queryFeed().join(docs, "query_id")
+      .select("query_id", "qv", "qtext")
+  }
+
+  test("hybrid serving: one streamed query equals the batch x10 composition exactly") {
+    // the full x10 parity pin: a release frozen over x10's corpora
+    // (lexical corpus excludes the query doc at build, as bm25BuildAt
+    // does), probed with nProbe = ALL 16 lists (the IVF'd dense arm
+    // degenerates to the flat RQ wide/refine/narrow/exact ladder s27
+    // runs), excludeSelf on (the corpus-vector-as-query convention)
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    ServeGate.buildHybridIndex(spark, emb, docs.filter(col("doc_id") =!= 0L), idx)
+    import spark.implicits._
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val t0 = docs.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    Seq((0L, q0, t0)).toDF("query_id", "qv", "qtext")
+      .write.mode("append").parquet(src)
+    ServeGate.startHybrid(spark, src, idx, out, ckpt,
+      nProbe = 16, excludeSelf = true).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("corpus_doc", "lex_rank", "vec_rank", "rrf", "rank")
+    graft.llm.LlmQueries.x10Build(spark, sf)
+    val expected = graft.llm.LlmQueries.x10Probe(spark, sf)
+    assert(sameAnswers(streamed, expected),
+      "the streamed hybrid answer must equal batch x10 bit-for-bit")
+  }
+
+  test("hybrid serving: a multi-query stream equals the batch hybrid kernel; restart re-emits nothing") {
+    val (src, idx, out, ckpt) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    ServeGate.buildHybridIndex(spark, emb, docs, idx)
+    val queries = hybridQueryFeed().cache()
+    assert(queries.count() >= 2, "fixture needs at least two queries")
+    // two drops => multiple micro-batches
+    queries.filter(col("query_id") % 2 === 0).write.mode("append").parquet(src)
+    queries.filter(col("query_id") % 2 =!= 0).write.mode("append").parquet(src)
+    ServeGate.startHybrid(spark, src, idx, out, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "corpus_doc", "lex_rank", "vec_rank", "rrf", "rank")
+    val gen = ServeGate.currentDir(spark, idx)
+    val batch = graft.llm.HybridServe.hybridServeBatch(
+      queries,
+      spark.read.parquet(s"$gen/rows"),
+      spark.read.parquet(s"$gen/cents"),
+      spark.read.parquet(s"$gen/books"),
+      spark.read.parquet(s"$gen/books2"),
+      spark.read.parquet(s"$gen/embs"),
+      spark.read.parquet(s"$gen/bm25/postings"),
+      spark.read.parquet(s"$gen/bm25/df"),
+      spark.read.parquet(s"$gen/bm25/dl"),
+      spark.read.parquet(s"$gen/bm25/stats"))
+    assert(sameAnswers(streamed, batch),
+      "streamed hybrid answers must equal the batch kernel per micro-batch")
+    // every query got a fused, diversified, contiguously-ranked pick list
+    val perQuery = streamed.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQuery.length == queries.count())
+    for (r <- perQuery)
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("n"))
+    // restart over the same checkpoint: nothing re-emitted
+    val before = spark.read.parquet(out).count()
+    ServeGate.startHybrid(spark, src, idx, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
+  test("serving-release forget fold == rebuild-without, crash-injected at every stage") {
+    val (_, idx, _, _) = dirs()
+    val (_, idx2, _, _) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    ServeGate.buildHybridIndex(spark, emb, docs, idx)
+    val queries = hybridQueryFeed().cache()
+    // forgotten ids sit OUTSIDE every quantizer training sample
+    // (cents/books draw vec_id < 16, books2 draws [16, 32)), so the
+    // rebuild-without freezes the identical quantizer and TRUE
+    // equality holds; a forget never retrains (documented on
+    // forgetRelease)
+    def gonePred(id: org.apache.spark.sql.Column) =
+      id >= 32L && id % 5 === 3L
+    def serveNow(indexDir: String) = {
+      val gen = ServeGate.currentDir(spark, indexDir)
+      graft.llm.HybridServe.hybridServeBatch(
+        queries,
+        spark.read.parquet(s"$gen/rows"),
+        spark.read.parquet(s"$gen/cents"),
+        spark.read.parquet(s"$gen/books"),
+        spark.read.parquet(s"$gen/books2"),
+        spark.read.parquet(s"$gen/embs"),
+        spark.read.parquet(s"$gen/bm25/postings"),
+        spark.read.parquet(s"$gen/bm25/df"),
+        spark.read.parquet(s"$gen/bm25/dl"),
+        spark.read.parquet(s"$gen/bm25/stats"))
+    }
+    val preForget = serveNow(idx).cache()
+    assert(preForget.filter(gonePred(col("corpus_doc"))).count() > 0,
+      "the forgotten slice must appear in answers or the test proves nothing")
+
+    // crash at every stage point (relation writes inside the staging
+    // phase + the FoldCommit protocol points): either the OLD release
+    // keeps serving (pre-publish crash), or the COMPLETE forgotten
+    // release is current (post-publish crash) — never a torn mix
+    for (point <- Seq("cents", "rows", "embs", "bm25")) {
+      graft.streaming.ServeGate.failpoint = point
+      intercept[IllegalStateException] {
+        ServeGate.forgetRelease(spark, idx, gonePred)
+      }
+      graft.streaming.ServeGate.failpoint = null
+      assert(sameAnswers(serveNow(idx), preForget),
+        s"a crash at staging point '$point' must leave the old release serving")
+    }
+    for (point <- Seq("staged", "committed")) {
+      graft.streaming.FoldCommit.failpoint = point
+      intercept[IllegalStateException] {
+        ServeGate.forgetRelease(spark, idx, gonePred)
+      }
+      graft.streaming.FoldCommit.failpoint = null
+      assert(sameAnswers(serveNow(idx), preForget),
+        s"a crash at protocol point '$point' must leave the old release serving")
+    }
+    // run the fold to completion; also walk the post-publish crash
+    // point (the published release is already complete there)
+    graft.streaming.FoldCommit.failpoint = "retiring"
+    intercept[IllegalStateException] {
+      ServeGate.forgetRelease(spark, idx, gonePred)
+    }
+    graft.streaming.FoldCommit.failpoint = null
+    val postForget = serveNow(idx).cache()
+    assert(postForget.filter(gonePred(col("corpus_doc"))).count() == 0,
+      "forgotten ids must never be served after the fold")
+
+    // the ground truth: a full rebuild over the corpus minus the
+    // forgotten ids
+    ServeGate.buildHybridIndex(spark,
+      emb.filter(!gonePred(col("vec_id"))),
+      docs.filter(!gonePred(col("doc_id"))), idx2)
+    assert(sameAnswers(postForget, serveNow(idx2)),
+      "post-forget serving must equal serving over a rebuild-without")
+
+    // idempotence: re-driving the same forget changes nothing
+    ServeGate.forgetRelease(spark, idx, gonePred)
+    assert(sameAnswers(serveNow(idx), postForget))
+    preForget.unpersist(); postForget.unpersist(); queries.unpersist(): Unit
+  }
+
   test("a mid-stream rebuild flips atomically between micro-batches") {
     val (src, idx, out, ckpt) = dirs()
     val emb = Tables.embeddings(spark, sf)
