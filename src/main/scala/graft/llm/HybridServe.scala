@@ -157,8 +157,12 @@ object HybridServe {
       queries.select("query_id", "qv"), rows, cents, books1, books2,
       narrow, nProbe, wide, excludeSelf)
     val wd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_doc"))
-    narrowSet.select(col("query_id"), col("vec_id").as("corpus_doc"))
-      .join(embs.select(col("vec_id").as("corpus_doc"), col("embedding")), "corpus_doc")
+    // the corpus-sized embs relation is probed with the BOUNDED narrow
+    // set broadcast — the float scan is one semi-join-shaped pass, no
+    // corpus shuffle
+    embs.select(col("vec_id").as("corpus_doc"), col("embedding"))
+      .join(broadcast(narrowSet.select(col("query_id"), col("vec_id").as("corpus_doc"))),
+        "corpus_doc")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("corpus_doc"),
         round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
@@ -202,8 +206,9 @@ object HybridServe {
     // pairwise cosines computed locally with the Catalyst expression's
     // exact arithmetic — no driver collect, queries diversify in
     // parallel
-    val picks = fused.select(col("query_id"), col("corpus_doc"), col("rrf"))
-      .join(embs.select(col("vec_id").as("corpus_doc"), col("embedding")), "corpus_doc")
+    val picks = embs.select(col("vec_id").as("corpus_doc"), col("embedding"))
+      .join(broadcast(fused.select(col("query_id"), col("corpus_doc"), col("rrf"))),
+        "corpus_doc")
       .select(col("query_id"), col("corpus_doc"), col("rrf"), col("embedding"))
       .as[(Long, Long, Double, Seq[Float])]
       .groupByKey(_._1)
@@ -219,7 +224,7 @@ object HybridServe {
           .map { case (d, rk) => (qid, d, rk) }
       }
       .toDF("query_id", "corpus_doc", "rank")
-    fused.join(picks, Seq("query_id", "corpus_doc"))
+    fused.join(broadcast(picks), Seq("query_id", "corpus_doc"))
       .select(col("query_id"), col("corpus_doc"),
         col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
   }

@@ -142,19 +142,42 @@ object BlockIngest {
       lakeDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val docs = Flatten
-      .parse(spark, lines)
-      .withColumn("height", col("block.header.height"))
-      .withColumn("event_time", timestamp_micros((col("block.header.timestamp") / 1000L)
-        .cast(org.apache.spark.sql.types.LongType)))
+    // Pre-shuffle the RAW wire line keyed by a cheap JSON-path probe of
+    // the dedup key; the full versioned-schema parse runs AFTER the
+    // stateful dedup's exchange, inside the batch write. Two reasons,
+    // both measured on the 2k ingest probe (where the full parse
+    // dominated the batch at ~5 s of 7):
+    //  - parallelism follows the SHUFFLE partitioning (32), not the
+    //    source file count (a 4-file drop parsed on 4 cores);
+    //  - duplicate rows are dropped BEFORE they are ever parsed — under
+    //    replay/dup pressure the expensive parse runs once per height.
+    // The height/event_time expressions mirror the parsed struct's
+    // exactly (same /1000 + cast), so the dedup keys are unchanged; a
+    // line whose height path doesn't extract is dropped here exactly
+    // like the old parse-filter dropped it (both Jackson-lenient; the
+    // dead-letter stream startRejects captures them either way).
+    val longT = org.apache.spark.sql.types.LongType
+    val keyed = lines
+      .withColumn("height",
+        get_json_object(col("value"), "$.block.header.height").cast(longT))
+      .withColumn("event_time", timestamp_micros(
+        (get_json_object(col("value"), "$.block.header.timestamp").cast(longT) / 1000L)
+          .cast(longT)))
+      .filter(col("height").isNotNull)
       .withWatermark("event_time", "24 hours")
       .dropDuplicatesWithinWatermark("height")
 
     val token = runToken(s"ckpt:$checkpointDir")
-    docs.writeStream
+    keyed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeEntities(batch.drop("event_time", "height"), lakeDir, s"$token-$batchId")
+        // the trailing watermark-advance batch a stateful AvailableNow
+        // run emits carries no rows — 8 empty generation writes would
+        // be pure commit cost per run (and per idle trigger on a
+        // continuous stream)
+        if (!batch.isEmpty)
+          writeEntities(Flatten.parse(spark, batch.select("value")),
+            lakeDir, s"$token-$batchId")
       }
       .trigger(trigger)
       .start()
@@ -216,21 +239,32 @@ object BlockIngest {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val debugTiming = sys.env.contains("GRAFT_INGEST_TIMING")
+    def mark(label: String, t0: Long): Unit =
+      if (debugTiming) System.err.println(
+        f"[ingest-timing] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tAll = System.nanoTime()
     val cached = docs.cache()
     cached.count(): Unit // materialize once before the parallel writers
+    mark("materialize", tAll)
     val entities = Flatten.all(cached)
     // quiesce contract: refuse while any entity root is being compacted
     entities.keys.foreach(name =>
       LakeCompact.assertNoLease(cached.sparkSession, s"$lakeDir/$name"))
     try {
+      val tW = System.nanoTime()
       val jobs = entities.toSeq.map { case (name, df) =>
         Future {
+          val t0 = System.nanoTime()
           val w = df.write.mode("overwrite")
           (if (name == "blocks") w.partitionBy("block_date") else w)
             .parquet(s"$lakeDir/$name/batch=$batchTag")
+          mark(s"write:$name", t0)
         }
       }
       jobs.foreach(Await.result(_, Duration.Inf))
+      mark("writes-total", tW)
+      mark("batch-total", tAll)
     } finally { cached.unpersist(): Unit }
   }
 

@@ -306,6 +306,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "refined serving plans a cartesian")
   }
 
+  test("hybrid serving scans one release; every corpus-sized relation is probed via broadcast") {
+    // the batched x10 composition (ServeGate.stepHybrid's kernel): the
+    // corpus-sized relations are the (cid, pq, pq2) code parquet, the
+    // embs float relation and the bm25 postings — each may be SCANNED,
+    // but every join toward them must arrive as a broadcast of a
+    // bounded side (queries, probes, ADC arrays, the narrow set, the
+    // fused pool); floats are touched only by the narrow re-rank and
+    // the ≤ 20-member MMR pool
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_hybrid").toString
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    graft.streaming.ServeGate.buildHybridIndex(spark, emb, docs, tmp)
+    val gen = graft.streaming.ServeGate.currentDir(spark, tmp)
+    val queries = emb.join(docs,
+        org.apache.spark.sql.functions.col("vec_id") ===
+          org.apache.spark.sql.functions.col("doc_id"))
+      .limit(3)
+      .selectExpr("vec_id AS query_id", "embedding AS qv", "text AS qtext")
+    val plan0 = llm.HybridServe.hybridServeBatch(
+      queries,
+      spark.read.parquet(s"$gen/rows"),
+      spark.read.parquet(s"$gen/cents"),
+      spark.read.parquet(s"$gen/books"),
+      spark.read.parquet(s"$gen/books2"),
+      spark.read.parquet(s"$gen/embs"),
+      spark.read.parquet(s"$gen/bm25/postings"),
+      spark.read.parquet(s"$gen/bm25/df"),
+      spark.read.parquet(s"$gen/bm25/dl"),
+      spark.read.parquet(s"$gen/bm25/stats")).queryExecution
+    val plan = plan0.executedPlan.toString
+    // executedPlan.toString truncates scan locations (and AQE hides the
+    // scan nodes from collect) — the formatted explain prints each
+    // scan's full Location
+    val scanned = plan0.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scanned.contains("gen-"), "hybrid serving does not scan the standing release")
+    for (rel <- Seq("embs", "bm25/postings", "rows"))
+      assert(scanned.contains(rel), s"hybrid serving lost the standing $rel scan:\n$scanned")
+    assert(plan.contains("BroadcastHashJoin"),
+      "hybrid serving lost its broadcast joins toward the corpus scans")
+    assert(!plan.contains("CartesianProduct"), "hybrid serving plans a cartesian")
+  }
+
   test("salted aggregation plans two phases: salt-keyed then key-only exchange") {
     val plan = planOf("q50_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread over buckets;
