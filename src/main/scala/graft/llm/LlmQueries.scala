@@ -4074,8 +4074,69 @@ object LlmQueries {
       FROM assign GROUP BY cid
     """.trim))
 
+  // -- m15: CROSS-CONTAINER lossless image decode — the m08 recipe run
+  //    through every JDK-native lossless container at once: the SAME
+  //    m07-formula raster encoded as PNG (deflate), BMP (raw 24-bit)
+  //    and TIFF, each blob re-SNIFFED from magic bytes (BMP's
+  //    DIB-revision check, TIFF's either-endian magic) and decoded by
+  //    the routed ImageIO codec. The oracle replays ONE formula
+  //    cross-joined with the container list: identical sums per
+  //    container is what lossless means, so a mis-sniff, a mis-route,
+  //    or any codec loss breaks the hash. This is the catalog image of
+  //    the r16 codec-ladder extension (the gates accept the same
+  //    containers — PhashGateSpec pins the cross-container drop).
+  private val m15 = Q(
+    "m15_image_containers",
+    (s, d) =>
+      Multimodal.imageContainerFeatures(s, Tables.documents(s, d)).toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id,
+                        16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+                 FROM documents),
+      px AS (SELECT media_id, w, h,
+               SUM((x.x * 3 + y.y * 5 + media_id) % 256) AS sum_r,
+               SUM((x.x * 7 + y.y + 2 * media_id) % 256) AS sum_g,
+               SUM((x.x + y.y * 11 + 3 * media_id) % 256) AS sum_b
+             FROM p, (SELECT unnest(range(32)) AS x) x, (SELECT unnest(range(20)) AS y) y
+             WHERE x.x < w AND y.y < h GROUP BY media_id, w, h)
+      SELECT media_id, c.container,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+             CAST(sum_b AS BIGINT) AS sum_b
+      FROM px CROSS JOIN (SELECT unnest(['png', 'bmp', 'tiff']) AS container) c
+    """.trim))
+
+  // -- m16: CROSS-CONTAINER audio decode — the m06 signal through every
+  //    JDK-native audio container: RIFF/WAV parsed by the hand-written
+  //    chunk walk, AIFF and Sun AU by javax.sound normalized to PCM16.
+  //    PCM16 stores the samples exactly in all three, so the decoded
+  //    peak / total-amplitude statistics are container-invariant and
+  //    the oracle replays one formula cross-joined with the container
+  //    list — the audio half of the r16 ladder extension.
+  private val m16 = Q(
+    "m16_audio_containers",
+    (s, d) =>
+      Multimodal.audioContainerFeatures(s, Tables.documents(s, d)).toDF(),
+    Some("""
+      WITH p AS (SELECT doc_id AS media_id, 8000 AS sr,
+                        400 + doc_id % 200 AS n, 100 + doc_id % 400 AS f
+                 FROM documents),
+      sm AS (SELECT media_id, sr, n,
+               ((i.i * f) % sr) * 24000 // sr - 12000 AS v
+             FROM p, (SELECT unnest(range(600)) AS i) i WHERE i.i < n),
+      st AS (SELECT media_id, sr, n,
+               max(abs(v)) AS peak, sum(abs(v)) AS sum_abs
+             FROM sm GROUP BY media_id, sr, n)
+      SELECT media_id, c.container,
+             CAST(sr AS BIGINT) AS sample_rate,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(peak AS BIGINT) AS peak,
+             CAST(sum_abs AS BIGINT) AS sum_abs
+      FROM st CROSS JOIN (SELECT unnest(['wav-pcm', 'aiff', 'au']) AS container) c
+    """.trim))
+
   def queries: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, x10, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
+    Seq(d01, d02, d03, d04, d05, d06, d10, d11, d12, d14, d15, d16, d17, d18, c04, x03, x08, x09, x10, s01, s02, s03, s04, s04b, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, e01, e02, e03, e04, t01, t02, t03, t04, t08, t09, t10, t11, t13, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16)
 
   /** Build/probe decomposition of the standing-index entries. Each
     * catalog `run` is exactly `build(); probe()` — the oracle contract

@@ -119,6 +119,82 @@ object Multimodal {
     })
   }
 
+  case class ContainerImage(
+      media_id: Long, container: String, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** m15 kernel: the SAME raster through every JDK-native LOSSLESS
+    * image container — PNG (deflate), BMP (raw 24-bit), TIFF — each
+    * blob re-SNIFFED from its magic bytes and decoded by the routed
+    * codec. Identical channel sums across containers is what
+    * "lossless" MEANS, and the sniff itself is under oracle test: a
+    * BMP mis-sniffed would route to the wrong parser and fail its
+    * decode or its sums. Per-row mapPartitions; rasters never leave
+    * their partition.
+    */
+  def imageContainerFeatures(
+      spark: SparkSession, docs: DataFrame): Dataset[ContainerImage] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val (w, h, rgb) = ppmPixels(id)
+      Seq(
+        "png" -> MediaCodecs.pngWrite(w, h, rgb),
+        "bmp" -> MediaCodecs.bmpWrite(w, h, rgb),
+        "tiff" -> MediaCodecs.tiffWrite(w, h, rgb)).map { case (expect, bytes) =>
+        val fmt = MediaCodecs.sniff(bytes)
+        require(fmt.contains(expect), s"container $expect sniffed as $fmt")
+        val img = MediaCodecs.pngParse(bytes) // ImageIO routes all three
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff
+          sb += img.rgb(i + 2) & 0xff
+          i += 3
+        }
+        ContainerImage(id, expect, img.w.toLong, img.h.toLong, sr, sg, sb)
+      }
+    })
+  }
+
+  case class ContainerAudio(
+      media_id: Long, container: String, sample_rate: Long,
+      n_samples: Long, peak: Long, sum_abs: Long)
+
+  /** m16 kernel: the SAME PCM16 signal through every JDK-native
+    * audio container — RIFF/WAV, AIFF (big-endian IFF), Sun AU — each
+    * blob re-sniffed and decoded by the sniff-ROUTED parser (the RIFF
+    * chunk walk for wav-pcm, javax.sound for aiff/au). PCM16 is
+    * stored exactly by all three, so peak/sum statistics must be
+    * container-invariant.
+    */
+  def audioContainerFeatures(
+      spark: SparkSession, docs: DataFrame): Dataset[ContainerAudio] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val samples = wavSamples(id)
+      Seq(
+        "wav-pcm" -> MediaCodecs.wavWrite(samples, 8000),
+        "aiff" -> MediaCodecs.aiffWrite(samples, 8000),
+        "au" -> MediaCodecs.auWrite(samples, 8000)).map { case (expect, bytes) =>
+        val fmt = MediaCodecs.sniff(bytes)
+        require(fmt.contains(expect), s"container $expect sniffed as $fmt")
+        val wav =
+          if (expect == "wav-pcm") MediaCodecs.wavParse(bytes)
+          else MediaCodecs.javaSoundParse(bytes)
+        var peak = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < wav.samples.length) {
+          val a = math.abs(wav.samples(i).toLong)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        ContainerAudio(id, expect, wav.sampleRate.toLong,
+          wav.samples.length.toLong, peak, sumAbs)
+      }
+    })
+  }
+
   /** real μ-law blobs: the SAME sawtooth as m06, compressed through
     * the hand-written G.711 companding encoder into a format-tag-7
     * RIFF container — the compressed-audio sibling of the PCM fixture
