@@ -668,9 +668,14 @@ object Bench {
               System.err.println(s"[bench] $n confirm re-measure failed: $e"); 0.0
           }
         val best = math.max(probeResults(n), v2)
+        val conds = (confCpu, confIo, confCommit, osBean.getSystemLoadAverage)
+        // if the confirm re-measure becomes the kept best, its canary
+        // conditions (not the first measurement's) are what the
+        // retighten-eligibility guard below must judge — otherwise a
+        // loud-box confirm best could carry stale quiet provenance
+        if (v2 > probeResults(n)) probeConditions(n) = conds
         probeResults(n) = best
         val raw = base / best
-        val conds = (confCpu, confIo, confCommit, osBean.getSystemLoadAverage)
         val norm = probeNorm(n, raw, conds)
         val loud = math.max(confCpu, math.max(confIo, confCommit)) > 1.3
         val verdict =

@@ -127,6 +127,23 @@ object BlockIngest {
     startFrom(spark, fileLines(spark, srcDir), lakeDir, checkpointDir,
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds"))
 
+  /** The dedup-key probe schema: block.header.{height,timestamp} ONLY,
+    * with the leaf StructFields taken verbatim from
+    * [[StreamerSchema.streamerMessage]] so the probe's typed conversion
+    * can never drift from the full parse's (same parser, same leaf
+    * types — a line the full parse would null the height of nulls the
+    * probe's height too, and vice versa).
+    */
+  private[graft] val headerProbeSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val blockT = StreamerSchema.streamerMessage("block")
+      .dataType.asInstanceOf[StructType]
+    val headerT = blockT("header").dataType.asInstanceOf[StructType]
+    StructType(Seq(StructField("block", StructType(Seq(
+      StructField("header", StructType(Seq(
+        headerT("height"), headerT("timestamp")))))))))
+  }
+
   /** Source-agnostic ingest: `lines` is ANY streaming frame with a
     * `value: STRING` wire column — the file-drop source above, a rate /
     * memory source adapter (StreamingSpec tails a `rate` source through
@@ -142,28 +159,37 @@ object BlockIngest {
       lakeDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // Pre-shuffle the RAW wire line keyed by a cheap JSON-path probe of
-    // the dedup key; the full versioned-schema parse runs AFTER the
-    // stateful dedup's exchange, inside the batch write. Two reasons,
-    // both measured on the 2k ingest probe (where the full parse
-    // dominated the batch at ~5 s of 7):
+    // Pre-shuffle the RAW wire line keyed by a HEADER-ONLY from_json
+    // probe of the dedup key; the full versioned-schema parse runs
+    // AFTER the stateful dedup's exchange, inside the batch write. Two
+    // reasons, both measured on the 2k ingest probe (where the full
+    // parse dominated the batch at ~5 s of 7):
     //  - parallelism follows the SHUFFLE partitioning (32), not the
     //    source file count (a 4-file drop parsed on 4 cores);
     //  - duplicate rows are dropped BEFORE they are ever parsed — under
     //    replay/dup pressure the expensive parse runs once per height.
-    // The height/event_time expressions mirror the parsed struct's
-    // exactly (same /1000 + cast), so the dedup keys are unchanged; a
-    // line whose height path doesn't extract is dropped here exactly
-    // like the old parse-filter dropped it (both Jackson-lenient; the
-    // dead-letter stream startRejects captures them either way).
-    val longT = org.apache.spark.sql.types.LongType
+    // The probe MUST share from_json's typed-conversion semantics with
+    // the full parse, not merely extract the same JSON path: a line
+    // whose raw height path CASTS to a Long but fails the typed parse
+    // (height quoted as a string, say) would otherwise occupy the
+    // dedup state slot for that height and then be dropped by
+    // Flatten.parse inside the batch — shadowing a subsequent VALID
+    // line at the same height within the watermark, which would never
+    // land. Using the same parser over the same leaf types (a 2-field
+    // projection of StreamerSchema.streamerMessage) makes the probe's
+    // null-height set coincide with the full parse's by construction
+    // (Jackson partial results null exactly the leaves that fail
+    // conversion; IngestDedupSemanticsSpec pins the equivalence).
+    // Cost is ONE Jackson pass over the line — the two get_json_object
+    // calls this replaces were two.
     val keyed = lines
-      .withColumn("height",
-        get_json_object(col("value"), "$.block.header.height").cast(longT))
+      .withColumn("hdr", from_json(col("value"), headerProbeSchema))
+      .withColumn("height", col("hdr.block.header.height"))
       .withColumn("event_time", timestamp_micros(
-        (get_json_object(col("value"), "$.block.header.timestamp").cast(longT) / 1000L)
-          .cast(longT)))
+        (col("hdr.block.header.timestamp") / 1000L)
+          .cast(org.apache.spark.sql.types.LongType)))
       .filter(col("height").isNotNull)
+      .drop("hdr")
       .withWatermark("event_time", "24 hours")
       .dropDuplicatesWithinWatermark("height")
 

@@ -238,10 +238,16 @@ object ServeGate {
   def forgetRelease(
       spark: SparkSession, indexDir: String,
       gone: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
-    val cur = currentDir(spark, indexDir)
     val (fs, _) = fsOf(spark, indexDir)
-    def has(rel: String): Boolean = fs.exists(new Path(cur, rel))
     publishRelease(spark, indexDir) { staging =>
+      // resolve the fold's SOURCE generation only after publishRelease
+      // has healed: a crashed-but-committed prior release that heal
+      // rolls forward must be what the fold filters, or the fold would
+      // publish a filtered copy of the stale previous release ON TOP
+      // of the healed one — silently reverting the serving corpus to
+      // its pre-rebuild content
+      val cur = currentDir(spark, indexDir)
+      def has(rel: String): Boolean = fs.exists(new Path(cur, rel))
       for (rel <- Seq("cents", "books", "books2"))
         spark.read.parquet(s"$cur/$rel")
           .write.mode(SaveMode.Overwrite).parquet(s"$staging/$rel")

@@ -351,6 +351,43 @@ class ServeGateSpec extends AnyFunSuite {
     preForget.unpersist(); postForget.unpersist(); queries.unpersist(): Unit
   }
 
+  test("forget folds the release heal rolls forward, never the stale previous one") {
+    // r16 ADVICE: a rebuild that crashed COMMITTED-but-unpublished is
+    // rolled forward by the heal at forgetRelease entry — and that
+    // healed release must be the fold's SOURCE. Resolving the source
+    // before the heal would publish a filtered copy of the
+    // pre-rebuild release on top of the healed one, silently
+    // reverting the serving corpus to its pre-rebuild content.
+    val (_, idx, _, _) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val u = graft.functions.ColumnFns.md5_prefix64(col("vec_id").cast("string")) /
+      lit(1152921504606846976.0)
+    def rowIds(gen: String): Set[Long] =
+      spark.read.parquet(s"$gen/rows")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    ServeGate.buildIndex(spark, emb.filter(u < 0.5), idx) // gen-1: half corpus
+    val halfIds = rowIds(ServeGate.currentDir(spark, idx))
+    // gen-2 rebuild over the FULL corpus dies between commit and publish
+    graft.streaming.FoldCommit.failpoint = "committed"
+    intercept[IllegalStateException](ServeGate.buildIndex(spark, emb, idx))
+    graft.streaming.FoldCommit.failpoint = null
+    // nothing healed yet: the stale half-corpus release still serves
+    assert(rowIds(ServeGate.currentDir(spark, idx)) == halfIds)
+
+    def gonePred(id: org.apache.spark.sql.Column) = id >= 32L && id % 7 === 3L
+    ServeGate.forgetRelease(spark, idx, gonePred)
+
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = allIds.filterNot(id => id >= 32L && id % 7 == 3L)
+    val after = rowIds(ServeGate.currentDir(spark, idx))
+    assert(after == expect,
+      "the fold must filter the HEALED full-corpus release: " +
+        s"missing=${(expect -- after).take(5)} extra=${(after -- expect).take(5)}")
+    // the decisive half: ids only the crashed rebuild indexed survived
+    assert((after -- halfIds).nonEmpty,
+      "vacuous: the healed release added no ids over the stale one")
+  }
+
   test("a mid-stream rebuild flips atomically between micro-batches") {
     val (src, idx, out, ckpt) = dirs()
     val emb = Tables.embeddings(spark, sf)
