@@ -403,11 +403,9 @@ object Similarity {
     * compression). Per subspace, the code is the argmin squared-L2
     * codeword; ties break to the lower code on both engines.
     *
-    * 100 TB shape: codebooks are PqCodewords rows broadcast once; the
-    * assignment is one scan computing PqM x PqCodewords rounded
-    * distances per row with a struct-min argmin under the grouping —
-    * no corpus shuffle beyond the per-vector aggregation, same family
-    * as [[ivfAssignWith]].
+    * 100 TB shape: one scan computing PqM x PqCodewords rounded
+    * distances per row as a pure map — zero exchanges, same family as
+    * [[ivfAssignWith]] (see [[pqEncodeWith]] for the kernel).
     */
   def pqEncode(embeddings: DataFrame): DataFrame =
     pqEncodeWith(embeddings, sampledCodebooks(embeddings))
@@ -424,20 +422,42 @@ object Similarity {
     * delta batch encodes against it unchanged, which is exactly what
     * makes an appended code index bit-identical to a full rebuild
     * (s10's recipe; SimilaritySpec asserts the equivalence).
+    *
+    * 100 TB shape: ZERO exchanges — the [[ivfAssignWith]] kernel one
+    * family over. The codebook (PqCodewords rows) is collected to the
+    * driver and rides inside ONE compiled
+    * [[graft.functions.PqEncodePack]] expression, so the encode is a
+    * pure map over the corpus scan with the m x codewords x subDims
+    * argmin as a tight compiled loop. The previous shape
+    * (crossJoin(broadcast) + groupBy(vec_id) min-struct argmin)
+    * amplified the corpus PqCodewords-fold, paid a corpus-keyed
+    * hash-aggregate exchange for an argmin whose candidate set fits in
+    * a literal, and evaluated ~1k interpreted higher-order nodes per
+    * row. Numeric contract (tie-break, rounding, degenerate inputs) is
+    * documented on the expression; SimilaritySpec pins bit-equality
+    * against the composed-operator formulation.
+    *
+    * NOTE: the codebook collect is EAGER — see the [[ivfAssignWith]]
+    * caution; codebook tables are PqCodewords rows, so the job is
+    * trivial, but don't call this in a loop to build plans lazily.
     */
-  def pqEncodeWith(embeddings: DataFrame, books: DataFrame): DataFrame = {
-    val sub = Dims / PqM
-    // min(struct(dist, code)) is argmin-with-tiebreak: struct ordering
-    // compares dist first, then code — the exact image of the oracle's
-    // ORDER BY d ASC, code ASC
-    val aggs = (0 until PqM).map(s =>
-      min(struct(subDist(col("embedding"), col("cv"), s, sub), col("code"))).as(s"b$s"))
-    embeddings
-      .crossJoin(broadcast(books))
-      .groupBy("vec_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("vec_id"),
-        (0 until PqM).map(s => col(s"b$s.code") * lit(1L << (4 * s))).reduce(_ + _).as("pq"))
+  def pqEncodeWith(embeddings: DataFrame, books: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      pqEncodeCol(col("embedding"), books).as("pq"))
+
+  /** the compiled encode of ONE embedding column against an explicit
+    * codebook table (collected EAGERLY — PqCodewords rows)
+    */
+  def pqEncodeCol(emb: Column, books: DataFrame): Column = {
+    val local: IndexedSeq[(Long, IndexedSeq[Double])] = books
+      .select(col("code").cast(LongType), col("cv").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+    require(local.nonEmpty, "pqEncodeWith: empty codebook table")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.PqEncodePack(
+      Bridge.expression(emb), local.map(_._1), local.map(_._2), PqM))
   }
 
   /** level-1 PQ assignment that KEEPS the residuals: per subspace the
@@ -487,10 +507,9 @@ object Similarity {
     * recipe one level down, oracle-reproducible like
     * [[sampledCodebooks]]; trained codebooks would slot in unchanged.
     *
-    * 100 TB shape: both codebooks broadcast (16 rows each), the
-    * corpus is scanned twice with per-vector aggregates in between —
-    * no corpus shuffle at all beyond the map-side-combined groupBys,
-    * same family as [[pqEncodeWith]].
+    * 100 TB shape: both codebooks (16 rows each) ride inside ONE
+    * compiled expression — a single corpus scan, zero exchanges, same
+    * family as [[pqEncodeWith]] (see [[residualPqEncodeWith]]).
     */
   def residualPqEncode(embeddings: DataFrame): DataFrame = {
     val books1 = sampledCodebooks(embeddings)
@@ -517,27 +536,39 @@ object Similarity {
     */
   def residualPqEncodeWith(
       embeddings: DataFrame, books1: DataFrame, books2: DataFrame): DataFrame = {
-    val sub = Dims / PqM
-    def dist2(s: Int): Column =
-      round(
-        aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
-          (acc, i) => acc +
-            pow(element_at(col(s"r$s"), i + 1) - element_at(col(s"w$s"), i + 1), 2.0)),
-        6)
-    val aggs2 = (0 until PqM).map(s =>
-      min(struct(dist2(s).as("d"), col("code2").as("code2"))).as(s"c$s"))
-    level1Residuals(embeddings, books1)
-      .crossJoin(broadcast(books2))
-      .groupBy("vec_id", "pq", "err1")
-      .agg(aggs2.head, aggs2.tail: _*)
-      .select(
-        col("vec_id"),
-        col("pq"),
-        (0 until PqM).map(s => col(s"c$s.code2") * lit(1L << (4 * s)))
-          .reduce(_ + _).as("pq2"),
-        col("err1").cast(DoubleType).as("err1"),
-        (0 until PqM).map(s => col(s"c$s.d").cast(DecimalType(18, 6)))
-          .reduce(_ + _).cast(DoubleType).as("err2"))
+    // 100 TB shape: ZERO exchanges — both codebooks ride inside ONE
+    // compiled PqResidualPack expression (the pqEncodeWith kernel two
+    // levels deep), so the whole two-level encode is a pure map over
+    // the corpus scan. The previous shape paid two
+    // crossJoin(broadcast) amplifications + two corpus-keyed
+    // hash-aggregate exchanges. Numeric contract documented on the
+    // expression; SimilaritySpec pins bit-equality vs the composed
+    // formulation.
+    val local1: IndexedSeq[(Long, IndexedSeq[Double])] = books1
+      .select(col("code").cast(LongType), col("cv").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+    require(local1.nonEmpty, "residualPqEncodeWith: empty level-1 codebook")
+    // wide (code2, w0..w7) -> (code2, full-dim concatenation): the
+    // kernel indexes level-2 codewords with the same base + j offsets
+    // as level 1
+    val local2: IndexedSeq[(Long, IndexedSeq[Double])] = books2
+      .select(col("code2").cast(LongType),
+        concat((0 until PqM).map(s => col(s"w$s")): _*).as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+    require(local2.nonEmpty, "residualPqEncodeWith: empty level-2 codebook")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val enc = Bridge.column(graft.functions.PqResidualPack(
+      Bridge.expression(col("embedding")),
+      local1.map(_._1), local1.map(_._2),
+      local2.map(_._1), local2.map(_._2), PqM))
+    embeddings
+      .select(col("vec_id"), enc.as("rq"))
+      .select(col("vec_id"), col("rq.pq").as("pq"), col("rq.pq2").as("pq2"),
+        col("rq.err1").as("err1"), col("rq.err2").as("err2"))
   }
 
   /** WIDE codebooks -> ROW form (code2, s, rv[8]), the shape the

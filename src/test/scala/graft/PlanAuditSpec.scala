@@ -209,13 +209,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"m13 re-grew an object group buffer:\n$plan")
   }
 
-  test("e04's two quantization levels broadcast their codebooks") {
-    // both levels are broadcast cross-joins (16 rows each) with
-    // map-side-combined per-vector aggregates — the corpus must never
-    // shuffle toward a codebook
+  test("e04's two-level encode is a pure map: zero exchanges, zero joins") {
+    // both codebooks (16 rows each) ride INSIDE the compiled
+    // pq_residual_encode expression, so the whole two-level encode is
+    // one projection over the corpus scan — the corpus must never
+    // shuffle toward a codebook, and no join may reappear (the old
+    // crossJoin(broadcast) + groupBy shape paid two corpus-keyed
+    // hash-aggregate exchanges)
     val plan = planOf("e04_residual_pq")
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"e04 does not broadcast its codebooks:\n$plan")
+    assert(plan.contains("pq_residual_encode"),
+      s"e04 lost the compiled kernel:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"e04 re-grew a shuffle or join:\n$plan")
+  }
+
+  test("e02's PQ encode is a pure map: zero exchanges, zero joins") {
+    val plan = planOf("e02_pq_encode")
+    assert(plan.contains("pq_encode"),
+      s"e02 lost the compiled kernel:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"e02 re-grew a shuffle or join:\n$plan")
   }
 
   test("t13's classifier inference is map-only: zero exchanges over the scan") {
