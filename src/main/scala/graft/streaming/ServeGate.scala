@@ -178,6 +178,17 @@ object ServeGate {
         spark.read.parquet(s"$staging/books2"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
     trip("rows")
+    // the quantizer's TRAINING-SAMPLE ids, recorded in the release so
+    // a later [[forgetRelease]] can detect when a forgotten vector's
+    // VALUES are embedded in cents/books/books2 (cents and books draw
+    // vec_id < PqCodewords, books2's donors [PqCodewords,
+    // 2*PqCodewords)) — without this a forget of a sample vector would
+    // be a silent right-to-be-forgotten leak: the row disappears but
+    // its coordinates keep serving as a codeword
+    embeddings
+      .filter(col("vec_id") < 2L * Similarity.PqCodewords)
+      .select("vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/sample")
   }
 
   /** Freeze a HYBRID serving release: the dense family PLUS the exact
@@ -221,15 +232,26 @@ object ServeGate {
     * standing-index family that previously had to wait for the next
     * full [[buildIndex]]: filter the predicate's ids out of every
     * row-shaped relation of the CURRENT release and publish the result
-    * as a NEW generation under the same atomic release protocol (the
-    * quantizer relations — cents/books/books2 — copy unchanged: a
-    * forget never retrains, which is also why post-forget serving
-    * equals a rebuild-without only when the forgotten ids are outside
-    * the quantizer's training sample; ServeGateSpec pins that case).
+    * as a NEW generation under the same atomic release protocol.
     * BM25's derived relations (df, stats) are RECOMPUTED from the
     * filtered postings/dl, never merged — the s13FoldForgets rule.
     * A crash at any point leaves the previous release serving; re-run
     * to complete (the filter is idempotent).
+    *
+    * QUANTIZER-SAMPLE rule: the quantizer relations
+    * (cents/books/books2) copy unchanged ONLY when no forgotten id is
+    * in the quantizer's training sample (the release's `sample`
+    * relation, recorded at build time). A sample vector's COORDINATES
+    * are embedded in the codebooks, so filtering its row alone would
+    * be a silent retention leak. When the predicate hits the sample:
+    * a hybrid release (which carries the exact vectors in `embs`)
+    * stages a full dense RETRAIN from the remaining vectors — the
+    * published generation then equals a rebuild-without EXACTLY, by
+    * the same staged/atomic protocol; a dense-only release has no
+    * vectors to retrain from, so the fold REFUSES with a
+    * retrain-required error and the current release keeps serving.
+    * ServeGateSpec pins all three cases (out-of-sample fold,
+    * in-sample retrain == rebuild-without, dense-only refusal).
     *
     * `gone(idCol)` receives `vec_id` for the dense relations and
     * `doc_id` for the lexical ones — one namespace (d10), two column
@@ -248,13 +270,44 @@ object ServeGate {
       // its pre-rebuild content
       val cur = currentDir(spark, indexDir)
       def has(rel: String): Boolean = fs.exists(new Path(cur, rel))
-      for (rel <- Seq("cents", "books", "books2"))
-        spark.read.parquet(s"$cur/$rel")
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/$rel")
-      trip("cents")
-      spark.read.parquet(s"$cur/rows").filter(!gone(col("vec_id")))
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
-      trip("rows")
+      // quantizer-sample membership (bounded: the sample is at most
+      // 2*PqCodewords ids). Releases from before the sample relation
+      // existed fall back to the sampled-quantizer convention: the
+      // training ids are exactly the indexed ids below 2*PqCodewords.
+      val sample =
+        if (has("sample")) spark.read.parquet(s"$cur/sample")
+        else spark.read.parquet(s"$cur/rows")
+          .filter(col("vec_id") < 2L * Similarity.PqCodewords)
+          .select("vec_id")
+      val inSample = sample.filter(gone(col("vec_id"))).count()
+      if (inSample == 0) {
+        for (rel <- Seq("cents", "books", "books2") ++
+            (if (has("sample")) Seq("sample") else Nil))
+          spark.read.parquet(s"$cur/$rel")
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/$rel")
+        trip("cents")
+        spark.read.parquet(s"$cur/rows").filter(!gone(col("vec_id")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/rows")
+        trip("rows")
+      } else if (has("embs")) {
+        // staged retrain: re-derive the whole dense family from the
+        // remaining exact vectors — identical inputs to a
+        // rebuild-without, so the published release IS one. (The null
+        // label only satisfies ivfAssignWith's pass-through projection;
+        // no staged relation keeps it.)
+        stageDense(spark,
+          spark.read.parquet(s"$cur/embs").filter(!gone(col("vec_id")))
+            .withColumn("label",
+              lit(null).cast(org.apache.spark.sql.types.StringType)),
+          staging)
+      } else {
+        throw new IllegalStateException(
+          s"forgetRelease: $inSample forgotten id(s) are in the quantizer " +
+            "training sample of a dense-only release — their coordinates are " +
+            "embedded in cents/books/books2 and there are no exact vectors to " +
+            "retrain from. Rebuild the release from the filtered corpus " +
+            "(buildIndex) instead; the current release keeps serving meanwhile.")
+      }
       if (has("embs")) {
         spark.read.parquet(s"$cur/embs").filter(!gone(col("vec_id")))
           .write.mode(SaveMode.Overwrite).parquet(s"$staging/embs")
@@ -277,6 +330,22 @@ object ServeGate {
       }
     }
   }
+
+  /** The serving releases as a [[Takedown]] surface, so ONE ledger
+    * token folds the gate indexes AND the serving corpus — without
+    * this, a real takedown had to remember to call [[forgetRelease]]
+    * separately, and a crash between the gate folds and the serving
+    * fold left the takedown half-applied with no record. The fold is
+    * idempotent and crash-atomic, so the ledger's re-drives are
+    * harmless; an id set that hits the quantizer training sample
+    * follows [[forgetRelease]]'s retrain-or-refuse rule (a refusal
+    * aborts the resume with the token OPEN and the serving surface
+    * unmarked — honest, never silently closed). TakedownSpec pins the
+    * crash-between-surfaces saga.
+    */
+  def takedownSurface(indexDir: String, name: String = "serve"): Takedown.Surface =
+    Takedown.Surface(name, (s, ids) =>
+      forgetRelease(s, indexDir, id => id.isInCollection(ids)))
 
   /** One serving step: answer `batchQueries` against the CURRENT index
     * release (resolved once — all three relations come from the same

