@@ -202,30 +202,44 @@ object HybridServe {
       coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
     val fused = lex.join(dense, Seq("query_id", "corpus_doc"), "full_outer")
       .withColumn("rrf", round(rrfRaw, 6))
-    // MMR inside a per-query group task: pools are ≤ 2k fused members,
-    // pairwise cosines computed locally with the Catalyst expression's
-    // exact arithmetic — no driver collect, queries diversify in
-    // parallel
-    val picks = embs.select(col("vec_id").as("corpus_doc"), col("embedding"))
-      .join(broadcast(fused.select(col("query_id"), col("corpus_doc"), col("rrf"))),
-        "corpus_doc")
-      .select(col("query_id"), col("corpus_doc"), col("rrf"), col("embedding"))
-      .as[(Long, Long, Double, Seq[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (qid, it) =>
-        val pool = it.toIndexedSeq
-        val sim = scala.collection.mutable.Map[(Long, Long), Double]()
-        for (i <- pool.indices; j <- (i + 1) until pool.length) {
-          val s = round6(cosineLocal(pool(i)._4, pool(j)._4))
-          sim((pool(i)._2, pool(j)._2)) = s
-          sim((pool(j)._2, pool(i)._2)) = s
-        }
-        mmrGreedy(pool.map(r => r._2 -> r._3), sim)
-          .map { case (d, rk) => (qid, d, rk) }
-      }
-      .toDF("query_id", "corpus_doc", "rank")
+    val pool = embs.select(col("vec_id").as("doc"), col("embedding"))
+      .join(broadcast(fused.select(col("query_id"),
+        col("corpus_doc").as("doc"), col("rrf").as("rel"))), "doc")
+    val picks = mmrPicks(pool)
+      .select(col("query_id"), col("doc").as("corpus_doc"), col("rank"))
     fused.join(broadcast(picks), Seq("query_id", "corpus_doc"))
       .select(col("query_id"), col("corpus_doc"),
         col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+  }
+
+  /** The shared MMR diversification stage — the batch s25/x08/x09/x10
+    * entries and the streaming hybrid serve all run THIS kernel.
+    * `pool` carries one row per (query, candidate):
+    * (query_id, doc, rel, embedding); the pairwise cosines and the
+    * greedy run INSIDE each query's group task over the
+    * shortlist-bounded pool (≤ 20 fused members per query) with the
+    * Catalyst expression's exact arithmetic — no driver collect
+    * anywhere, queries diversify in parallel. Returns
+    * (query_id, doc, rank).
+    */
+  private[llm] def mmrPicks(pool: DataFrame): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    pool
+      .select(col("query_id"), col("doc"), col("rel"), col("embedding"))
+      .as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toIndexedSeq
+        val sim = scala.collection.mutable.Map[(Long, Long), Double]()
+        for (i <- cands.indices; j <- (i + 1) until cands.length) {
+          val s = round6(cosineLocal(cands(i)._4, cands(j)._4))
+          sim((cands(i)._2, cands(j)._2)) = s
+          sim((cands(j)._2, cands(i)._2)) = s
+        }
+        mmrGreedy(cands.map(r => r._2 -> r._3), sim)
+          .map { case (d, rk) => (qid, d, rk) }
+      }
+      .toDF("query_id", "doc", "rank")
   }
 }

@@ -2691,11 +2691,12 @@ object LlmQueries {
   //    label-capped rule with the metric-space form (no labels needed:
   //    a result is penalized by its similarity to what is already
   //    selected). Candidate generation is the s01 top-20 (swappable
-  //    for the IVF/hamming probes like s15's pool stage); the greedy
-  //    is O(k · shortlist) driver work over a collected table bounded
-  //    by MmrShortlist² = 400 rows (the centroid-collect precedent) —
-  //    constant-size head of the retrieval ladder, scale-independent
-  //    at any corpus size. Selection compares
+  //    for the IVF/hamming probes like s15's pool stage); the
+  //    pairwise sims and the O(k · shortlist) greedy run INSIDE one
+  //    group task over the MmrShortlist-bounded pool (the shared
+  //    HybridServe.mmrPicks kernel — nothing collects to the driver,
+  //    so a stream of such queries diversifies in parallel across
+  //    executors). Selection compares
   //    λ·qsim − μ·max(sim to selected) on 6-dp-rounded cosines; the
   //    oracle replays the identical greedy as generated per-pick CTEs.
   private val s25 = Q(
@@ -2709,44 +2710,19 @@ object LlmQueries {
           round(Similarity.cosine(col("embedding"), col("qv")), 6).as("qsim"))
         .orderBy(col("qsim").desc, col("vec_id").asc)
         .limit(MmrShortlist)
-      val se = short.select("vec_id").join(emb, "vec_id")
-        .select(col("vec_id"), col("embedding"))
-      val a = se.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-      val b = se.select(col("vec_id").as("v2"), col("embedding").as("e2"))
-      // pairwise cosines among the shortlist, computed distributed and
-      // collected — bounded by MmrShortlist choose 2 (190 rows)
-      val sim = scala.collection.mutable.Map[(Long, Long), Double]()
-      for (r <- a.join(broadcast(b), col("v1") < col("v2"))
-          .select(col("v1"), col("v2"),
-            round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
-          .collect()) {
-        val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-        sim((v1, v2)) = sv
-        sim((v2, v1)) = sv
-      }
-      val qsims = short.select("vec_id", "qsim").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-      import s.implicits._
-      val picks = mmrGreedy(qsims, sim).toDF("vec_id", "rank")
+      // pairwise sims + greedy run inside ONE group task over the
+      // shortlist-bounded pool (the shared HybridServe.mmrPicks
+      // kernel) — nothing is collected to the driver
+      val pool = emb.select(col("vec_id").as("doc"), col("embedding"))
+        .join(broadcast(short.select(col("vec_id").as("doc"),
+          col("qsim").as("rel"))), "doc")
+        .withColumn("query_id", lit(0L))
+      val picks = HybridServe.mmrPicks(pool)
+        .select(col("doc").as("vec_id"), col("rank"))
       short.join(broadcast(picks), "vec_id")
         .select(col("vec_id"), col("label"), col("qsim"), col("rank"))
     },
     Some(mmrOracle))
-
-  /** The shared MMR greedy (s25/x08): candidates with 6-dp relevance
-    * plus the symmetric 6-dp pairwise-similarity map in, (id, rank)
-    * picks out. Pick 1 is the relevance argmax; pick i maximizes
-    * λ·rel − μ·max(sim to picked); ties to the lower id — the exact
-    * arithmetic the generated oracle CTEs replay.
-    */
-  /** the shared greedy (moved to [[HybridServe]] so the streaming
-    * hybrid serve runs the SAME selection; kept as a local alias for
-    * the catalog call sites)
-    */
-  private def mmrGreedy(
-      rel: Seq[(Long, Double)],
-      sim: scala.collection.Map[(Long, Long), Double]): Seq[(Long, Long)] =
-    HybridServe.mmrGreedy(rel, sim)
 
   /** x08/x09's generated oracle: the lexical arm, RRF fusion and the
     * s25-style MMR pick chain are shared; `denseBlock` supplies the
@@ -2935,9 +2911,10 @@ object LlmQueries {
 
   /** x08/x09's shared serving tail: RRF-fuse the two per-arm rank
     * lists (full-outer — a doc found by one arm still scores), then
-    * the s25 MMR greedy over the fused pool. Everything here is
-    * bounded by the two top-10s (≤ 20 fused members), so the pairwise
-    * sims and the greedy cost constant driver work at any corpus size.
+    * the s25 MMR greedy over the fused pool — run inside a group task
+    * via the shared [[HybridServe.mmrPicks]] kernel (pairwise sims
+    * over the ≤ 20 fused members computed locally in the task, never
+    * collected to the driver).
     */
   private def fuseAndDiversify(
       s: SparkSession, emb: DataFrame, lex: DataFrame, dense: DataFrame): DataFrame = {
@@ -2945,24 +2922,12 @@ object LlmQueries {
       coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
     val fused = lex.join(dense, Seq("corpus_doc"), "full_outer")
       .withColumn("rrf", round(rrfRaw, 6))
-    val members = fused.select("corpus_doc")
-      .join(emb, col("corpus_doc") === col("vec_id"))
-      .select(col("corpus_doc"), col("embedding"))
-    val a = members.select(col("corpus_doc").as("v1"), col("embedding").as("e1"))
-    val b = members.select(col("corpus_doc").as("v2"), col("embedding").as("e2"))
-    val sim = scala.collection.mutable.Map[(Long, Long), Double]()
-    for (r <- a.join(broadcast(b), col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          round(Similarity.cosine(col("e1"), col("e2")), 6).as("sim"))
-        .collect()) {
-      val (v1, v2, sv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-      sim((v1, v2)) = sv
-      sim((v2, v1)) = sv
-    }
-    val rel = fused.select("corpus_doc", "rrf").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-    import s.implicits._
-    val picks = mmrGreedy(rel, sim).toDF("corpus_doc", "rank")
+    val pool = emb.select(col("vec_id").as("doc"), col("embedding"))
+      .join(broadcast(fused.select(col("corpus_doc").as("doc"),
+        col("rrf").as("rel"))), "doc")
+      .withColumn("query_id", lit(0L))
+    val picks = HybridServe.mmrPicks(pool)
+      .select(col("doc").as("corpus_doc"), col("rank"))
     fused.join(broadcast(picks), "corpus_doc")
       .select(col("corpus_doc"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
   }

@@ -223,6 +223,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"e04 re-grew a shuffle or join:\n$plan")
   }
 
+  test("batch MMR runs in group tasks: no driver-computed relation re-enters the plan") {
+    // s25/x08 (and x09/x10 through the same kernel) previously
+    // collected the pairwise sims + relevance to the driver and
+    // re-joined the greedy's picks as a LocalTableScan. The shared
+    // HybridServe.mmrPicks kernel keeps the whole selection lazy
+    // inside a per-query group task — the plan must show the group
+    // stage and contain NO local relation (a LocalTableScan here
+    // means a .collect() ran at plan-construction time)
+    for (q <- Seq("s25_mmr_rerank", "x08_retrieval_serving")) {
+      val plan = planOf(q)
+      assert(plan.contains("MapGroups"),
+        s"$q lost the group-task MMR stage:\n$plan")
+      assert(!plan.contains("LocalTableScan"),
+        s"$q re-grew a driver-computed local relation:\n$plan")
+    }
+  }
+
   test("e02's PQ encode is a pure map: zero exchanges, zero joins") {
     val plan = planOf("e02_pq_encode")
     assert(plan.contains("pq_encode"),
