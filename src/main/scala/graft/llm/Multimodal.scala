@@ -493,6 +493,19 @@ object Multimodal {
     def declaredUnits(bytes: Array[Byte]): Long
     /** the real decode; free to throw on structural corruption */
     def decode(bytes: Array[Byte]): DecodedStats
+    /** the decoded RASTER, for perceptual-hash surfaces
+      * ([[graft.streaming.PhashGate]] routes external rasters through
+      * this after its own declaredUnits guard): None means "not a
+      * raster format" and the gate verdicts `rejected:unsupported` —
+      * the default, so stats-only decoders need not know rasters
+      * exist. Free to throw on structural corruption (quarantined).
+      */
+    def decodeRaster(bytes: Array[Byte]): Option[MediaCodecs.Ppm] = None
+    /** (sampleRate, samples), for acoustic surfaces
+      * ([[graft.streaming.AfpGate]]) — same contract as
+      * [[decodeRaster]], for audio
+      */
+    def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = None
   }
 
   /** built-in decoder for one of [[MediaCodecs.sniff]]'s tokens: sniff
@@ -1217,7 +1230,7 @@ object Multimodal {
     */
   private def wavWithListChunk(samples: Array[Short]): Array[Byte] = {
     val plain = MediaCodecs.wavWrite(samples, 8000)
-    val info = "INFOICMT   fixture ".getBytes("ISO-8859-1")
+    val info = "INFOICMT\u0008\u0000\u0000\u0000fixture\u0000".getBytes("ISO-8859-1")
     val out = java.nio.ByteBuffer
       .allocate(plain.length + 8 + info.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

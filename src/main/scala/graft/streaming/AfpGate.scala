@@ -62,14 +62,21 @@ object AfpGate {
   def fingerprintBatch(
       spark: SparkSession, files: DataFrame, maxUnits: Long): Dataset[AudioHash] = {
     import spark.implicits._
+    // registry snapshot at PLAN-CONSTRUCTION time — the MediaIngest
+    // capture rule: tasks never consult the driver-global registry
+    val externals = Multimodal.decoderSnapshot
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val id = MediaIngest.mediaIdOf(path)
         def rejected(fmt: String, why: String) =
           AudioHash(id, fmt, 0L, 0L, 0L, ok = false, why)
+        def printed(fmt: String, rate: Int, samples: Array[Short]): AudioHash =
+          if (samples.length < MinSamples) rejected(fmt, "rejected:dust")
+          else AudioHash(id, fmt, rate.toLong, samples.length.toLong,
+            Multimodal.audioFingerprint(samples), ok = true, "kept")
         try {
-          MediaCodecs.sniff(bytes) match {
+          Multimodal.sniffMedia(bytes, externals) match {
             case Some(fmt @ ("wav-pcm" | "wav-ulaw" | "aiff" | "au")) =>
               if (MediaCodecs.declaredUnits(fmt, bytes) > maxUnits)
                 rejected(fmt, "rejected:oversize")
@@ -83,11 +90,24 @@ object AfpGate {
                     val w = MediaCodecs.javaSoundParse(bytes)
                     (w.sampleRate, w.samples)
                 }
-                if (samples.length < MinSamples) rejected(fmt, "rejected:dust")
-                else AudioHash(id, fmt, rate.toLong, samples.length.toLong,
-                  Multimodal.audioFingerprint(samples), ok = true, "kept")
+                printed(fmt, rate, samples)
               }
-            case Some(fmt) => rejected(fmt, "rejected:unsupported")
+            case Some(fmt) =>
+              // an EXTERNAL audio decoder (the MediaDecoder SPI) rides
+              // the identical guard -> decode -> dust -> fingerprint
+              // ladder; externals without samples (raster/stats-only)
+              // stay unsupported here — PhashGate owns the raster arm
+              externals.find(_.fmt == fmt) match {
+                case Some(d) =>
+                  val declared = d.declaredUnits(bytes)
+                  if (declared < 0) rejected(fmt, "rejected:corrupt")
+                  else if (declared > maxUnits) rejected(fmt, "rejected:oversize")
+                  else d.decodeSamples(bytes) match {
+                    case Some((rate, samples)) => printed(fmt, rate, samples)
+                    case None => rejected(fmt, "rejected:unsupported")
+                  }
+                case None => rejected(fmt, "rejected:unsupported")
+              }
             case None => rejected("unknown", "rejected:unrecognized")
           }
         } catch {

@@ -70,33 +70,51 @@ object PhashGate {
     */
   def hashBatch(spark: SparkSession, files: DataFrame, maxUnits: Long): Dataset[MediaHash] = {
     import spark.implicits._
+    // registry snapshot at PLAN-CONSTRUCTION time — the MediaIngest
+    // capture rule: tasks never consult the driver-global registry
+    val externals = Multimodal.decoderSnapshot
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (path, bytes) =>
         val id = MediaIngest.mediaIdOf(path)
         def rejected(fmt: String, why: String) =
           MediaHash(id, fmt, 0L, 0L, 0L, ok = false, why)
+        def hashed(fmt: String, img: MediaCodecs.Ppm): MediaHash =
+          // dust floor (MediaIngest.MinUnits's perceptual twin):
+          // below the 8x8 pooling grid the DCT spectrum carries
+          // almost no signal, so distinct tiny images would
+          // collide on near-degenerate hashes and silently drop
+          // each other as perceptual dups — refuse them instead
+          if (img.w < 8 || img.h < 8) rejected(fmt, "rejected:dust")
+          else MediaHash(id, fmt, img.w.toLong, img.h.toLong,
+            Multimodal.perceptualHash(img), ok = true, "kept")
         try {
-          MediaCodecs.sniff(bytes) match {
+          Multimodal.sniffMedia(bytes, externals) match {
             case Some(fmt @ ("png" | "ppm" | "jpeg" | "bmp" | "tiff")) =>
               if (MediaCodecs.declaredUnits(fmt, bytes) > maxUnits)
                 rejected(fmt, "rejected:oversize")
-              else {
+              else
                 // ImageIO sniffs the container for png/jpeg/bmp/tiff;
                 // ppm is ours
-                val img =
+                hashed(fmt,
                   if (fmt == "ppm") MediaCodecs.ppmParse(bytes)
-                  else MediaCodecs.pngParse(bytes)
-                // dust floor (MediaIngest.MinUnits's perceptual twin):
-                // below the 8x8 pooling grid the DCT spectrum carries
-                // almost no signal, so distinct tiny images would
-                // collide on near-degenerate hashes and silently drop
-                // each other as perceptual dups — refuse them instead
-                if (img.w < 8 || img.h < 8) rejected(fmt, "rejected:dust")
-                else MediaHash(id, fmt, img.w.toLong, img.h.toLong,
-                  Multimodal.perceptualHash(img), ok = true, "kept")
+                  else MediaCodecs.pngParse(bytes))
+            case Some(fmt) =>
+              // an EXTERNAL raster decoder (the MediaDecoder SPI)
+              // rides the identical guard -> decode -> dust -> hash
+              // ladder; externals without a raster (audio/stats-only)
+              // stay unsupported here — AfpGate owns the audio arm
+              externals.find(_.fmt == fmt) match {
+                case Some(d) =>
+                  val declared = d.declaredUnits(bytes)
+                  if (declared < 0) rejected(fmt, "rejected:corrupt")
+                  else if (declared > maxUnits) rejected(fmt, "rejected:oversize")
+                  else d.decodeRaster(bytes) match {
+                    case Some(img) => hashed(fmt, img)
+                    case None => rejected(fmt, "rejected:unsupported")
+                  }
+                case None => rejected(fmt, "rejected:unsupported")
               }
-            case Some(fmt) => rejected(fmt, "rejected:unsupported")
             case None => rejected("unknown", "rejected:unrecognized")
           }
         } catch {

@@ -214,4 +214,69 @@ class AfpGateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("an external audio decoder rides sniff -> guard -> gate acceptance, untouched gate code") {
+    // the PhashGateSpec external-raster arm's acoustic twin: a toy
+    // pure-JVM audio container ("xsnd": magic, u32 header-declared
+    // sample claim, s16be payload at 8 kHz) registers through the
+    // MediaDecoder SPI and the fingerprint gate admits/drops it with
+    // untouched gate code
+    import graft.streaming.MediaIngest
+    def xsnd(samples: Array[Short], claim: Long = -1L): Array[Byte] = {
+      val c = if (claim >= 0) claim else samples.length.toLong
+      val out = java.nio.ByteBuffer.allocate(8 + samples.length * 2)
+      out.put("XSND".getBytes("US-ASCII")).putInt(c.toInt)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+    val toy = new Multimodal.MediaDecoder {
+      val fmt = "xsnd"
+      def sniff(bytes: Array[Byte]) =
+        bytes.length >= 8 && new String(bytes.take(4), "US-ASCII") == "XSND"
+      def declaredUnits(bytes: Array[Byte]) =
+        if (bytes.length < 8) -1L
+        else java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt.toLong
+      private def samples(bytes: Array[Byte]) = {
+        val buf = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+        Array.fill((bytes.length - 8) / 2)(buf.getShort)
+      }
+      def decode(bytes: Array[Byte]) = {
+        val s = samples(bytes)
+        Multimodal.DecodedStats("audio", 1L, s.length.toLong,
+          s.map(_.toLong.abs).sum, s.map(_.toLong.abs).max)
+      }
+      override def decodeSamples(bytes: Array[Byte]) = Some((8000, samples(bytes)))
+    }
+    def tone(seed: Int): Array[Short] =
+      Array.tabulate[Short](128)(i => ((i * 7 + seed * 131) % 1024 - 512).toShort)
+
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val index = s"$base/index"; val dec = s"$base/decisions"
+    drop(dropDir, "a1.xsnd", xsnd(tone(1)))
+    drop(dropDir, "a2.xsnd", xsnd(tone(1)))                 // same signal -> dup
+    drop(dropDir, "a3.xsnd", xsnd(tone(2)))                 // distinct -> admits
+    drop(dropDir, "a4.xsnd", xsnd(tone(3), claim = 1L << 30)) // hostile claim
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(dropDir)
+      .select(col("path"), col("content"))
+
+    Multimodal.registerDecoder(toy)
+    try {
+      AfpGate.step(spark, files, "t-1", lake, index, dec)
+      val d = spark.read.parquet(dec)
+        .select("media_id", "decision").as[(Long, String)].collect().toMap
+      def idOf(n: String) = MediaIngest.mediaIdOf(s"$dropDir/$n")
+      assert(d(idOf("a1.xsnd")) == "admit")
+      assert(d(idOf("a2.xsnd")) == "drop_batch")
+      assert(d(idOf("a3.xsnd")) == "admit")
+      assert(d(idOf("a4.xsnd")) == "rejected:oversize")
+    } finally Multimodal.unregisterDecoder("xsnd")
+
+    val after = AfpGate.fingerprintBatch(spark, files,
+      graft.functions.MediaCodecs.MaxDeclaredUnits)
+      .collect().map(h => h.verdict).toSet
+    assert(after == Set("rejected:unrecognized"),
+      "unregistering must leave the format unrecognized again")
+  }
 }

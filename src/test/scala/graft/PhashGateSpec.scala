@@ -226,4 +226,101 @@ class PhashGateSpec extends AnyFunSuite {
       col("hamming") === 0L).count() == 299)
     assert(PhashGate.readBands(spark, index).count() == 16)
   }
+
+  test("an external raster decoder rides sniff -> guard -> ingest verdict -> gate acceptance, untouched gate code") {
+    // r16 judge item: the MP3/H.264-class seam, proven end-to-end with
+    // a toy pure-JVM raster format ("xraw": magic, u32 header-declared
+    // pixel claim, u8 w/h, rgb payload). Registration is the ONLY
+    // hook touched — the sniff ladder, the decode-bomb guard, the m02
+    // stats arm, MediaIngest's verdict path and this gate's
+    // admit/drop/forget machinery all route the new format through
+    // the registry snapshot.
+    import graft.functions.MediaCodecs
+    import graft.streaming.MediaIngest
+    def xraw(w: Int, h: Int, rgb: Array[Byte], claim: Long = -1L): Array[Byte] = {
+      val c = if (claim >= 0) claim else (w * h).toLong
+      val out = java.nio.ByteBuffer.allocate(10 + rgb.length)
+      out.put("XRAW".getBytes("US-ASCII"))
+      out.putInt(c.toInt).put(w.toByte).put(h.toByte).put(rgb)
+      out.array()
+    }
+    val toy = new Multimodal.MediaDecoder {
+      val fmt = "xraw"
+      def sniff(bytes: Array[Byte]) =
+        bytes.length >= 10 && new String(bytes.take(4), "US-ASCII") == "XRAW"
+      def declaredUnits(bytes: Array[Byte]) =
+        if (bytes.length < 10) -1L
+        else java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt.toLong
+      def decode(bytes: Array[Byte]) = {
+        val img = raster(bytes)
+        Multimodal.DecodedStats("image", 1L, (img.w * img.h).toLong,
+          img.rgb.map(b => (b & 0xff).toLong).sum,
+          img.rgb.map(b => (b & 0xff).toLong).max)
+      }
+      private def raster(bytes: Array[Byte]) = {
+        val w = bytes(8) & 0xff; val h = bytes(9) & 0xff
+        require(bytes.length >= 10 + w * h * 3, "torn xraw body")
+        MediaCodecs.Ppm(w, h, bytes.slice(10, 10 + w * h * 3))
+      }
+      override def decodeRaster(bytes: Array[Byte]) = Some(raster(bytes))
+    }
+    def pix(seed: Int): Array[Byte] =
+      Array.tabulate(16 * 16 * 3)(i => ((i * 31 + seed * 97) % 251).toByte)
+
+    val base = tmp()
+    val dropDir = s"$base/drop"; val lake = s"$base/lake"
+    val index = s"$base/index"; val dec = s"$base/decisions"
+    drop(dropDir, "x1.xraw", xraw(16, 16, pix(1)))
+    drop(dropDir, "x2.xraw", xraw(16, 16, pix(1)))     // same pixels -> perceptual dup
+    drop(dropDir, "x3.xraw", xraw(16, 16, pix(2)))     // distinct content -> admits
+    drop(dropDir, "x4.xraw", xraw(16, 16, pix(3), claim = (1L << 30))) // hostile claim
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(dropDir)
+      .select(col("path"), col("content"))
+
+    Multimodal.registerDecoder(toy)
+    try {
+      // m02 stats arm + decode-bomb guard, through the registry
+      val stats = Multimodal.decodeStats("xraw", xraw(16, 16, pix(1)))
+      assert(stats.kind == "image" && stats.n_units == 256L)
+      intercept[MediaCodecs.OversizeMediaException] {
+        Multimodal.decodeStats("xraw", xraw(16, 16, pix(3), claim = (1L << 30)))
+      }
+      // MediaIngest verdicts route the external format
+      val verdicts = MediaIngest.decide(spark, files).collect()
+        .map(r => r.path.split('/').last -> r.verdict).toMap
+      assert(verdicts("x1.xraw") == "kept" && verdicts("x3.xraw") == "kept")
+      assert(verdicts("x4.xraw") == "rejected:oversize")
+
+      // the perceptual gate admits/drops the external format with
+      // UNTOUCHED gate code
+      PhashGate.step(spark, files, "t-1", lake, index, dec)
+      val d = spark.read.parquet(dec)
+        .select("media_id", "decision").as[(Long, String)].collect().toMap
+      def idOf(n: String) = MediaIngest.mediaIdOf(s"$dropDir/$n")
+      assert(d(idOf("x1.xraw")) == "admit")
+      assert(d(idOf("x2.xraw")) == "drop_batch")
+      assert(d(idOf("x3.xraw")) == "admit")
+      assert(d(idOf("x4.xraw")) == "rejected:oversize")
+      assert(spark.read.parquet(lake).select("fmt").distinct()
+        .as[String].collect().toSeq == Seq("xraw"))
+      // a cross-run perceptual re-upload drops against the admitted
+      // keeper — the external format participates in the standing index
+      val drop2 = s"$base/drop2"
+      drop(drop2, "x9.xraw", xraw(16, 16, pix(1)))
+      PhashGate.step(spark,
+        spark.read.format("binaryFile").load(drop2).select(col("path"), col("content")),
+        "t-2", lake, index, dec)
+      val d2 = spark.read.parquet(dec)
+        .filter(col("media_id") === MediaIngest.mediaIdOf(s"$drop2/x9.xraw"))
+        .select("decision").as[String].collect().toSeq
+      assert(d2 == Seq("drop_corpus"))
+    } finally Multimodal.unregisterDecoder("xraw")
+
+    // with the decoder gone, the same bytes are unrecognized again —
+    // nothing about the format leaked into gate state
+    val d3 = PhashGate.hashBatch(spark, files, MediaCodecs.MaxDeclaredUnits)
+      .collect().map(h => h.media_id -> h.verdict).toMap
+    assert(d3.values.toSet == Set("rejected:unrecognized"))
+  }
 }
