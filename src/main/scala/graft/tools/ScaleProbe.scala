@@ -426,6 +426,74 @@ object ScaleProbe {
       (m, t)
     }
 
+    // r17 (VERDICT #6): the HYBRID serving stack measured end-to-end —
+    // x09/x10/stepHybrid's 100 TB story previously rested on plan
+    // shape alone. Build and probe fit SEPARATELY: the release build
+    // is the operator event (every stage is a scan-shaped encode or
+    // map-side-combined aggregation, expected ~linear in corpus), the
+    // probe is the steady-state per-batch cost (fixed 200-query batch;
+    // expected ~linear in m at the catalogued FIXED quantizer because
+    // every posting list grows ∝ m — the serve_scaled_centroids knob
+    // applies unchanged to the dense arm).
+    if (enabled("serve_hybrid_scale")) {
+      val builds = Seq.newBuilder[(Int, Double)]
+      val probes = Seq.newBuilder[(Int, Double)]
+      Multipliers.foreach { m =>
+        val dir = s"$outBase/x$m"
+        val emb = graft.Tables.embeddings(spark, dir)
+        val docs = graft.Tables.documents(spark, dir)
+        val idx = s"$outBase/serve_hybrid_x$m"
+        val tb = bestOf(reps)(
+          graft.streaming.ServeGate.buildHybridIndex(spark, emb, docs, idx))
+        val gen = graft.streaming.ServeGate.currentDir(spark, idx)
+        def rel(r: String) = spark.read.parquet(s"$gen/$r")
+        val queries = emb.limit(200)
+          .selectExpr("vec_id AS query_id", "embedding AS qv")
+          .join(docs.selectExpr("doc_id AS query_id", "text AS qtext"), "query_id")
+          .select("query_id", "qv", "qtext").cache()
+        queries.count()
+        val tp = bestOf(reps)(materialize(
+          graft.llm.HybridServe.hybridServeBatch(
+            queries, rel("rows"), rel("cents"), rel("books"), rel("books2"),
+            rel("embs"), rel("bm25/postings"), rel("bm25/df"), rel("bm25/dl"),
+            rel("bm25/stats"), excludeSelf = true)))
+        queries.unpersist()
+        println(f"""{"probe":"serve_hybrid_scale","mult":$m,"build_sec":$tb%.3f,"probe_sec":$tp%.3f}""")
+        builds += ((m, tb)); probes += ((m, tp))
+      }
+      results("serve_hybrid_build") = builds.result()
+      results("serve_hybrid_probe") = probes.result()
+    }
+    // query-BATCH scaling at the largest corpus: 50/100/200/400-query
+    // drops against the FIXED 10x hybrid release. Expected ~linear in
+    // batch size — every per-query relation (probes, ADC tables, MMR
+    // pools) is broadcast-bounded per query, so doubling the batch
+    // doubles the work and nothing quadratic appears across queries.
+    if (enabled("serve_query_batch")) results("serve_query_batch") = Seq(1, 2, 4, 8).map { q =>
+      val m = Multipliers.max
+      val emb = graft.Tables.embeddings(spark, s"$outBase/x$m")
+      val idx = s"$outBase/serve_hybrid_x$m"
+      if (!new java.io.File(idx).exists())
+        graft.streaming.ServeGate.buildHybridIndex(
+          spark, emb, graft.Tables.documents(spark, s"$outBase/x$m"), idx)
+      val gen = graft.streaming.ServeGate.currentDir(spark, idx)
+      def rel(r: String) = spark.read.parquet(s"$gen/$r")
+      val queries = emb.limit(50 * q)
+        .selectExpr("vec_id AS query_id", "embedding AS qv")
+        .join(graft.Tables.documents(spark, s"$outBase/x$m")
+          .selectExpr("doc_id AS query_id", "text AS qtext"), "query_id")
+        .select("query_id", "qv", "qtext").cache()
+      queries.count()
+      val t = bestOf(reps)(materialize(
+        graft.llm.HybridServe.hybridServeBatch(
+          queries, rel("rows"), rel("cents"), rel("books"), rel("books2"),
+          rel("embs"), rel("bm25/postings"), rel("bm25/df"), rel("bm25/dl"),
+          rel("bm25/stats"), excludeSelf = true)))
+      queries.unpersist()
+      println(f"""{"probe":"serve_query_batch","queries":${50 * q},"sec":$t%.3f}""")
+      (q, t)
+    }
+
     // bus height-retention fold vs log size: driver-side segment scan +
     // retained-tail copy, expected ~linear in the log bytes. 4
     // partitions like the bench probes; the floor cuts ~half the log.
