@@ -239,6 +239,8 @@ object ColumnFns {
   def simhash48(col: Column): Column = c(SimHash48(e(col)))
   def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
   def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
+  def bpe_merge(col: Column, p1: String, p2: String): Column =
+    c(BpeMergeGreedy(e(col), p1, p2))
 
   /** name -> builder for every SQL-callable engine function: the ONE
     * list both [[register]] (temp functions on an existing session) and

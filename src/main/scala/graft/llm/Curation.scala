@@ -990,68 +990,53 @@ object Curation {
       WHERE n_copies > 0 AND e.e < n_copies
     """.trim))
 
-  /** one BPE merge round over a (doc_id, i, w) token stream: returns
-    * (the winning pair with its count, the stream with that pair
-    * merged greedily left-to-right, the PERSISTED input handle).
-    * Factored so v05 iterates it. The handle is returned so drivers can
-    * release each round's cache once the next round is materialized —
-    * without that, every v05/v06/x07 run leaks BpeRounds cached
-    * DataFrames until LRU eviction (the persist itself is load-bearing,
-    * see below; the leak was only in never unpersisting).
+  /** the pair-frequency argmax of one BPE round, over a stream whose
+    * `toks` column holds each doc's CURRENT token array: adjacent
+    * pairs are exploded map-side (the v03 pair idiom — the `size >= 2`
+    * guard keeps `sequence` off its descending branch), partially
+    * aggregated, and reduced to the single (tc desc, p1, p2) winner.
+    * Multiset-identical to the old exploded-stream `lead` formulation
+    * (per doc of n tokens, its n-1 adjacent pairs), with the same tie
+    * order — but with NO doc_id exchange and NO window sort: the only
+    * shuffle is the distinct-pair partial-aggregate merge.
     */
-  private def mergeRound(stream: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) = {
-    // both consumers (the pair count and the merge) read the input
-    // stream; without a persist the stream's lineage is inlined into
-    // each, so round r recomputes round r-1 twice — 2^rounds scans of
-    // the corpus by the last round (observed: 9 parquet scans / 35
-    // window ops in the 3-round physical plan; 18 -> 1 scans with the
-    // persist). MEMORY_AND_DISK spills corpus-sized rounds; the 100 TB
-    // shape checkpoints each round's stream to the lake, and this
-    // persist is the single-cluster analog of that barrier.
-    val in = stream.persist()
-    val wDoc = Window.partitionBy("doc_id").orderBy("i")
-    val wIsl = Window.partitionBy("doc_id", "island").orderBy("i")
-    val top = in
-      .withColumn("wn", lead(col("w"), 1).over(wDoc))
-      .filter(col("wn").isNotNull)
-      .groupBy(col("w").as("p1"), col("wn").as("p2")).agg(count(lit(1)).as("tc"))
+  private def pairTop(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    in.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p1, toks[i+1] AS p2))")).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("tc"))
       .orderBy(col("tc").desc, col("p1"), col("p2")).limit(1)
-    // LEFT cross join, not crossJoin: when the stream has no adjacent
-    // pair left (single-token docs, merges exhausted before the round
-    // budget), `top` is EMPTY — a cross join would erase the whole
-    // stream (and every doc downstream of it); the left join keeps the
-    // stream with null p1/p2, m coalesces to false, and the round is a
-    // no-op, which is what "no merge applies" means. The oracle's CTE
-    // uses the same LEFT JOIN ON TRUE.
-    val merged = in
-      .withColumn("wn", lead(col("w"), 1).over(wDoc))
-      .join(broadcast(top.select("p1", "p2")), lit(true), "left")
-      .withColumn("m",
-        coalesce(col("w") === col("p1") && col("wn") === col("p2"), lit(false)))
-      .withColumn("mrn", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
-      .withColumn("island", when(col("m"), col("i") - col("mrn")))
-      .withColumn("rel", when(col("m"), row_number().over(wIsl) - 1))
-      .withColumn("start", col("m") && col("rel") % 2 === 0)
-      .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
-      .filter(!col("consumed"))
-      .select(col("doc_id"), col("i"),
-        when(col("start"), concat(col("p1"), lit("_"), col("p2")))
-          .otherwise(col("w")).as("w"))
-    (top, merged, in)
-  }
 
-  /** Drive `rounds` of [[mergeRound]] with bounded cache residency:
-    * each round's 1-row winning pair is collected eagerly (which
-    * populates that round's persisted input as a side effect — the top
-    * aggregate scans it fully), then the PREVIOUS round's cache is
-    * released. Returns (collected (round, p1, p2, tc) rows, the final
-    * merged stream, the final round's still-cached handle). The last
-    * handle stays persisted because the returned stream reads it on the
-    * caller's final action; callers that don't consume the stream
-    * (v05) unpersist it immediately. Net: at most ONE cached round per
-    * run instead of BpeRounds.
+  /** Drive `rounds` BPE merge rounds over a (…, toks) stream of
+    * per-doc token ARRAYS with bounded cache residency. Each round:
+    * persist the stream, collect the 1-row winning pair (which
+    * populates the cache — the pair aggregate scans it fully), release
+    * the PREVIOUS round's cache, then rewrite the stream as a pure map
+    * with the pair compiled into ONE
+    * [[graft.functions.BpeMergeGreedy]] expression (the merge is
+    * greedy-left-to-right — CurationKernelSpec pins it row-for-row
+    * against the window-algebra island election this replaces; the
+    * generated oracle CTEs still run that algebra verbatim, so parity
+    * is oracle-checked every round). An empty winner (no adjacent pair
+    * anywhere) leaves the round a no-op — the image of the old LEFT
+    * join's null-pair branch.
+    *
+    * The per-round persist is load-bearing exactly as before: both the
+    * next round's pair count and the final consumer read each stream,
+    * and without the barrier round r would re-run round r-1's lineage
+    * twice (2^rounds corpus scans by the last round). MEMORY_AND_DISK
+    * spills corpus-sized rounds; the 100 TB shape checkpoints each
+    * round to the lake. Per-round cost drops from (full-stream doc_id
+    * exchange + two window sorts over every token ROW) to (map-side
+    * pair explode + distinct-pair aggregate + compiled array rewrite)
+    * — the token stream itself never shuffles in any round.
+    *
+    * Returns (collected (round, p1, p2, tc) rows, the final merged
+    * stream, the final round's still-cached handle — at most ONE
+    * cached round per run; callers that don't consume the stream
+    * (v05) unpersist the handle immediately).
     */
   private def mergeRounds(toks: org.apache.spark.sql.DataFrame, rounds: Int)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame,
@@ -1060,12 +1045,18 @@ object Curation {
     var prev: org.apache.spark.sql.DataFrame = null
     val rows = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
-      val (top, next, handle) = mergeRound(stream)
-      for (row <- top.collect())
+      val in = stream.persist()
+      val winner = pairTop(in).collect()
+      for (row <- winner)
         rows += ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
       if (prev != null) prev.unpersist()
-      prev = handle
-      stream = next
+      prev = in
+      stream = winner.headOption match {
+        case Some(row) => in.withColumn("toks",
+          graft.functions.ColumnFns.bpe_merge(
+            col("toks"), row.getString(0), row.getString(1)))
+        case None => in
+      }
     }
     (rows.result(), stream, prev)
   }
@@ -1204,19 +1195,20 @@ object Curation {
   //    iterated to a merge LIST, the actual tokenizer-training loop
   //    (count pairs -> adopt the winner -> re-merge the stream ->
   //    recount). Emits each round's learned merge with its pre-merge
-  //    frequency: the merge table a BPE tokenizer ships. Every round is
-  //    the same window algebra over the (doc_id, position) stream —
-  //    per-doc-keyed windows and ONE broadcast of the single winning
-  //    pair, so a round costs one token-stream pass at any corpus
-  //    size and the loop is rounds x linear (rounds is the vocab-size
-  //    knob, corpus-independent). The oracle chains the identical CTE
-  //    block per round, generated by the same loop — one code path
-  //    defines both engines' semantics.
+  //    frequency: the merge table a BPE tokenizer ships. Every round
+  //    runs over per-doc token ARRAYS — a map-side pair explode for
+  //    the count and one compiled merge expression for the rewrite
+  //    ([[mergeRounds]]), so a round costs one stream pass with no
+  //    stream shuffle at any corpus size and the loop is rounds x
+  //    linear (rounds is the vocab-size knob, corpus-independent). The
+  //    oracle chains the equivalent window-algebra CTE block per round
+  //    — the greedy-merge parity is oracle-checked on every run (plus
+  //    CurationKernelSpec's row-level pin of the compiled kernel).
   private val v05 = Q(
     "v05_bpe_train",
     (s, d) => {
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val (rows, _, lastHandle) = mergeRounds(toks, BpeRounds)
       // v05's output is only the merge list — the final stream is never
       // consumed, so the last round's cache is released right away and
@@ -1239,22 +1231,23 @@ object Curation {
   //    token counts before and after the learned merges (the
   //    compression the tokenizer actually buys, the number a data
   //    team watches per source). Training and application share
-  //    [[mergeRound]] verbatim, so v05/v06 cannot drift apart; the
+  //    [[mergeRounds]] verbatim, so v05/v06 cannot drift apart; the
   //    oracle reuses the identical generated CTE chain with a per-doc
-  //    count tail instead of the merge-list head.
+  //    count tail instead of the merge-list head. n_raw rides the
+  //    stream from round 0 (size of the pre-merge array == t0's
+  //    per-doc cardinality) and n_bpe is the final array's size, so
+  //    the whole report is a pure map over the last round's cache —
+  //    the groupBy(doc_id) count and the raw-side join are gone.
   private val v06 = Q(
     "v06_bpe_apply",
     (s, d) => {
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_raw", size(col("toks")).cast(LongType))
       val (_, stream, _) = mergeRounds(toks, BpeRounds)
-      // raw counts map-side from the text (== t0's per-doc cardinality
-      // since every position explodes to one row) — no second pass
-      // over the window chain
-      val raw = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_raw"))
-      val bpe = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
-      raw.join(bpe, "doc_id")
+      stream
+        .select(col("doc_id"), col("n_raw"),
+          size(col("toks")).cast(LongType).as("n_bpe"))
         .select(col("doc_id"), col("n_raw"), col("n_bpe"),
           (col("n_raw") - col("n_bpe")).as("n_saved"))
     },
@@ -1280,15 +1273,18 @@ object Curation {
   private val v08 = Q(
     "v08_tokenizer_fertility",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      // lang/n_chars/n_raw ride the token stream from round 0 (the v06
+      // carry), so the per-doc join with a separate n_bpe aggregate is
+      // gone — the report is the final round's cache straight into the
+      // lang-keyed (map-side-combined) aggregate
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("n_raw", size(col("toks")).cast(LongType))
       val (_, stream, _) = mergeRounds(toks, BpeRounds)
-      val perDoc = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
-      docs
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast(LongType).as("n_raw"), col("n_chars"))
-        .join(perDoc, "doc_id")
+      stream
+        .select(col("lang"), col("n_raw"), col("n_chars"),
+          size(col("toks")).cast(LongType).as("n_bpe"))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1325,14 +1321,17 @@ object Curation {
   private val x07 = Q(
     "x07_tokenizer_pipeline",
     (s, d) => {
+      // source rides the stream from round 0, so the packing window
+      // reads the final round's cache directly — no per-doc count
+      // aggregate, no join back to documents
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       val (_, stream, _) = mergeRounds(toks, BpeRounds)
-      val counts = stream.groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .join(counts, "doc_id")
+      stream
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast(LongType).as("n_bpe"))
         .withColumn("cum", sum(col("n_bpe")).over(w))
         .select(col("doc_id"), col("source"), col("n_bpe"),
           floor((col("cum") - col("n_bpe")) / lit(PackBudget)).as("bin"))
