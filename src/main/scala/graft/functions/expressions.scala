@@ -241,6 +241,7 @@ object ColumnFns {
   def nfc_normalize(col: Column): Column = c(NfcNormalize(e(col)))
   def bpe_merge(col: Column, p1: String, p2: String): Column =
     c(BpeMergeGreedy(e(col), p1, p2))
+  def term_counts(col: Column): Column = c(TermCounts(e(col)))
 
   /** name -> builder for every SQL-callable engine function: the ONE
     * list both [[register]] (temp functions on an existing session) and

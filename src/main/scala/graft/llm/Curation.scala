@@ -130,9 +130,13 @@ object Curation {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val n = docs.count() // corpus size: one cheap metadata count
+      // the compiled in-row TermCounts fold — tf is a pure map over
+      // the doc scan (the old explode + groupBy(doc_id, term) shuffled
+      // the full token stream); df then ships partial-agg-sized rows
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // rank on the RAW score (identical IEEE arithmetic both engines);
       // emit the rounded image — ranking on the rounded value could

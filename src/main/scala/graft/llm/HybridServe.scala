@@ -100,8 +100,9 @@ object HybridServe {
   private def queryTerms(queries: DataFrame): DataFrame = {
     val wq = Window.partitionBy("query_id").orderBy(col("tf").desc, col("term"))
     queries
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("query_id"),
+        explode(graft.functions.ColumnFns.term_counts(split(col("qtext"), " "))).as("tc"))
+      .select(col("query_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .withColumn("qr", row_number().over(wq)).filter(col("qr") <= 4)
       .select("query_id", "term")
   }

@@ -1810,12 +1810,16 @@ object LlmQueries {
       val B = 0.75
       val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(StringType)) /
         lit(1152921504606846976.0) // 2^60, the p01/d11 unit hash
-      // one explode+agg for all four consumers (corpus postings, df,
-      // dl, query-term selection) — the d11/d15 cache reasoning
+      // one in-row term-counts pass for all four consumers (corpus
+      // postings, df, dl, query-term selection) — the compiled
+      // TermCounts fold; zero exchanges where the old explode +
+      // groupBy(doc_id, u, term) shuffled the full token stream
       val tf = Tables.documents(s, d)
         .withColumn("u", u)
-        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("u"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("u"),
+          col("tc.term").as("term"), col("tc.tf").as("tf"))
       val corpusTf = tf.filter(col("u") < 0.95).drop("u")
       val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val df = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1873,16 +1877,24 @@ object LlmQueries {
     new java.io.File("target/graft_idx/s13_bm25").getAbsolutePath
 
   /** (doc_id, term, tf) over a doc-level slice — the unit-hash filter
-    * runs BEFORE the explode (tf is per-doc, so pre-filtering is
-    * equivalent and skips exploding the excluded docs). Shared by the
+    * runs BEFORE the tokenize (tf is per-doc, so pre-filtering is
+    * equivalent and skips counting the excluded docs). Shared by the
     * s13 build (corpus slice) and probe (query slice).
+    *
+    * The histogram is the compiled in-row
+    * [[graft.functions.TermCounts]] fold — a pure map over the doc
+    * scan. The old explode + groupBy(doc_id, term) shuffled the full
+    * token stream to reassemble per-doc rows that were never apart;
+    * the multiset of (doc_id, term, tf) rows is identical
+    * (CurationKernelSpec pins the kernel against the aggregate form).
     */
   private def s13Tf(s: SparkSession, d: String,
       pred: org.apache.spark.sql.Column): DataFrame =
     Tables.documents(s, d)
       .withColumn("u", unitU).filter(pred)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
 
   /** s13 BUILD: the standing BM25 index the production way — base batch
     * written once, a later batch APPENDED as its own partial-aggregate
@@ -2134,10 +2146,14 @@ object LlmQueries {
         lit(1152921504606846976.0)
       // ---- lexical side: s12's relations, queries restricted to the
       //      embedded ids so both sides rank the same query batch
+      // the compiled in-row TermCounts fold (the s12/s13 kernel) —
+      // tf is a pure map over the doc scan, zero exchanges
       val tf = Tables.documents(s, d)
         .withColumn("u", u)
-        .select(col("doc_id"), col("u"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "u", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("u"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("u"),
+          col("tc.term").as("term"), col("tc.tf").as("tf"))
       val corpusTf = tf.filter(col("u") < 0.95).drop("u")
       val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val df = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -2870,8 +2886,11 @@ object LlmQueries {
       val embIds = emb.select(col("vec_id"))
       val docs = Tables.documents(s, d)
         .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
-      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // the compiled in-row TermCounts fold (the s12/s13 kernel) —
+      // tf is a pure map over the doc scan, zero exchanges
+      val tf = docs.select(col("doc_id"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       val corpusTf = tf.filter(col("doc_id") =!= 0L)
       val dl = corpusTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val dfr = corpusTf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -2971,9 +2990,12 @@ object LlmQueries {
       .join(broadcast(embIds), col("doc_id") === col("vec_id"), "left_semi")
       .filter(col("doc_id") =!= 0L)
     def writeBatch(pred: org.apache.spark.sql.Column, mode: String): Unit = {
+      // the compiled in-row TermCounts fold (see s13Tf) — the postings
+      // batch is a pure map over the corpus slice, zero exchanges
       val batch = corpus.filter(pred)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
         .persist()
       try {
         batch.write.mode(mode).parquet(s"$idxDir/bm25/postings")
@@ -3022,8 +3044,9 @@ object LlmQueries {
     val sumDl = st.getLong(1).toDouble
     val wq = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
     val qTerms = Tables.documents(s, d).filter(col("doc_id") === 0L)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .withColumn("qr", row_number().over(wq)).filter(col("qr") <= 4)
       .select("term")
     val idf = (lit(nCorpus) - col("df") + lit(0.5)) / (col("df") + lit(0.5))

@@ -212,9 +212,12 @@ object ServeGate {
       val corpus = docs
         .join(broadcast(embeddings.select(col("vec_id"))),
           col("doc_id") === col("vec_id"), "left_semi")
+      // the compiled in-row TermCounts fold (the s13Tf kernel) — the
+      // postings relation is a pure map over the corpus, zero exchanges
       val tf = corpus
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.ColumnFns.term_counts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
         .persist()
       try {
         tf.write.mode(SaveMode.Overwrite).parquet(s"$staging/bm25/postings")

@@ -100,6 +100,32 @@ class CurationKernelSpec extends AnyFunSuite {
     check(corpus, "zz", "zz") // no match anywhere: identity
   }
 
+  test("term_counts matches the explode + groupBy aggregate form (incl. null/empty tokens)") {
+    val rnd = new scala.util.Random(131717)
+    val vocab = Vector("a", "b", "c", "", "aa", "b")
+    val corpus: Seq[(Long, Seq[String])] = (1L to 50L).map { d =>
+      d -> Vector.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length)))
+    } :+ (99L -> Seq.empty[String])
+    val arr = corpus.toDF("doc_id", "toks")
+      .select(col("doc_id"), col("toks").cast("array<string>"))
+    val kernel = arr
+      .select(col("doc_id"), explode(ColumnFns.term_counts(col("toks"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val ref = arr
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel == ref)
+    // null tokens group as one null key, exactly like groupBy
+    val withNulls = Seq((1L, Seq("a", null, "a", null, null))).toDF("doc_id", "toks")
+    val kn = withNulls
+      .select(col("doc_id"), explode(ColumnFns.term_counts(col("toks"))).as("tc"))
+      .select(col("tc.term"), col("tc.tf"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(kn == Set((Some("a"), 2L), (None, 3L)))
+  }
+
   test("three chained rounds match the chained window reference (v05's loop shape)") {
     val rnd = new scala.util.Random(171717)
     val vocab = Vector("a", "b", "c", "d")
