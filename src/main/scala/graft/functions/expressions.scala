@@ -242,6 +242,8 @@ object ColumnFns {
   def bpe_merge(col: Column, p1: String, p2: String): Column =
     c(BpeMergeGreedy(e(col), p1, p2))
   def term_counts(col: Column): Column = c(TermCounts(e(col)))
+  def shingle_h64s(col: Column, n: Int, maxPos: Int): Column =
+    c(ShingleH64s(e(col), n, maxPos))
 
   /** name -> builder for every SQL-callable engine function: the ONE
     * list both [[register]] (temp functions on an existing session) and

@@ -519,7 +519,9 @@ object Curation {
   private val c03 = Q(
     "c03_contamination_ratio",
     (s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), ContamN)
+      // h64-only consumer: the compiled one-pass shingle+hash kernel
+      // (Dedup.shingleH64) — no shingle strings ever materialize
+      val sh = Dedup.shingleH64(Tables.documents(s, d), ContamN)
         .withColumn("u", unitHash(col("doc_id")))
       val testSet = sh.filter(col("u") >= 0.95)
         .select(col("h64")).distinct()
@@ -600,7 +602,7 @@ object Curation {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("u", unitHash(col("doc_id")))
-      val testH = Dedup.shingles(
+      val testH = Dedup.shingleH64(
           Tables.documents(s, d)
             .withColumn("u", unitHash(col("doc_id"))).filter(col("u") >= 0.95), ContamN)
         .select("h64").distinct()

@@ -55,6 +55,26 @@ object Dedup {
           .as("shingle"))
       .withColumn("h64", graft.functions.ColumnFns.md5_prefix64(col("shingle")))
 
+  /** The h64-ONLY form of [[shingles]] — the (doc_id, h64) relation
+    * every hash-keyed consumer ([[shingleIndex]], [[minhashSigs]],
+    * [[jaccard]]) actually reads. The whole shingle+hash step runs as
+    * ONE compiled [[graft.functions.ShingleH64s]] pass per doc row
+    * (distinct-by-string, first-occurrence order — bit-identical rows
+    * to exploding [[shingles]] and dropping the string, pinned by
+    * CurationKernelSpec), where the expression form allocated a sliced
+    * array and a joined string per position through interpreted
+    * higher-order nodes before the per-row md5. Consumers that need
+    * the shingle STRING (the contamination family, MlDedup) keep
+    * calling [[shingles]].
+    */
+  def shingleH64(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.ColumnFns.shingle_h64s(
+          col("toks"), n, MaxShinglePositions)).as("h64"))
+
   /** shingle-hash -> docs inverted index with stop-shingle cap:
     * shingles in more than maxDf docs carry no similarity signal but
     * quadratic join cost, so they are dropped (deterministically — the

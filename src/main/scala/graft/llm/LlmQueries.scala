@@ -128,7 +128,7 @@ object LlmQueries {
   private[llm] def nearDupPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     // the shingle index feeds signature building AND jaccard verify —
     // cache it (at lake scale: persist DISK_ONLY or checkpoint)
-    val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+    val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
     val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K), K, R)
     Dedup.jaccard(cand, sh).filter(col("jac") >= 0.8).select("d1", "d2", "jac")
   }
@@ -230,7 +230,7 @@ object LlmQueries {
   private val d05 = Q(
     "d05_ngram_jaccard",
     (s, d) => {
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
       val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
       Dedup.jaccard(cand, sh).filter(col("jac") >= 0.5).select("d1", "d2", "jac")
     },
@@ -259,7 +259,7 @@ object LlmQueries {
   private val d17 = Q(
     "d17_containment",
     (s, d) => {
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
       val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
       Dedup.jaccard(cand, sh)
         .withColumn("containment",
@@ -306,7 +306,7 @@ object LlmQueries {
       val uOf = (c: org.apache.spark.sql.Column) =>
         graft.functions.ColumnFns.md5_prefix64(c.cast(StringType)) /
           lit(1152921504606846976.0) // 2^60, the p01/c01 unit hash
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
       val cand = Dedup.lshCandidates(Dedup.minhashSigs(sh, K2), K2, R)
         .withColumn("u1", uOf(col("d1")))
         .withColumn("u2", uOf(col("d2")))
@@ -366,7 +366,7 @@ object LlmQueries {
     "x03_dedup_suite",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Dedup.shingleIndex(Dedup.shingles(docs), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(docs), MaxDf).cache()
       val sigs = Dedup.minhashSigs(sh, K2).cache()
       val jacAll = Dedup.jaccard(Dedup.lshCandidates(sigs, K2, R), sh).cache()
       val sigs8 = sigs.select(col("doc_id") +: (0 until K).map(i => col(s"mh$i")): _*)
@@ -722,7 +722,7 @@ object LlmQueries {
   private val d11 = Q(
     "d11_incremental_neardup",
     (s, d) => {
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
       val bands = Dedup.bandTable(Dedup.minhashSigs(sh, K), K, R)
       val u = graft.functions.ColumnFns.md5_prefix64(col("doc_id").cast(org.apache.spark.sql.types.StringType)) /
         lit(1152921504606846976.0) // 2^60, same unit hash as p01
@@ -843,7 +843,7 @@ object LlmQueries {
     val root = new org.apache.hadoop.fs.Path(idxDir)
     graft.streaming.FoldCommit.clearResidue(
       root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
-    val shAll = Dedup.shingles(Tables.documents(s, d)).select("doc_id", "h64").cache()
+    val shAll = Dedup.shingleH64(Tables.documents(s, d)).cache()
     try {
       shAll.groupBy("h64").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxDf).select("h64")
@@ -873,8 +873,7 @@ object LlmQueries {
 
   private[graft] def d15ProbeAt(s: SparkSession, d: String, idxDir: String): DataFrame = {
     val stops = s.read.parquet(s"$idxDir/stops")
-    val shDelta = Dedup.shingles(Tables.documents(s, d).filter(unitU >= 0.8))
-      .select("doc_id", "h64")
+    val shDelta = Dedup.shingleH64(Tables.documents(s, d).filter(unitU >= 0.8))
       .join(broadcast(stops), Seq("h64"), "left_anti")
     val bdDelta = Dedup.bandTable(Dedup.minhashSigs(shDelta, K), K, R)
     val cand = s.read.parquet(s"$idxDir/bands")
@@ -1571,7 +1570,7 @@ object LlmQueries {
         .select(col("v1").as("d1"), col("v2").as("d2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
-      val sh = Dedup.shingleIndex(Dedup.shingles(Tables.documents(s, d)), MaxDf).cache()
+      val sh = Dedup.shingleIndex(Dedup.shingleH64(Tables.documents(s, d)), MaxDf).cache()
       val jac = Dedup.jaccard(cosPairs.select("d1", "d2"), sh).select("d1", "d2", "jac")
       cosPairs.join(jac, Seq("d1", "d2"), "left")
         .select(col("d1"), col("d2"), col("cos"),

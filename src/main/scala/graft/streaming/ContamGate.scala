@@ -85,7 +85,7 @@ object ContamGate {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val testSet = Dedup.shingles(docs, Curation.ContamN)
+    val testSet = Dedup.shingleH64(docs, Curation.ContamN)
       .withColumn("u", unitHash(col("doc_id")))
       .filter(col("u") >= 0.95)
       .select("h64").distinct()
@@ -166,7 +166,7 @@ object ContamGate {
             .write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/batch=$batchTag")
         } finally cleaned.unpersist(): Unit
       } else {
-        val sh = Dedup.shingles(docs, Curation.ContamN).cache()
+        val sh = Dedup.shingleH64(docs, Curation.ContamN).cache()
         try {
           // every ARRIVING doc gets a decision row — docs shorter than
           // ContamN tokens produce zero shingles (Dedup.shingles filters

@@ -126,6 +126,39 @@ class CurationKernelSpec extends AnyFunSuite {
     assert(kn == Set((Some("a"), 2L), (None, 3L)))
   }
 
+  test("shingle_h64s matches the array_distinct(transform) + md5 expression form") {
+    val n = 3
+    val maxPos = 64
+    val rnd = new scala.util.Random(90517)
+    val vocab = Vector("a", "b", "c", "d", "", "aa b") // incl. empty + space-bearing
+    val corpus: Seq[(Long, Seq[String])] = (1L to 60L).map { d =>
+      d -> Vector.fill(rnd.nextInt(80))(vocab(rnd.nextInt(vocab.length)))
+    } :+ (97L -> Seq("x", "y")) :+ (98L -> Seq("x")) :+ (99L -> Seq.empty[String])
+    val arr = corpus.toDF("doc_id", "toks")
+      .select(col("doc_id"), col("toks").cast("array<string>"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val kernel = rows(arr.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(ColumnFns.shingle_h64s(col("toks"), n, maxPos)).as("h64")))
+    // the expression chain Dedup.shingles runs (strings then md5) —
+    // kept here as the reference the kernel must match
+    val ref = rows(arr.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(0, least(size(toks) - $n, ${maxPos - 1})), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $n))))")).as("shingle"))
+      .select(col("doc_id"), ColumnFns.md5_prefix64(col("shingle")).as("h64")))
+    assert(kernel == ref)
+    // duplicates-by-value must be preserved per doc (array_distinct is
+    // by string, not by hash): a doc repeating a shingle far apart
+    // yields ONE row, adjacent distinct shingles yield each row
+    val dup = Seq((1L, Seq("p", "q", "r", "z", "p", "q", "r"))).toDF("doc_id", "toks")
+    val k2 = dup.select(explode(ColumnFns.shingle_h64s(col("toks"), n, maxPos)))
+      .count()
+    assert(k2 == 4L) // pqr, qrz, rzp, zpq — the repeated pqr dedupes
+  }
+
   test("three chained rounds match the chained window reference (v05's loop shape)") {
     val rnd = new scala.util.Random(171717)
     val vocab = Vector("a", "b", "c", "d")
