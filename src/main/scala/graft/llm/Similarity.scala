@@ -134,18 +134,16 @@ object Similarity {
     * [[Dedup.bandTable]]'s role on the lexical side
     */
   def hyperplaneBands(embeddings: DataFrame, planes: Int, bandBits: Int): DataFrame = {
-    val bandCols = (0 until planes / bandBits).map { b =>
-      val bv = (0 until bandBits)
-        .map { i =>
-          val p = b * bandBits + i
-          val w = array((0 until Dims).map(d => lit(weight(p, d))): _*)
-          when(dot(col("embedding"), w) > 0, lit(1L << i)).otherwise(lit(0L))
-        }
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bv.as("bv"))
-    }
+    // all `planes` sign tests run inside ONE compiled expression with
+    // the md5-derived ±1 weights baked in (HyperplaneBandsPack) — the
+    // per-plane interpreted aggregate(zip_with) dot products this
+    // replaces are pinned row-equal by SimilaritySpec
+    import org.apache.spark.sql.graftbridge.Bridge
+    val w = (0 until planes).map(p => (0 until Dims).map(d => weight(p, d)))
     embeddings
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"),
+        explode(Bridge.column(graft.functions.HyperplaneBandsPack(
+          Bridge.expression(col("embedding")), w, bandBits))).as("bd"))
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
   }
 

@@ -152,4 +152,47 @@ class SimilaritySpec extends AnyFunSuite {
     val clean = PqResidualPack.encode(full, false, codes, cvs, codes, cvs, m)
     assert(!clean.isNullAt(2) && !clean.isNullAt(3))
   }
+
+  test("hyperplane_bands kernel matches the per-plane aggregate(zip_with) form") {
+    import spark.implicits._
+    val planes = 12
+    val bandBits = 4
+    // degenerate rows alongside the real corpus: null embedding, short
+    // array, null element — each must land every band on bv = 0 in
+    // BOTH formulations
+    val weird = Seq[(Long, Seq[java.lang.Float])](
+      (100001L, null),
+      (100002L, Seq(1.0f, -2.0f)),
+      (100003L, (0 until Similarity.Dims).map(d =>
+        if (d == 7) null else java.lang.Float.valueOf(d.toFloat - 30f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(FloatType)))
+    val base = emb.select(col("vec_id"), col("embedding")).limit(200)
+      .unionByName(weird)
+    // the pre-kernel expression chain — kept HERE as the reference
+    val refBands = {
+      val bandCols = (0 until planes / bandBits).map { b =>
+        val bv = (0 until bandBits)
+          .map { i =>
+            val p = b * bandBits + i
+            val w = array((0 until Similarity.Dims).map(d =>
+              lit(Similarity.weight(p, d))): _*)
+            when(Similarity.dot(col("embedding"), w) > 0, lit(1L << i))
+              .otherwise(lit(0L))
+          }
+          .reduce(_ + _)
+        struct(lit(b).as("band"), bv.as("bv"))
+      }
+      base.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+        .select(col("vec_id"), col("bd.band"), col("bd.bv"))
+    }
+    val kernel = Similarity.hyperplaneBands(base, planes, bandBits)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(kernel) == rows(refBands))
+    // every degenerate row must be PRESENT with all-zero band values
+    val weirdRows = kernel.filter(col("vec_id") >= 100001L).collect()
+    assert(weirdRows.length == 3 * planes / bandBits)
+    assert(weirdRows.forall(_.getLong(2) == 0L))
+  }
 }
