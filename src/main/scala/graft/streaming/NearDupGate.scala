@@ -170,7 +170,7 @@ object NearDupGate {
     def track(df: DataFrame): DataFrame = { cached ::= df; df }
     val docs = batchDocs
     try {
-      val sh = track(Dedup.shingleIndex(Dedup.shingles(docs), cfg.maxDf).cache())
+      val sh = track(Dedup.shingleIndex(Dedup.shingleH64(docs), cfg.maxDf).cache())
       val bands = track(
         Dedup.bandTable(Dedup.minhashSigs(sh, cfg.k), cfg.k, cfg.r)
           .withColumn("bucket", bandBucket(cfg.indexBuckets, col("band"), col("bv")))
